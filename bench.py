@@ -1,0 +1,102 @@
+"""Benchmark harness.
+
+Measures training-step throughput on the scaled hp-VPINN Poisson-2D workload
+(BASELINE.json config 5: 64-element 2D Poisson, high-order quadrature) and
+reports it as quadrature-point residual evaluations per second per chip — the
+hot-path unit of work (network forward + nested JVPs + weighted-basis
+contraction at one quadrature point of one element).
+
+The reference publishes no numbers (BASELINE.md); the baseline is this same
+workload measured with matched hyperparameters on one CPU host
+(benchmarks/baseline_cpu.json, the stand-in for the TF1-CPU original, which
+predates installable TF).  `vs_baseline` is the speedup ratio.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_bench_problem():
+    import hpvpinns_tpu as hv
+
+    # 64-element, 16x16-point quadrature, 10x10 test functions per element.
+    cfg = hv.poisson2d_scaled(n_elem_axis=8, n_quad=16, n_test=10)
+    return hv.build(cfg)
+
+
+def measure_steps_per_sec(steps: int = 200, warmup: int = 20) -> dict:
+    import jax
+    import optax
+
+    import hpvpinns_tpu as hv
+
+    prob = build_bench_problem()
+    params = prob.init_params(jax.random.key(0))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, data):
+        (loss, _), grads = jax.value_and_grad(prob.loss_fn, has_aux=True)(params, data)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    data = prob.data
+    for _ in range(warmup):
+        params, opt_state, loss = train_step(params, opt_state, data)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, data)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    el = prob.data["elements"]
+    n_elem = el.x.shape[0]
+    n_qpts = el.x.shape[1] * el.x.shape[2]
+    steps_per_sec = steps / dt
+    return {
+        "steps_per_sec": steps_per_sec,
+        "residual_evals_per_sec": steps_per_sec * n_elem * n_qpts,
+        "n_elem": n_elem,
+        "n_quad_pts_per_elem": n_qpts,
+        "final_loss": float(loss),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    result = measure_steps_per_sec()
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        base = baseline.get("residual_evals_per_sec")
+        if base:
+            vs_baseline = result["residual_evals_per_sec"] / base
+
+    print(
+        json.dumps(
+            {
+                "metric": "poisson2d_scaled_residual_evals_per_sec_per_chip",
+                "value": result["residual_evals_per_sec"],
+                "unit": "quadrature-point residual evals/s/chip",
+                "vs_baseline": vs_baseline,
+            }
+        )
+    )
+    print(json.dumps({"detail": result}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

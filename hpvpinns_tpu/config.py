@@ -1,0 +1,152 @@
+"""Explicit configuration objects.
+
+The reference has no config system: hyperparameters are module-level constants
+silently read from inside the VPINN classes (var_form/lossb_weight/LR at
+Poisson-1D.py:231-240 used at :82-102; scheme at Poisson-2D.py:279 used at
+:126-129; V/LR at AdvDiff.py:35-52 used at :161-191).  Here every knob is an
+explicit frozen dataclass; the three `*_of_record()` presets reproduce the
+reference's configurations of record exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization loop settings (reference: Adam, full batch, loss-threshold
+    early stop polled every 10 iters; Poisson-1D.py:201-224)."""
+
+    learning_rate: float = 1e-3
+    iterations: int = 1001
+    threshold: Optional[float] = None  # early stop when loss < threshold
+    check_every: int = 10  # host-side loss poll cadence (reference: 10)
+    log_every: int = 100  # console print cadence (reference: 100)
+    seed: int = 1234
+    best_snapshot_fraction: Optional[float] = None  # AdvDiff keeps the best
+    # params over the final 10% of iterations (AdvDiff.py:327-330): set 0.9.
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Poisson1DConfig:
+    """1D Poisson -u'' = f on [-1, 1] (main/Poisson-1D)."""
+
+    layers: Tuple[int, ...] = (1, 20, 20, 20, 20, 1)
+    activation: str = "sin"  # Poisson-1D.py:134
+    var_form: int = 1  # 1 | 2 | 3 (zero/one/two integrations by parts)
+    n_elements: int = 1
+    grid: Optional[Tuple[float, ...]] = None  # non-uniform override
+    # (the reference's N_Element==3 special case [-1,-0.1,0.1,1],
+    # Poisson-1D.py:270-273)
+    n_test: int = 60
+    n_test_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    n_quad: int = 80
+    lossb_weight: float = 1.0  # Poisson-1D.py:240,100
+    domain: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "float32"
+    train: TrainConfig = field(
+        default_factory=lambda: TrainConfig(iterations=1001, threshold=2e-32)
+    )
+
+
+@dataclass(frozen=True)
+class Poisson2DConfig:
+    """2D Poisson Delta u = f on [-1, 1]^2 (main/Poisson-2D)."""
+
+    layers: Tuple[int, ...] = (2, 5, 5, 5, 1)
+    activation: str = "tanh"  # Poisson-2D.py:165
+    scheme: str = "VPINNs"  # 'VPINNs' | 'PINNs' (Poisson-2D.py:126-129)
+    var_form: int = 1  # 0 | 1 | 2
+    n_elements_x: int = 4
+    n_elements_y: int = 4
+    n_test_x: int = 5
+    n_test_y: int = 5
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None
+    n_test_y_per_elem: Optional[Tuple[int, ...]] = None
+    n_quad: int = 10  # per axis per element
+    n_bound: int = 80  # boundary points per edge (Poisson-2D.py:313-347)
+    n_residual: int = 100  # PINN-mode collocation points (Poisson-2D.py:350-356)
+    lossb_weight: float = 10.0  # Poisson-2D.py:127
+    domain_x: Tuple[float, float] = (-1.0, 1.0)
+    domain_y: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "float32"
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(iterations=10001))
+
+
+@dataclass(frozen=True)
+class AdvDiffConfig:
+    """Space-time advection-diffusion u_t + V u_x - eps u_xx = 0 on
+    [-1, 1] x [0, T], inverse identification of eps (main/AdvDiff-Identification).
+    """
+
+    layers: Tuple[int, ...] = (2, 5, 5, 5, 1)
+    activation: str = "tanh"  # AdvDiff.py:226
+    var_form: int = 0  # 0 | 1 (AdvDiff.py:38)
+    n_elements_x: int = 1
+    n_elements_t: int = 1
+    n_test_x: int = 5
+    n_test_t: int = 5
+    n_quad: int = 10
+    n_bound: int = 80  # per side/initial edge (AdvDiff.py:357-384)
+    lossb_weight: float = 10.0  # folded into lossb in the reference (AdvDiff.py:184)
+    velocity: float = 1.0  # V (AdvDiff.py:43)
+    gamma: float = 0.1  # true eps = gamma / pi (AdvDiff.py:41-42)
+    epsilon_init: float = 1.0  # trainable start (AdvDiff.py:63)
+    inverse: bool = True  # eps trainable; False freezes it at the true value
+    n_sensors_per_station: int = 5  # interior data for identifiability
+    sensor_stations: Tuple[float, ...] = (-0.5, 0.0, 0.5)  # AdvDiff.py:464-479
+    t_final: float = 1.0
+    domain_x: Tuple[float, float] = (-1.0, 1.0)
+    fourier_terms: int = 800  # exact-solution series truncation (AdvDiff.py:416)
+    dtype: str = "float32"
+    train: TrainConfig = field(
+        default_factory=lambda: TrainConfig(
+            iterations=1501, threshold=2e-11, best_snapshot_fraction=0.9
+        )
+    )
+
+
+def poisson1d_of_record() -> Poisson1DConfig:
+    """Poisson-1D.py:231-240."""
+    return Poisson1DConfig()
+
+
+def poisson2d_of_record() -> Poisson2DConfig:
+    """Poisson-2D.py:279-288,434."""
+    return Poisson2DConfig()
+
+
+def advdiff_of_record() -> AdvDiffConfig:
+    """AdvDiff.py:35-53."""
+    return AdvDiffConfig()
+
+
+def poisson2d_scaled(n_elem_axis: int = 8, n_quad: int = 16, n_test: int = 10) -> Poisson2DConfig:
+    """The scaled multi-chip benchmark config (BASELINE.json config 5):
+    n_elem_axis^2 elements, higher quadrature/test order."""
+    return Poisson2DConfig(
+        n_elements_x=n_elem_axis,
+        n_elements_y=n_elem_axis,
+        n_test_x=n_test,
+        n_test_y=n_test,
+        n_quad=n_quad,
+        layers=(2, 20, 20, 20, 1),
+        train=TrainConfig(iterations=2001),
+    )
+
+
+__all__ = [
+    "TrainConfig",
+    "Poisson1DConfig",
+    "Poisson2DConfig",
+    "AdvDiffConfig",
+    "poisson1d_of_record",
+    "poisson2d_of_record",
+    "advdiff_of_record",
+    "poisson2d_scaled",
+    "replace",
+]

@@ -1,0 +1,68 @@
+"""Evaluation: dense-grid prediction and error metrics.
+
+Covers the reference's predict()/error instrumentation (C15): dense test-grid
+inference (Poisson-1D.py:197-199,315-316; Poisson-2D.py:255-257,418-426;
+AdvDiff.py:448-458), global and per-element relative L2 errors
+`||u - u_hat||_2 / ||u||_2` (Poisson-1D.py:192 — the reference's
+predict_subdomain references a nonexistent attribute and is dead code; this
+is the working equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpvpinns_tpu.problems.base import Problem
+
+
+def predict(problem: Problem, params, X: Optional[np.ndarray] = None, batch_size: int = 262144) -> np.ndarray:
+    """Network forward on X (default: the problem's dense test grid)."""
+    if X is None:
+        X = problem.test_points
+    X = np.asarray(X)
+    dtype = problem.data["xb"].dtype
+    apply = jax.jit(lambda p, x: problem.apply(p, x))
+    outs = []
+    for i in range(0, X.shape[0], batch_size):
+        xb = jnp.asarray(X[i : i + batch_size], dtype=dtype)
+        outs.append(np.asarray(apply(params, xb)))
+    return np.concatenate(outs)
+
+
+def rel_l2(u_pred: np.ndarray, u_true: np.ndarray) -> float:
+    """Relative L2 error (Poisson-1D.py:192)."""
+    u_pred = np.asarray(u_pred).reshape(-1)
+    u_true = np.asarray(u_true).reshape(-1)
+    return float(np.linalg.norm(u_true - u_pred) / np.linalg.norm(u_true))
+
+
+def evaluate(problem: Problem, params) -> dict:
+    """Standard report: global rel-L2 + max pointwise error on the test grid."""
+    u_pred = predict(problem, params)
+    u_true = problem.test_values
+    err = np.abs(np.asarray(u_true).reshape(-1) - u_pred.reshape(-1))
+    return {
+        "rel_l2": rel_l2(u_pred, u_true),
+        "max_abs_err": float(err.max()),
+        "mean_abs_err": float(err.mean()),
+    }
+
+
+def per_element_rel_l2(problem: Problem, params, n_points: int = 500) -> np.ndarray:
+    """Per-subdomain rel-L2 on a fresh per-element grid (the working version
+    of the reference's dead predict_subdomain, Poisson-1D.py:185-195).
+    1D problems only."""
+    mesh = problem.extras["mesh"]
+    if not hasattr(mesh, "map_points"):
+        raise TypeError("per_element_rel_l2 supports 1D interval meshes")
+    xi = np.linspace(-1.0, 1.0, n_points)
+    x_elem = mesh.map_points(xi)  # [E, P]
+    u_true = problem.exact(x_elem)
+    u_pred = predict(problem, params, x_elem.reshape(-1, 1)).reshape(x_elem.shape)
+    num = np.linalg.norm(u_true - u_pred, axis=1)
+    den = np.linalg.norm(u_true, axis=1)
+    return num / den

@@ -1,0 +1,199 @@
+"""Variational (weak-form) residual assembly, batched over elements.
+
+Replicates the mathematics of the reference's graph-build element loops —
+Poisson-1D.py:64-96, Poisson-2D.py:68-120, AdvDiff.py:108-182 — as fully
+batched contractions with a leading element axis (the vmap/sharding axis).
+
+Residual definition per element e and test function n (1D) / (k, r) (2D):
+
+    Res[e, n] = U[e, n] - F[e, n]
+
+where F is the offline RHS projection (ops free of the network, precomputed
+on host; Poisson-1D.py:277-291, Poisson-2D.py:386-414) and U contracts the
+network's derivative fields against the quadrature-weighted test basis.
+`var_form` selects how many times the second-order term was integrated by
+parts; the sign/jacobian pattern of every form below follows the reference
+formulas exactly (cited per branch).
+
+All basis matrices arrive with quadrature weights already folded in
+(Wphi[n,q] = w_q * phi_n(xi_q)); jacobians are per-element vectors so the
+whole assembly is element-uniform code — ragged test-function counts
+(p-nonuniformity, Poisson-1D.py:268) are handled by masking in the loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from hpvpinns_tpu.ops.contract import contract_1d, contract_2d
+from hpvpinns_tpu.ops.fields import scalar_fields_1d, scalar_fields_2d
+
+
+def _register(cls, meta_fields=()):
+    data_fields = tuple(
+        f.name for f in dataclasses.fields(cls) if f.name not in meta_fields
+    )
+    jax.tree_util.register_dataclass(cls, data_fields, tuple(meta_fields))
+    return cls
+
+
+@dataclass(frozen=True)
+class Basis1D:
+    """Quadrature-weighted test basis on one reference axis.
+
+    wphi/wdphi/wd2phi: [N, Q] = w_q * {phi, phi', phi''}_n(xi_q).
+    dphi_b: [N, 2] UNweighted phi'_n at xi = -1, +1 (boundary-flux term of the
+    twice-integrated form, Poisson-1D.py:89-90).
+    """
+
+    wphi: jax.Array
+    wdphi: jax.Array
+    wd2phi: jax.Array
+    dphi_b: jax.Array
+
+
+@dataclass(frozen=True)
+class Elements1D:
+    """Per-element geometry + targets for a 1D assembly.
+
+    x:      [E, Q] physical quadrature points.
+    bounds: [E, 2] physical element endpoints.
+    jac:    [E]    affine jacobian (x_r - x_l)/2 per element.
+    f_proj: [E, N] RHS projections F[e, n].
+    mask:   [E, N] 1.0 where test index n < n_test[e] (p-nonuniform support).
+    n_test: [E]    per-element test-function counts (float, for the mean).
+    """
+
+    x: jax.Array
+    bounds: jax.Array
+    jac: jax.Array
+    f_proj: jax.Array
+    mask: jax.Array
+    n_test: jax.Array
+
+
+@dataclass(frozen=True)
+class Elements2D:
+    """Per-element geometry + targets for a tensor-product 2D assembly.
+
+    x, y:   [E, Qy, Qx] physical quadrature points (y = slow axis, matching
+            the reference's meshgrid flattening, Poisson-2D.py:362-364).
+    jac_x, jac_y: [E] per-axis jacobians; full jacobian = jac_x * jac_y.
+    f_proj: [E, K, R] RHS projections F[e, k, r] (zeros for AdvDiff,
+            AdvDiff.py:180).
+    mask:   [E, K, R] test-index mask; n_test: [E] = number of active (k, r)
+            pairs per element.
+    """
+
+    x: jax.Array
+    y: jax.Array
+    jac_x: jax.Array
+    jac_y: jax.Array
+    f_proj: jax.Array
+    mask: jax.Array
+    n_test: jax.Array
+
+
+_register(Basis1D)
+_register(Elements1D)
+_register(Elements2D)
+
+
+def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int):
+    """Res[e, n] for -u'' = f with test fns phi_n (Poisson-1D.py:82-94).
+
+    var_form 1:  U = -jac * sum_q w u_xx phi_n            (:83-84)
+    var_form 2:  U =        sum_q w u_x  phi'_n           (:86-87)  [jacobians
+                 cancel: dx = jac dxi, d/dx = (1/jac) d/dxi]
+    var_form 3:  U = -(1/jac) sum_q w u phi''_n
+                     + (1/jac) [u(x_r) phi'_n(+1) - u(x_l) phi'_n(-1)]  (:88-91)
+    """
+    u, ux, uxx = scalar_fields_1d(u_fn, elems.x)
+    if var_form == 1:
+        U = -elems.jac[:, None] * contract_1d(basis.wphi, uxx)
+    elif var_form == 2:
+        U = contract_1d(basis.wdphi, ux)
+    elif var_form == 3:
+        inv_jac = 1.0 / elems.jac[:, None]
+        U = -inv_jac * contract_1d(basis.wd2phi, u)
+        u_b = u_fn(elems.bounds.reshape(-1, 1)).reshape(elems.bounds.shape)
+        flux = u_b[:, 1:2] * basis.dphi_b[None, :, 1] - u_b[:, 0:1] * basis.dphi_b[None, :, 0]
+        U = U + inv_jac * flux
+    else:
+        raise ValueError(f"Poisson-1D var_form must be 1, 2 or 3; got {var_form}")
+    return U - elems.f_proj
+
+
+def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form: int):
+    """Res[e, k, r] for Delta u = f on tensor-product elements
+    (Poisson-2D.py:91-118; integrand convention f = Delta u, :307-310).
+
+    var_form 0:  U = jac * C(phi_r, phi_k, u_xx + u_yy)             (:93-96)
+    var_form 1:  U = -jac_y * C(phi'_r, phi_k, u_x)
+                     -jac_x * C(phi_r, phi'_k, u_y)                 (:98-105;
+                 jac/jac_x = jac_y and vice versa)
+    var_form 2:  U = jac * [C(phi''_r, phi_k, u) + C(phi_r, phi''_k, u)]
+                 (:108-115 — NOTE: reproduces the reference formula verbatim,
+                 which omits the 1/jac^2 reference-derivative scalings and the
+                 inter-element flux of an exact second integration by parts;
+                 exact only for single-element [-1,1]^2 decompositions. The
+                 configuration of record uses var_form=1.)
+
+    C(a, b, g) = sum_{qy,qx} w_x a(xi_qx) w_y b(eta_qy) g[qy, qx].
+    """
+    flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=(var_form == 1))
+    jac = (elems.jac_x * elems.jac_y)[:, None, None]
+    if var_form == 0:
+        U = jac * contract_2d(bx.wphi, by.wphi, flds["uxx"] + flds["uyy"])
+    elif var_form == 1:
+        U = -(
+            elems.jac_y[:, None, None] * contract_2d(bx.wdphi, by.wphi, flds["ux"])
+            + elems.jac_x[:, None, None] * contract_2d(bx.wphi, by.wdphi, flds["uy"])
+        )
+    elif var_form == 2:
+        U = jac * (
+            contract_2d(bx.wd2phi, by.wphi, flds["u"])
+            + contract_2d(bx.wphi, by.wd2phi, flds["u"])
+        )
+    else:
+        raise ValueError(f"Poisson-2D var_form must be 0, 1 or 2; got {var_form}")
+    return U - elems.f_proj
+
+
+def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, velocity, epsilon):
+    """Res[e, k, r] for u_t + V u_x - eps u_xx = 0 in space-time elements
+    (AdvDiff.py:161-180; F = 0, the weak residual itself is minimized :180).
+
+    The slow axis of Elements2D is time here (meshgrid convention
+    AdvDiff.py:397-400).  `epsilon` may be a traced scalar — the trainable
+    diffusion coefficient of the inverse problem (AdvDiff.py:63,165,173).
+
+    var_form 0:  U = jac * C(phi_r, phi_k, u_t + V u_x - eps u_xx)   (:161-167)
+    var_form 1:  U = jac * C(phi_r, phi_k, u_t + V u_x)
+                     + eps * jac_t * C(phi'_r, phi_k, u_x)           (:169-174;
+                 jac/jac_x = jac_t)
+    """
+    flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=True)
+    ut, ux = flds["uy"], flds["ux"]
+    jac = (elems.jac_x * elems.jac_y)[:, None, None]
+    if var_form == 0:
+        integrand = ut + velocity * ux - epsilon * flds["uxx"]
+        U = jac * contract_2d(bx.wphi, bt.wphi, integrand)
+    elif var_form == 1:
+        U = jac * contract_2d(bx.wphi, bt.wphi, ut + velocity * ux)
+        U = U + epsilon * elems.jac_y[:, None, None] * contract_2d(bx.wdphi, bt.wphi, ux)
+    else:
+        raise ValueError(f"AdvDiff var_form must be 0 or 1; got {var_form}")
+    return U - elems.f_proj
+
+
+def variational_loss(res: jax.Array, mask: jax.Array, n_test: jax.Array) -> jax.Array:
+    """loss_v = sum_e mean_n Res[e, n]^2 (Poisson-1D.py:95-96) with per-element
+    test counts handled by masking (inactive test indices contribute zero)."""
+    res2 = (res * mask) ** 2
+    per_elem = res2.reshape(res.shape[0], -1).sum(axis=1) / n_test
+    return per_elem.sum()

@@ -1,0 +1,62 @@
+"""Batched evaluation of the network and its PDE derivatives at quadrature points.
+
+The reference evaluates `net_u`/`net_du` separately per element inside the
+graph-build loop with nested reverse-mode `tf.gradients`
+(Poisson-1D.py:75-76,144-148; Poisson-2D.py:81-83,175-185; AdvDiff.py:123-125).
+Here all elements' quadrature points are batched into one flat [E*Q, d] array
+and the derivatives come from *nested forward-mode JVPs* on the whole batch —
+each JVP is just another chain of batched matmuls through the MLP, so the
+entire field evaluation (u, u_x, u_xx, u_y, u_yy, u_t) stays MXU-shaped.
+
+Forward mode is the right AD direction: the network input dimension is 1-2,
+and only diagonal second derivatives are needed (no mixed terms in any of the
+reference's PDE operators).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hpvpinns_tpu.ops.derivatives import coord_tangent, dir_deriv, value_and_dir_derivs2
+
+
+def scalar_fields_1d(u_fn, x):
+    """(u, u_x, u_xx) at points x of shape [..., Q].
+
+    u_fn maps [P, 1] -> [P, 1]; returns three arrays shaped like x.
+    """
+    shape = x.shape
+    X = x.reshape(-1, 1)
+    v = coord_tangent(X, 0)
+    u, ux, uxx = value_and_dir_derivs2(u_fn, X, v)
+    return u.reshape(shape), ux.reshape(shape), uxx.reshape(shape)
+
+
+def scalar_fields_2d(u_fn, x, y, *, second_y: bool = True, first_y_only: bool = False):
+    """Network value and per-axis derivatives at 2D points.
+
+    x, y: arrays of identical shape [..., Qy, Qx] (physical coordinates).
+    u_fn maps [P, 2] -> [P, 1].
+
+    Returns a dict with keys 'u', 'ux', 'uxx' and, depending on flags,
+    'uy', 'uyy' (second_y) or just 'uy' (first_y_only — the AdvDiff case,
+    where the y axis is time and only u_t is needed, AdvDiff.py:242-245).
+    """
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    vx = coord_tangent(X, 0)
+    u, ux, uxx = value_and_dir_derivs2(u_fn, X, vx)
+    out = {
+        "u": u.reshape(shape),
+        "ux": ux.reshape(shape),
+        "uxx": uxx.reshape(shape),
+    }
+    vy = coord_tangent(X, 1)
+    if first_y_only:
+        uy = dir_deriv(u_fn, X, vy)
+        out["uy"] = uy.reshape(shape)
+    elif second_y:
+        _, uy, uyy = value_and_dir_derivs2(u_fn, X, vy)
+        out["uy"] = uy.reshape(shape)
+        out["uyy"] = uyy.reshape(shape)
+    return out

@@ -1,0 +1,162 @@
+"""Space-time advection-diffusion with inverse coefficient identification.
+
+    u_t + V u_x = eps u_xx   on (x, t) in [-1, 1] x [0, T]
+    u(x, 0) = -sin(pi x),  u(+-1, t) = 0                   (AdvDiff.py:351-353)
+    true eps = gamma / pi                                   (AdvDiff.py:41-42)
+
+The diffusion coefficient eps is a *trainable parameter* initialized at 1.0
+(AdvDiff.py:63) entering the weak residual (AdvDiff.py:165,173); it is trained
+jointly with the network by the same optimizer.  Identifiability comes from 15
+interior sensor readings (3 stations x 5 LHS times, AdvDiff.py:464-483) added
+to the boundary/initial data.  The exact solution is an 800-term Fourier
+series (AdvDiff.py:416-445).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from hpvpinns_tpu.config import AdvDiffConfig
+from hpvpinns_tpu.geometry.mesh import TensorMesh2D
+from hpvpinns_tpu.models.mlp import MLP, mlp_apply
+from hpvpinns_tpu.ops.assembly import advdiff_residual, variational_loss
+from hpvpinns_tpu.problems.base import Problem, make_net_init
+from hpvpinns_tpu.problems.build import build_elements_2d, make_weighted_basis
+from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+from hpvpinns_tpu.utils.sampling import lhs_interval
+
+
+def u_initial(x):
+    """AdvDiff.py:351-353."""
+    return -np.sin(np.pi * x)
+
+
+def u_exact(x, t, epsilon, velocity, trunc=800):
+    """Analytic Fourier-series solution (AdvDiff.py:416-445), vectorized.
+
+    x, t: broadcastable column arrays [N, 1]; at t == 0 returns u_initial
+    exactly, as the reference does (AdvDiff.py:442-443).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    x, t = np.broadcast_arrays(x, t)
+    D, V = epsilon, velocity
+    p = np.arange(0, trunc + 1.0)[None, :]
+    xc = x.reshape(-1, 1)
+    tc = t.reshape(-1, 1)
+
+    c0 = 16 * np.pi**2 * D**3 * V * np.exp(V / D / 2 * (xc - V * tc / 2))
+    c1_n = (-1.0) ** p * 2 * p * np.sin(p * np.pi * xc) * np.exp(-D * p**2 * np.pi**2 * tc)
+    c1_d = V**4 + 8 * (V * np.pi * D) ** 2 * (p**2 + 1) + 16 * (np.pi * D) ** 4 * (p**2 - 1) ** 2
+    c1 = np.sinh(V / D / 2) * np.sum(c1_n / c1_d, axis=-1, keepdims=True)
+    c2_n = (
+        (-1.0) ** p
+        * (2 * p + 1)
+        * np.cos((p + 0.5) * np.pi * xc)
+        * np.exp(-D * (2 * p + 1) ** 2 * np.pi**2 * tc / 4)
+    )
+    c2_d = V**4 + (V * np.pi * D) ** 2 * (8 * p**2 + 8 * p + 10) + (np.pi * D) ** 4 * (
+        4 * p**2 + 4 * p - 3
+    ) ** 2
+    c2 = np.cosh(V / D / 2) * np.sum(c2_n / c2_d, axis=-1, keepdims=True)
+    c = (c0 * (c1 + c2)).reshape(x.shape)
+    return np.where(t == 0, u_initial(x), c)
+
+
+def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
+    """Boundary + initial + interior-sensor data (AdvDiff.py:357-384,464-483)."""
+    T, (xl, xr) = cfg.t_final, cfg.domain_x
+    n = cfg.n_bound
+    eps_true = cfg.gamma / np.pi
+
+    t_up = T * lhs_interval(0, 1, n, rng)
+    t_lo = T * lhs_interval(0, 1, n, rng)
+    x_in = lhs_interval(xl, xr, n, rng)
+    pts = [
+        np.hstack([np.full_like(t_up, xr), t_up]),
+        np.hstack([np.full_like(t_lo, xl), t_lo]),
+        np.hstack([x_in, np.zeros_like(x_in)]),
+    ]
+    vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
+
+    # Interior sensors: fixed x stations, LHS times, exact-series readings.
+    for station in cfg.sensor_stations:
+        ts = T * lhs_interval(0, 1, cfg.n_sensors_per_station, rng)
+        xs = np.full_like(ts, station)
+        pts.append(np.hstack([xs, ts]))
+        vals.append(u_exact(xs, ts, eps_true, cfg.velocity, cfg.fourier_terms))
+    return np.concatenate(pts), np.concatenate(vals)
+
+
+def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem:
+    dtype = jnp.dtype(cfg.dtype)
+    rng = rng or np.random.default_rng(cfg.train.seed)
+    eps_true = cfg.gamma / np.pi
+    mesh = TensorMesh2D.uniform(
+        *cfg.domain_x, cfg.n_elements_x, 0.0, cfg.t_final, cfg.n_elements_t
+    )
+    xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
+
+    ntx = np.full(cfg.n_elements_x, cfg.n_test_x)
+    ntt = np.full(cfg.n_elements_t, cfg.n_test_t)
+    bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
+    bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, ntx, ntt, dtype)
+
+    Xb, ub = training_data(cfg, rng)
+    data = {
+        "elements": elems,
+        "basis_x": bx,
+        "basis_t": bt,
+        "xb": jnp.asarray(Xb, dtype=dtype),
+        "ub": jnp.asarray(ub, dtype=dtype),
+    }
+
+    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    var_form, wb, V = cfg.var_form, cfg.lossb_weight, cfg.velocity
+    inverse = cfg.inverse
+
+    def pde_init():
+        if inverse:
+            return {"epsilon": jnp.asarray(cfg.epsilon_init, dtype=dtype)}
+        return {}
+
+    def loss_fn(params, data, axis_name=None):
+        u_fn = lambda X: mlp_apply(spec, params["net"], X)
+        el = data["elements"]
+        eps = params["pde"]["epsilon"] if inverse else eps_true
+        res = advdiff_residual(u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps)
+        lossv = variational_loss(res, el.mask, el.n_test)
+        if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
+            lossv = jax.lax.psum(lossv, axis_name)
+        ub_pred = u_fn(data["xb"])
+        lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
+        loss = wb * lossb + lossv
+        aux = {"loss": loss, "lossb": lossb, "lossv": lossv}
+        if inverse:
+            aux["epsilon"] = eps
+        return loss, aux
+
+    # Dense space-time test grid: 256 x-points, time step 0.01 (AdvDiff.py:448-450).
+    xt = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 256)
+    tt = np.arange(0, cfg.t_final + 0.01, 0.01)
+    XT, TT = np.meshgrid(xt, tt)
+    test_points = np.stack([XT.reshape(-1), TT.reshape(-1)], axis=-1)
+    test_values = u_exact(
+        test_points[:, 0:1], test_points[:, 1:2], eps_true, cfg.velocity, cfg.fourier_terms
+    )
+
+    return Problem(
+        name="advdiff",
+        config=cfg,
+        spec=spec,
+        data=data,
+        loss_fn=loss_fn,
+        init_params=make_net_init(spec, pde_init=pde_init, dtype=dtype),
+        exact=lambda x, t: u_exact(x, t, eps_true, cfg.velocity, cfg.fourier_terms),
+        test_points=test_points,
+        test_values=test_values,
+        extras={"mesh": mesh, "eps_true": eps_true, "test_grid_shape": (len(tt), len(xt))},
+    )

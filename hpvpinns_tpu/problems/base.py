@@ -1,0 +1,55 @@
+"""Problem bundle: everything the generic trainer needs.
+
+The reference couples problem definition, graph construction, and training
+into one VPINN class per script (Poisson-1D.py:30-224 etc.).  Here a problem
+module's `build(config)` returns a `Problem`: static spec + device-ready data
+pytree + pure loss/apply functions.  The trainer (training/trainer.py) and the
+sharding layer (parallel/sharding.py) are generic over this interface.
+
+Parameter pytree convention:
+    params = {"net": [{W, b}, ...], "pde": {...}}
+`pde` holds trainable PDE coefficients (the inverse problem's epsilon,
+AdvDiff.py:63); it is empty for forward problems.  Both leaves train under the
+same optimizer, exactly as the reference's single Adam over all tf.Variables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from hpvpinns_tpu.models.mlp import MLP, init_mlp, mlp_apply
+
+
+@dataclass
+class Problem:
+    name: str
+    config: Any
+    spec: MLP
+    data: Any  # pytree passed to loss_fn; data["elements"] carries the
+    # element-sharded arrays (leading axis = element)
+    loss_fn: Callable  # (params, data) -> (loss, aux_dict)
+    init_params: Callable  # (jax.random.key) -> params
+    exact: Optional[Callable] = None  # vectorized exact solution
+    test_points: Optional[np.ndarray] = None  # dense eval grid [P, d]
+    test_values: Optional[np.ndarray] = None  # exact u at test_points [P, 1]
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    def apply(self, params, X):
+        """Network forward on points X: [P, d_in] -> [P, 1]."""
+        return mlp_apply(self.spec, params["net"], X)
+
+
+def make_net_init(spec: MLP, pde_init: Optional[Callable] = None, dtype=None):
+    """Standard init_params factory: Xavier net + optional PDE coefficients."""
+
+    def init(key):
+        params = {"net": init_mlp(spec, key, dtype=dtype), "pde": {}}
+        if pde_init is not None:
+            params["pde"] = pde_init()
+        return params
+
+    return init

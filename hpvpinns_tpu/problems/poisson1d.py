@@ -1,0 +1,98 @@
+"""1D Poisson benchmark: -u'' = f on [-1, 1], hp-VPINN.
+
+Problem of record (main/Poisson-1D/hp-VPINN-Poisson-1D.py):
+    u(x) = 0.1 sin(8 pi x) + tanh(80 x)              (:248-253)
+    f(x) = -u''(x)                                    (:255-257)
+    boundary data: u(+-1) only                        (:298-299)
+    loss = lossb_weight * mean((u_b - u_hat_b)^2) + sum_e mean_n Res^2
+                                                      (:98-100)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from hpvpinns_tpu.config import Poisson1DConfig
+from hpvpinns_tpu.geometry.mesh import Interval1D
+from hpvpinns_tpu.models.mlp import MLP, mlp_apply
+from hpvpinns_tpu.ops.assembly import poisson1d_residual, variational_loss
+from hpvpinns_tpu.problems.base import Problem, make_net_init
+from hpvpinns_tpu.problems.build import build_elements_1d, make_weighted_basis
+from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+
+OMEGA = 8 * np.pi
+AMP = 1.0
+R1 = 80.0
+
+
+def u_exact(x):
+    """Poisson-1D.py:251-253."""
+    return AMP * (0.1 * np.sin(OMEGA * x) + np.tanh(R1 * x))
+
+
+def f_rhs(x):
+    """f = -u'' (Poisson-1D.py:255-257)."""
+    g = -0.1 * OMEGA**2 * np.sin(OMEGA * x) - (2 * R1**2) * np.tanh(R1 * x) / np.cosh(R1 * x) ** 2
+    return -AMP * g
+
+
+def make_mesh(cfg: Poisson1DConfig) -> Interval1D:
+    if cfg.grid is not None:
+        return Interval1D(grid=np.asarray(cfg.grid, dtype=np.float64))
+    return Interval1D.uniform(cfg.domain[0], cfg.domain[1], cfg.n_elements)
+
+
+def build(cfg: Poisson1DConfig) -> Problem:
+    dtype = jnp.dtype(cfg.dtype)
+    mesh = make_mesh(cfg)
+    xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
+
+    n_per_elem = (
+        np.asarray(cfg.n_test_per_elem)
+        if cfg.n_test_per_elem is not None
+        else np.full(mesh.n_elem, cfg.n_test)
+    )
+    basis = make_weighted_basis(int(n_per_elem.max()), xq, wq, dtype)
+    elems = build_elements_1d(mesh, xq, wq, f_rhs, n_per_elem, dtype)
+
+    # Boundary training data: the domain endpoints (Poisson-1D.py:298-299).
+    xb = np.asarray(cfg.domain, dtype=np.float64)[:, None]
+    ub = u_exact(xb)
+
+    data = {
+        "elements": elems,
+        "basis": basis,
+        "xb": jnp.asarray(xb, dtype=dtype),
+        "ub": jnp.asarray(ub, dtype=dtype),
+    }
+
+    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    var_form = cfg.var_form
+    lossb_weight = cfg.lossb_weight
+
+    def loss_fn(params, data, axis_name=None):
+        u_fn = lambda X: mlp_apply(spec, params["net"], X)
+        res = poisson1d_residual(u_fn, data["elements"], data["basis"], var_form)
+        lossv = variational_loss(res, data["elements"].mask, data["elements"].n_test)
+        if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
+            lossv = jax.lax.psum(lossv, axis_name)
+        ub_pred = u_fn(data["xb"])
+        lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
+        loss = lossb_weight * lossb + lossv
+        return loss, {"loss": loss, "lossb": lossb, "lossv": lossv}
+
+    xt = np.arange(-1.0, 1.0 + 0.001, 0.001)[:, None]  # Poisson-1D.py:315-316
+    return Problem(
+        name="poisson1d",
+        config=cfg,
+        spec=spec,
+        data=data,
+        loss_fn=loss_fn,
+        init_params=make_net_init(spec, dtype=dtype),
+        exact=u_exact,
+        test_points=xt,
+        test_values=u_exact(xt),
+        extras={"mesh": mesh},
+    )

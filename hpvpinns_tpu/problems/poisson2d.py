@@ -1,0 +1,148 @@
+"""2D Poisson benchmark: Delta u = f on [-1, 1]^2, hp-VPINN / PINN.
+
+Problem of record (main/Poisson-2D/hp-VPINN-Poisson-2D.py):
+    u(x, y) = (0.1 sin(2 pi x) + tanh(10 x)) sin(2 pi y)   (:300-305)
+    f = Delta u                                            (:307-310)
+    boundary data: 80 LHS points per edge                  (:313-347)
+    VPINN loss = 10 lossb + lossv; PINN loss = 10 lossb + lossp  (:126-129)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from hpvpinns_tpu.config import Poisson2DConfig
+from hpvpinns_tpu.geometry.mesh import TensorMesh2D
+from hpvpinns_tpu.models.mlp import MLP, mlp_apply
+from hpvpinns_tpu.ops.assembly import poisson2d_residual, variational_loss
+from hpvpinns_tpu.ops.fields import scalar_fields_2d
+from hpvpinns_tpu.problems.base import Problem, make_net_init
+from hpvpinns_tpu.problems.build import build_elements_2d
+from hpvpinns_tpu.problems.build import make_weighted_basis
+from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+from hpvpinns_tpu.utils.sampling import lhs_box, lhs_interval
+
+OMEGA_X = 2 * np.pi
+OMEGA_Y = 2 * np.pi
+R1 = 10.0
+
+
+def u_exact(x, y):
+    """Poisson-2D.py:303-305."""
+    return (0.1 * np.sin(OMEGA_X * x) + np.tanh(R1 * x)) * np.sin(OMEGA_Y * y)
+
+
+def f_rhs(x, y):
+    """f = Delta u (Poisson-2D.py:307-310)."""
+    return (
+        -0.1 * OMEGA_X**2 * np.sin(OMEGA_X * x)
+        - (2 * R1**2) * np.tanh(R1 * x) / np.cosh(R1 * x) ** 2
+    ) * np.sin(OMEGA_Y * y) + (0.1 * np.sin(OMEGA_X * x) + np.tanh(R1 * x)) * (
+        -(OMEGA_Y**2) * np.sin(OMEGA_Y * y)
+    )
+
+
+def boundary_points(cfg: Poisson2DConfig, rng: np.random.Generator):
+    """80 LHS points per edge with exact data (Poisson-2D.py:313-347)."""
+    (xl, xr), (yl, yu) = cfg.domain_x, cfg.domain_y
+    n = cfg.n_bound
+    edges = []
+    for _ in range(2):  # up, lo: x varies
+        x = lhs_interval(xl, xr, n, rng)
+        edges.append(np.hstack([x, np.full_like(x, yu if _ == 0 else yl)]))
+    for _ in range(2):  # ri, le: y varies
+        y = lhs_interval(yl, yu, n, rng)
+        edges.append(np.hstack([np.full_like(y, xr if _ == 0 else xl), y]))
+    Xb = np.concatenate(edges)
+    ub = u_exact(Xb[:, 0:1], Xb[:, 1:2])
+    return Xb, ub
+
+
+def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Problem:
+    dtype = jnp.dtype(cfg.dtype)
+    rng = rng or np.random.default_rng(cfg.train.seed)
+    mesh = TensorMesh2D.uniform(
+        *cfg.domain_x, cfg.n_elements_x, *cfg.domain_y, cfg.n_elements_y
+    )
+    xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
+
+    ntx = (
+        np.asarray(cfg.n_test_x_per_elem)
+        if cfg.n_test_x_per_elem is not None
+        else np.full(cfg.n_elements_x, cfg.n_test_x)
+    )
+    nty = (
+        np.asarray(cfg.n_test_y_per_elem)
+        if cfg.n_test_y_per_elem is not None
+        else np.full(cfg.n_elements_y, cfg.n_test_y)
+    )
+    bx = make_weighted_basis(int(ntx.max()), xq, wq, dtype)
+    by = make_weighted_basis(int(nty.max()), xq, wq, dtype)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, f_rhs, ntx, nty, dtype)
+
+    Xb, ub = boundary_points(cfg, rng)
+
+    # PINN-mode residual collocation points (Poisson-2D.py:350-356).
+    Xf = lhs_box([cfg.domain_x, cfg.domain_y], cfg.n_residual, rng)
+    ff = f_rhs(Xf[:, 0:1], Xf[:, 1:2])
+
+    data = {
+        "elements": elems,
+        "basis_x": bx,
+        "basis_y": by,
+        "xb": jnp.asarray(Xb, dtype=dtype),
+        "ub": jnp.asarray(ub, dtype=dtype),
+        "xf": jnp.asarray(Xf, dtype=dtype),
+        "ff": jnp.asarray(ff, dtype=dtype),
+    }
+
+    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    var_form, scheme, wb = cfg.var_form, cfg.scheme, cfg.lossb_weight
+    if scheme not in ("VPINNs", "PINNs"):
+        raise ValueError(f"scheme must be 'VPINNs' or 'PINNs'; got {scheme!r}")
+
+    def loss_fn(params, data, axis_name=None):
+        u_fn = lambda X: mlp_apply(spec, params["net"], X)
+        el = data["elements"]
+        ub_pred = u_fn(data["xb"])
+        lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
+        aux = {"lossb": lossb}
+        if scheme == "VPINNs":
+            res = poisson2d_residual(u_fn, el, data["basis_x"], data["basis_y"], var_form)
+            lossv = variational_loss(res, el.mask, el.n_test)
+            if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
+                lossv = jax.lax.psum(lossv, axis_name)
+            loss = wb * lossb + lossv
+            aux["lossv"] = lossv
+        else:  # strong-form PINN comparison mode (Poisson-2D.py:124,128-129)
+            flds = scalar_fields_2d(
+                u_fn, data["xf"][:, 0:1], data["xf"][:, 1:2], second_y=True
+            )
+            f_pred = flds["uxx"] + flds["uyy"]
+            lossp = jnp.mean((f_pred - data["ff"]) ** 2)
+            loss = wb * lossb + lossp
+            aux["lossp"] = lossp
+        aux["loss"] = loss
+        return loss, aux
+
+    # Dense test grid, 201 x 201 at delta 0.01 (Poisson-2D.py:418-426).
+    xt = np.arange(cfg.domain_x[0], cfg.domain_x[1] + 0.01, 0.01)
+    yt = np.arange(cfg.domain_y[0], cfg.domain_y[1] + 0.01, 0.01)
+    XT, YT = np.meshgrid(xt, yt)
+    test_points = np.stack([XT.reshape(-1), YT.reshape(-1)], axis=-1)
+    test_values = u_exact(test_points[:, 0:1], test_points[:, 1:2])
+
+    return Problem(
+        name="poisson2d",
+        config=cfg,
+        spec=spec,
+        data=data,
+        loss_fn=loss_fn,
+        init_params=make_net_init(spec, dtype=dtype),
+        exact=u_exact,
+        test_points=test_points,
+        test_values=test_values,
+        extras={"mesh": mesh, "test_grid_shape": (len(yt), len(xt))},
+    )

@@ -1,0 +1,179 @@
+"""Generic jitted trainer.
+
+Reproduces the reference training behavior (Poisson-1D.py:201-224,
+Poisson-2D.py:233-253, AdvDiff.py:291-341): full-batch Adam (lr 1e-3, TF1
+defaults = optax defaults), loss polled every `check_every` iterations with
+threshold early stop, console logging every `log_every`, loss history
+recording, and the AdvDiff best-snapshot-over-final-10% behavior
+(AdvDiff.py:327-330) generalized to snapshotting the best *parameters*.
+
+TPU-first structure: instead of one session.run per iteration plus three extra
+graph executions for logging (Poisson-1D.py:207-213), the optimizer loop runs
+as `lax.scan` chunks of `check_every` steps inside a single jitted function —
+one host sync per chunk, zero recompilation, donated buffers.
+
+Optional `mesh` shards the element axis across devices via `shard_map` with a
+single `psum` (see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+import optax
+
+from hpvpinns_tpu.config import TrainConfig
+from hpvpinns_tpu.problems.base import Problem
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    history: Dict[str, np.ndarray]  # 'iteration', 'loss', 'lossb', 'lossv', ...
+    iterations_run: int
+    wall_time_s: float
+    steps_per_sec: float
+    stopped_early: bool
+    best_params: Optional[Any] = None
+    final_aux: Dict[str, float] = field(default_factory=dict)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with TF1 defaults (Poisson-1D.py:103: lr from config, beta/eps
+    defaults identical between tf.train.AdamOptimizer and optax.adam)."""
+    return optax.adam(cfg.learning_rate)
+
+
+def _build_chunk(loss_fn: Callable, opt: optax.GradientTransformation, n_steps: int):
+    """Jitted scan over n_steps optimizer updates; returns last step's aux."""
+
+    def chunk(params, opt_state, data):
+        def body(carry, _):
+            p, s = carry
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, data)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), None
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        # Metrics are evaluated at the *updated* parameters, exactly like the
+        # reference's post-step sess.run(loss) poll (Poisson-1D.py:208-213) —
+        # one extra loss eval per chunk, so the recorded loss corresponds to
+        # the returned params (and to any best-snapshot taken from them).
+        _, aux = loss_fn(params, data)
+        return params, opt_state, aux
+
+    return jax.jit(chunk, donate_argnums=(0, 1))
+
+
+def train(
+    problem: Problem,
+    cfg: Optional[TrainConfig] = None,
+    mesh=None,
+    params=None,
+    verbose: bool = True,
+) -> TrainResult:
+    cfg = cfg or problem.config.train
+    loss_fn = problem.loss_fn
+    data = problem.data
+
+    if mesh is not None:
+        # GSPMD path: element arrays split over the mesh, params/basis
+        # replicated; XLA partitions the contractions and inserts the
+        # loss/grad all-reduce over ICI automatically.
+        from hpvpinns_tpu.parallel.sharding import replicate, shard_problem
+
+        data = shard_problem(data, mesh)
+
+    if params is None:
+        params = problem.init_params(jax.random.key(cfg.seed))
+    if mesh is not None:
+        params = replicate(params, mesh)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+
+    check = max(1, cfg.check_every)
+    chunk_fn = _build_chunk(loss_fn, opt, check)
+
+    checkpointer = None
+    if cfg.checkpoint_dir is not None:
+        from hpvpinns_tpu.training.checkpoint import Checkpointer
+
+        checkpointer = Checkpointer(cfg.checkpoint_dir)
+
+    records: List[Dict[str, float]] = []
+    stopped = False
+    best_params = None
+    min_loss = np.inf
+    snap_after = (
+        cfg.best_snapshot_fraction * cfg.iterations
+        if cfg.best_snapshot_fraction is not None
+        else None
+    )
+
+    t0 = time.perf_counter()
+    t_log = t0
+    t_warm = None  # set after the first chunk (excludes jit compile time)
+    it_warm = 0
+    it = 0
+    aux_host: Dict[str, float] = {}
+    while it < cfg.iterations:
+        n = min(check, cfg.iterations - it)
+        if n != check:
+            chunk_fn = _build_chunk(loss_fn, opt, n)
+        params, opt_state, aux = chunk_fn(params, opt_state, data)
+        it += n
+
+        aux_host = {k: float(v) for k, v in aux.items()}  # device sync point
+        if t_warm is None:
+            t_warm, it_warm = time.perf_counter(), it
+        records.append({"iteration": it, **aux_host})
+        loss_value = aux_host["loss"]
+
+        if snap_after is not None and it > snap_after and loss_value < min_loss:
+            min_loss = loss_value
+            best_params = jax.tree.map(lambda a: np.asarray(a), params)
+        if checkpointer is not None and cfg.checkpoint_every and it % cfg.checkpoint_every < check:
+            checkpointer.save(it, params, opt_state)
+
+        if cfg.threshold is not None and loss_value < cfg.threshold:
+            if verbose:
+                print(f"It: {it}, Loss: {loss_value:.3e} (threshold reached)")
+            stopped = True
+            break
+        if verbose and it % cfg.log_every < check:
+            now = time.perf_counter()
+            parts = ", ".join(f"{k}: {v:.3e}" for k, v in aux_host.items() if k != "loss")
+            print(f"It: {it}, Loss: {loss_value:.3e}, {parts}, Time: {now - t_log:.2f}")
+            t_log = now
+
+    jax.block_until_ready(params)
+    t_end = time.perf_counter()
+    wall = t_end - t0
+    # Throughput from post-compile chunks when available (the first chunk
+    # carries the one-time jit compile).
+    if t_warm is not None and it > it_warm and t_end > t_warm:
+        sps = (it - it_warm) / (t_end - t_warm)
+    else:
+        sps = it / wall if wall > 0 else float("nan")
+
+    keys = sorted({k for r in records for k in r})
+    history = {k: np.asarray([r.get(k, np.nan) for r in records]) for k in keys}
+    if checkpointer is not None:
+        checkpointer.save(it, params, opt_state)
+    return TrainResult(
+        params=params,
+        history=history,
+        iterations_run=it,
+        wall_time_s=wall,
+        steps_per_sec=sps,
+        stopped_early=stopped,
+        best_params=best_params,
+        final_aux=aux_host,
+    )

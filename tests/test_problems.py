@@ -1,0 +1,133 @@
+"""End-to-end problem behavior: construction, training dynamics, convergence
+against analytic solutions (the reference's de-facto validation, SURVEY.md §4).
+
+Budgets are kept CPU-small; thresholds are calibrated loose (these are smoke
+convergence tests — the full configs-of-record run in the benchmark harness).
+"""
+
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.evaluate import per_element_rel_l2
+from hpvpinns_tpu.problems import advdiff, poisson1d, poisson2d
+
+
+def test_poisson1d_f_consistency():
+    """f = -u'' by finite differences."""
+    x = np.linspace(-0.9, 0.9, 101)[:, None]
+    e = 1e-5
+    u = poisson1d.u_exact
+    upp = (u(x + e) - 2 * u(x) + u(x - e)) / e**2
+    np.testing.assert_allclose(poisson1d.f_rhs(x), -upp, rtol=1e-3, atol=1e-3)
+
+
+def test_poisson2d_f_consistency():
+    """f = Delta u by finite differences (reference convention)."""
+    x = np.linspace(-0.9, 0.9, 21)[:, None]
+    y = np.linspace(-0.9, 0.9, 21)[None, :]
+    x, y = np.broadcast_arrays(x, y)
+    e = 1e-5
+    u = poisson2d.u_exact
+    lap = (
+        u(x + e, y) + u(x - e, y) + u(x, y + e) + u(x, y - e) - 4 * u(x, y)
+    ) / e**2
+    np.testing.assert_allclose(poisson2d.f_rhs(x, y), lap, rtol=1e-3, atol=1e-3)
+
+
+def test_advdiff_exact_satisfies_pde_and_conditions():
+    """The Fourier series satisfies the PDE (finite differences), the initial
+    condition, and the boundary conditions (AdvDiff.py:351-353,416-445)."""
+    eps, V = 0.1 / np.pi, 1.0
+    u = lambda x, t: advdiff.u_exact(x, t, eps, V, trunc=800)
+    # x capped at 0.35: the series' exp(V x / 2 eps) prefactor (~e^{15.7 x})
+    # amplifies float64 cancellation in the finite-difference u_xx beyond that.
+    x = np.linspace(-0.7, 0.35, 9)[:, None]
+    t = np.full_like(x, 0.43)
+    e = 1e-4
+    ut = (u(x, t + e) - u(x, t - e)) / (2 * e)
+    ux = (u(x + e, t) - u(x - e, t)) / (2 * e)
+    uxx = (u(x + e, t) - 2 * u(x, t) + u(x - e, t)) / e**2
+    np.testing.assert_allclose(ut + V * ux - eps * uxx, 0.0, atol=1e-3)
+    xs = np.linspace(-1, 1, 33)[:, None]
+    np.testing.assert_allclose(u(xs, np.zeros_like(xs)), -np.sin(np.pi * xs), atol=1e-12)
+    ts = np.linspace(0.05, 1.0, 7)[:, None]  # series truncation ~1e-4 at small t
+    np.testing.assert_allclose(u(np.ones_like(ts), ts), 0.0, atol=1e-3)
+    np.testing.assert_allclose(u(-np.ones_like(ts), ts), 0.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_poisson1d_hp_convergence():
+    """3-element hp grid (the reference's N_Element==3 special case,
+    Poisson-1D.py:270-273) resolves the steep solution."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float64",
+        grid=(-1.0, -0.1, 0.1, 1.0),
+        n_quad=60,
+        n_test=40,
+        train=hv.TrainConfig(iterations=6001, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    metrics = hv.evaluate_problem(prob, res.params)
+    assert metrics["rel_l2"] < 0.05, metrics
+    errs = per_element_rel_l2(prob, res.params)
+    assert errs.shape == (3,)
+    assert np.all(errs < 0.1)
+
+
+@pytest.mark.slow
+def test_poisson2d_vpinn_trains():
+    cfg = hv.Poisson2DConfig(
+        dtype="float64",
+        n_quad=8,
+        train=hv.TrainConfig(iterations=2001, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    first, last = res.history["loss"][0], res.history["loss"][-1]
+    assert last < 0.5 * first, (first, last)
+
+
+def test_poisson2d_pinn_mode():
+    cfg = hv.Poisson2DConfig(
+        scheme="PINNs",
+        dtype="float64",
+        n_quad=5,
+        train=hv.TrainConfig(iterations=201, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert "lossp" in res.final_aux and "lossv" not in res.final_aux
+    assert res.history["loss"][-1] < res.history["loss"][0]
+
+
+@pytest.mark.slow
+def test_advdiff_inverse_epsilon_moves_toward_truth():
+    cfg = hv.AdvDiffConfig(
+        dtype="float64",
+        train=hv.TrainConfig(iterations=3001, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    eps_true = prob.extras["eps_true"]
+    eps_hist = res.history["epsilon"]
+    assert abs(eps_hist[-1] - eps_true) < abs(eps_hist[0] - eps_true) * 0.25
+    assert res.final_aux["epsilon"] < 0.15  # well on the way from 1.0 to 0.0318
+
+
+def test_advdiff_forward_mode_has_no_pde_params():
+    cfg = hv.AdvDiffConfig(inverse=False, train=hv.TrainConfig(iterations=1))
+    prob = hv.build(cfg)
+    import jax
+
+    params = prob.init_params(jax.random.key(0))
+    assert params["pde"] == {}
+
+
+def test_build_dispatch():
+    assert hv.build(hv.Poisson1DConfig(n_quad=5, n_test=3)).name == "poisson1d"
+    assert hv.build(hv.Poisson2DConfig(n_quad=4)).name == "poisson2d"
+    assert hv.build(hv.AdvDiffConfig()).name == "advdiff"
+    with pytest.raises(TypeError):
+        hv.build(object())

@@ -1,0 +1,98 @@
+"""Multi-device sharding equivalence on the 8-device virtual CPU mesh.
+
+Both parallel paths must reproduce single-device semantics exactly:
+  * GSPMD: jit over element-sharded data (XLA inserts the all-reduce);
+  * shard_map: explicit per-shard loss with psum over the element axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.parallel.sharding import (
+    element_mesh,
+    pad_elements,
+    replicate,
+    shard_map_loss,
+    shard_problem,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", n_elements_x=4, n_elements_y=3, n_quad=6, n_test_x=4, n_test_y=4
+    )
+    return hv.build(cfg)  # E = 12, not divisible by 8 -> exercises padding
+
+
+@pytest.fixture(scope="module")
+def params(problem):
+    return problem.init_params(jax.random.key(0))
+
+
+def test_mesh_has_8_devices():
+    assert element_mesh().size == 8
+
+
+def test_pad_elements_preserves_loss(problem, params):
+    loss0, _ = problem.loss_fn(params, problem.data)
+    padded = dict(problem.data)
+    padded["elements"] = pad_elements(problem.data["elements"], 8)
+    assert padded["elements"].mask.shape[0] == 16
+    loss1, _ = problem.loss_fn(params, padded)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-12)
+
+
+def test_gspmd_loss_matches_single_device(problem, params):
+    mesh = element_mesh()
+    data = shard_problem(problem.data, mesh)
+    p = replicate(params, mesh)
+    loss0, aux0 = problem.loss_fn(params, problem.data)
+    loss1, aux1 = jax.jit(problem.loss_fn)(p, data)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-10)
+    np.testing.assert_allclose(float(aux0["lossv"]), float(aux1["lossv"]), rtol=1e-10)
+
+
+def test_gspmd_grads_match_single_device(problem, params):
+    mesh = element_mesh()
+    data = shard_problem(problem.data, mesh)
+    p = replicate(params, mesh)
+    gfun = jax.grad(lambda pp, dd: problem.loss_fn(pp, dd)[0])
+    g0 = gfun(params, problem.data)
+    g1 = jax.jit(gfun)(p, data)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12),
+        g0,
+        g1,
+    )
+
+
+def test_shard_map_loss_matches_single_device(problem, params):
+    mesh = element_mesh()
+    data = shard_problem(problem.data, mesh)
+    p = replicate(params, mesh)
+    wrapped = shard_map_loss(problem.loss_fn, data, mesh)
+    loss0, _ = problem.loss_fn(params, problem.data)
+    loss1, aux1 = jax.jit(wrapped)(p, data)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-10)
+
+    g0 = jax.grad(lambda pp: problem.loss_fn(pp, problem.data)[0])(params)
+    g1 = jax.jit(jax.grad(lambda pp: wrapped(pp, data)[0]))(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12),
+        g0,
+        g1,
+    )
+
+
+def test_train_on_mesh(problem):
+    mesh = element_mesh()
+    cfg = hv.TrainConfig(iterations=40, check_every=20)
+    res_mesh = hv.train(problem, cfg, mesh=mesh, verbose=False)
+    res_single = hv.train(problem, cfg, verbose=False)
+    np.testing.assert_allclose(
+        res_mesh.history["loss"], res_single.history["loss"], rtol=1e-8
+    )

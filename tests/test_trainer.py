@@ -1,0 +1,84 @@
+"""Trainer behavior: history cadence, early stop, best-snapshot, checkpointing
+(reference behaviors at Poisson-1D.py:201-224, AdvDiff.py:291-341)."""
+
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+
+
+def _tiny_problem():
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_test=5, n_quad=10, layers=(1, 8, 8, 1),
+        train=hv.TrainConfig(iterations=60, check_every=10),
+    )
+    return hv.build(cfg)
+
+
+def test_history_cadence_and_keys():
+    prob = _tiny_problem()
+    res = hv.train(prob, verbose=False)
+    assert res.iterations_run == 60
+    np.testing.assert_array_equal(res.history["iteration"], [10, 20, 30, 40, 50, 60])
+    for key in ("loss", "lossb", "lossv"):
+        assert key in res.history and len(res.history[key]) == 6
+    assert res.steps_per_sec > 0
+
+
+def test_early_stop_on_threshold():
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(iterations=1000, check_every=10, threshold=1e30)
+    res = hv.train(prob, cfg, verbose=False)
+    assert res.stopped_early and res.iterations_run == 10
+
+
+def test_partial_final_chunk():
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(iterations=25, check_every=10)
+    res = hv.train(prob, cfg, verbose=False)
+    assert res.iterations_run == 25
+    np.testing.assert_array_equal(res.history["iteration"], [10, 20, 25])
+
+
+def test_best_snapshot():
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(iterations=60, check_every=10, best_snapshot_fraction=0.5)
+    res = hv.train(prob, cfg, verbose=False)
+    assert res.best_params is not None
+    # best loss among records after the snapshot window opened
+    snap_losses = [l for it, l in zip(res.history["iteration"], res.history["loss"]) if it > 30]
+    best_loss, _ = prob.loss_fn(res.best_params, prob.data)
+    np.testing.assert_allclose(float(best_loss), min(snap_losses), rtol=1e-9)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(
+        iterations=30, check_every=10, checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=20
+    )
+    res = hv.train(prob, cfg, verbose=False)
+
+    from hpvpinns_tpu.training.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    step, restored = ck.restore()
+    assert step == 30
+    jax_trees_equal = lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=0
+    )
+    import jax
+
+    jax.tree.map(jax_trees_equal, restored["params"], res.params)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(iterations=30, check_every=10, checkpoint_dir=str(tmp_path / "c"))
+    res = hv.train(prob, cfg, verbose=False)
+
+    from hpvpinns_tpu.training.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "c"))
+    _, restored = ck.restore()
+    res2 = hv.train(prob, hv.TrainConfig(iterations=10, check_every=10), params=restored["params"], verbose=False)
+    assert res2.history["loss"][-1] <= res.history["loss"][-1] * 1.5  # keeps improving-ish
