@@ -24,6 +24,9 @@ import time
 
 
 def build_bench_problem():
+    from hpvpinns_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     import hpvpinns_tpu as hv
 
     # 64-element, 16x16-point quadrature, 10x10 test functions per element.

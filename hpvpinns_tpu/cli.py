@@ -1,0 +1,200 @@
+"""Command-line interface.
+
+The reference has no CLI — hyperparameters are module constants edited in
+place (Poisson-1D.py:231-240 etc.).  Here the three configurations of record
+are shipped presets, overridable per flag:
+
+    python -m hpvpinns_tpu run poisson1d --plots --outdir results/p1d
+    python -m hpvpinns_tpu run poisson1d --grid -1,-0.1,0.1,1 --iterations 5000
+    python -m hpvpinns_tpu run poisson2d --scheme PINNs
+    python -m hpvpinns_tpu run advdiff --iterations 3000 --record out/adv
+    python -m hpvpinns_tpu run poisson2d --mesh  # shard elements over devices
+    python -m hpvpinns_tpu presets
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+from hpvpinns_tpu import config as cfgmod
+
+
+def _add_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("--iterations", type=int, help="Adam iterations")
+    p.add_argument("--lbfgs-iterations", type=int, help="L-BFGS phase iterations")
+    p.add_argument("--learning-rate", type=float)
+    p.add_argument("--threshold", type=float, help="early-stop loss threshold")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--checkpoint-every", type=int)
+
+
+def _add_common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--var-form", type=int, dest="var_form")
+    p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--layers", type=str, help="comma-separated widths, e.g. 1,20,20,1")
+    p.add_argument("--n-quad", type=int, dest="n_quad")
+    p.add_argument("--outdir", default=None, help="artifact directory")
+    p.add_argument("--plots", action="store_true", help="write the reference plot set")
+    p.add_argument("--record", metavar="PATH", help="write a results record (.npz/.mat)")
+    p.add_argument("--mesh", action="store_true", help="shard elements over all devices")
+    p.add_argument("--quiet", action="store_true")
+    _add_train_flags(p)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="hpvpinns_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="train a problem preset")
+    runsub = run.add_subparsers(dest="problem", required=True)
+
+    p1 = runsub.add_parser("poisson1d", help="1D Poisson hp-VPINN (main/Poisson-1D)")
+    p1.add_argument("--n-elements", type=int, dest="n_elements")
+    p1.add_argument("--grid", type=str, help="comma-separated element boundaries")
+    p1.add_argument("--n-test", type=int, dest="n_test")
+    p1.add_argument("--lossb-weight", type=float, dest="lossb_weight")
+    p1.add_argument("--activation")
+    _add_common_flags(p1)
+
+    p2 = runsub.add_parser("poisson2d", help="2D Poisson hp-VPINN / PINN (main/Poisson-2D)")
+    p2.add_argument("--scheme", choices=["VPINNs", "PINNs"])
+    p2.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    p2.add_argument("--n-elements-y", type=int, dest="n_elements_y")
+    p2.add_argument("--n-test-x", type=int, dest="n_test_x")
+    p2.add_argument("--n-test-y", type=int, dest="n_test_y")
+    p2.add_argument("--n-bound", type=int, dest="n_bound")
+    p2.add_argument("--n-residual", type=int, dest="n_residual")
+    _add_common_flags(p2)
+
+    p3 = runsub.add_parser("advdiff", help="inverse advection-diffusion (main/AdvDiff-Identification)")
+    p3.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    p3.add_argument("--n-elements-t", type=int, dest="n_elements_t")
+    p3.add_argument("--n-test-x", type=int, dest="n_test_x")
+    p3.add_argument("--n-test-t", type=int, dest="n_test_t")
+    p3.add_argument("--velocity", type=float)
+    p3.add_argument("--gamma", type=float)
+    p3.add_argument("--epsilon-init", type=float, dest="epsilon_init")
+    p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
+    _add_common_flags(p3)
+
+    sub.add_parser("presets", help="print the shipped configurations of record")
+    return ap
+
+
+_PRESETS = {
+    "poisson1d": cfgmod.poisson1d_of_record,
+    "poisson2d": cfgmod.poisson2d_of_record,
+    "advdiff": cfgmod.advdiff_of_record,
+}
+
+_TRAIN_KEYS = (
+    "iterations", "lbfgs_iterations", "learning_rate", "threshold", "seed",
+    "checkpoint_dir", "checkpoint_every",
+)
+
+
+def _config_from_args(args) -> object:
+    cfg = _PRESETS[args.problem]()
+    cfg_overrides = {}
+    names = {f.name for f in dataclasses.fields(cfg)}
+    for key, val in vars(args).items():
+        if val is None or key in ("command", "problem"):
+            continue
+        if key == "layers":
+            cfg_overrides["layers"] = tuple(int(w) for w in val.split(","))
+        elif key == "grid":
+            cfg_overrides["grid"] = tuple(float(g) for g in val.split(","))
+            cfg_overrides.setdefault("n_elements", len(cfg_overrides["grid"]) - 1)
+        elif key == "forward" and val:
+            cfg_overrides["inverse"] = False
+        elif key in names and key not in _TRAIN_KEYS:
+            cfg_overrides[key] = val
+    train_overrides = {k: v for k, v in vars(args).items() if k in _TRAIN_KEYS and v is not None}
+    train = dataclasses.replace(cfg.train, **train_overrides)
+    return dataclasses.replace(cfg, train=train, **cfg_overrides)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first compile of a train-step chunk
+    through the remote-compile tunnel can take minutes; repeat runs hit the
+    cache and start in seconds."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "HPVPINNS_COMPILE_CACHE", os.path.expanduser("~/.cache/hpvpinns_tpu_xla")
+    )
+    if cache and cache != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
+def cmd_run(args) -> int:
+    import jax
+
+    import hpvpinns_tpu as hv
+
+    _enable_compile_cache()
+
+    cfg = _config_from_args(args)
+    prob = hv.build(cfg)
+    mesh = None
+    if args.mesh:
+        from hpvpinns_tpu.parallel.sharding import element_mesh
+
+        mesh = element_mesh()
+    res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
+    metrics = hv.evaluate_problem(prob, res.params)
+    summary = {
+        "problem": prob.name,
+        "iterations": res.iterations_run,
+        "wall_time_s": round(res.wall_time_s, 3),
+        "steps_per_sec": round(res.steps_per_sec, 1),
+        "final_loss": res.final_aux.get("loss"),
+        **metrics,
+    }
+    if "epsilon" in res.final_aux:
+        summary["epsilon"] = res.final_aux["epsilon"]
+        summary["epsilon_true"] = prob.extras["eps_true"]
+    print(json.dumps(summary))
+
+    outdir = args.outdir or f"results/{prob.name}"
+    if args.plots:
+        from hpvpinns_tpu import viz
+
+        paths = viz.standard_report(prob, res, outdir)
+        print(json.dumps({"plots": paths}))
+    if args.record:
+        from hpvpinns_tpu.utils.records import save_record
+
+        written = save_record(prob, res, args.record)
+        print(json.dumps({"record": written}))
+    return 0
+
+
+def cmd_presets() -> int:
+    for name, factory in _PRESETS.items():
+        print(f"== {name} ==")
+        print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "presets":
+        return cmd_presets()
+    return cmd_run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,6 +21,9 @@ class TrainConfig:
 
     learning_rate: float = 1e-3
     iterations: int = 1001
+    lbfgs_iterations: int = 0  # optional second-phase L-BFGS (full batch);
+    # 0 disables.  The reference is Adam-only; L-BFGS is the standard
+    # full-batch accelerator for variational/PINN losses (BASELINE.json).
     threshold: Optional[float] = None  # early stop when loss < threshold
     check_every: int = 10  # host-side loss poll cadence (reference: 10)
     log_every: int = 100  # console print cadence (reference: 100)

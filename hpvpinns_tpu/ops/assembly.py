@@ -112,7 +112,8 @@ def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int):
     var_form 3:  U = -(1/jac) sum_q w u phi''_n
                      + (1/jac) [u(x_r) phi'_n(+1) - u(x_l) phi'_n(-1)]  (:88-91)
     """
-    u, ux, uxx = scalar_fields_1d(u_fn, elems.x)
+    with jax.named_scope("vpinn_fields_1d"):
+        u, ux, uxx = scalar_fields_1d(u_fn, elems.x)
     if var_form == 1:
         U = -elems.jac[:, None] * contract_1d(basis.wphi, uxx)
     elif var_form == 2:
@@ -145,7 +146,8 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
 
     C(a, b, g) = sum_{qy,qx} w_x a(xi_qx) w_y b(eta_qy) g[qy, qx].
     """
-    flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=(var_form == 1))
+    with jax.named_scope("vpinn_fields_2d"):
+        flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=(var_form == 1))
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     if var_form == 0:
         U = jac * contract_2d(bx.wphi, by.wphi, flds["uxx"] + flds["uyy"])
@@ -177,7 +179,8 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
                      + eps * jac_t * C(phi'_r, phi_k, u_x)           (:169-174;
                  jac/jac_x = jac_t)
     """
-    flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=True)
+    with jax.named_scope("vpinn_fields_2d"):
+        flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=True)
     ut, ux = flds["uy"], flds["ux"]
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     if var_form == 0:

@@ -48,6 +48,33 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(cfg.learning_rate)
 
 
+def _build_lbfgs_chunk(loss_fn: Callable, opt, n_steps: int):
+    """Jitted scan of n_steps L-BFGS updates (zoom linesearch inside jit)."""
+
+    def loss_only(params, data):
+        return loss_fn(params, data)[0]
+
+    def chunk(params, opt_state, data):
+        value_and_grad = optax.value_and_grad_from_state(lambda p: loss_only(p, data))
+
+        def body(carry, _):
+            p, s = carry
+            value, grad = value_and_grad(p, state=s)
+            updates, s = opt.update(
+                grad, s, p, value=value, grad=grad, value_fn=lambda q: loss_only(q, data)
+            )
+            p = optax.apply_updates(p, updates)
+            return (p, s), None
+
+        (params, opt_state), _ = jax.lax.scan(body, (params, opt_state), None, length=n_steps)
+        _, aux = loss_fn(params, data)
+        return params, opt_state, aux
+
+    # No donation: optax.lbfgs state aliases the params buffers at init, and
+    # donating the same buffer via both arguments is an XLA error.
+    return jax.jit(chunk)
+
+
 def _build_chunk(loss_fn: Callable, opt: optax.GradientTransformation, n_steps: int):
     """Jitted scan over n_steps optimizer updates; returns last step's aux."""
 
@@ -99,7 +126,6 @@ def train(
     opt_state = opt.init(params)
 
     check = max(1, cfg.check_every)
-    chunk_fn = _build_chunk(loss_fn, opt, check)
 
     checkpointer = None
     if cfg.checkpoint_dir is not None:
@@ -111,47 +137,64 @@ def train(
     stopped = False
     best_params = None
     min_loss = np.inf
+    total_iters = cfg.iterations + cfg.lbfgs_iterations
     snap_after = (
-        cfg.best_snapshot_fraction * cfg.iterations
+        cfg.best_snapshot_fraction * total_iters
         if cfg.best_snapshot_fraction is not None
         else None
     )
 
     t0 = time.perf_counter()
-    t_log = t0
-    t_warm = None  # set after the first chunk (excludes jit compile time)
-    it_warm = 0
-    it = 0
-    aux_host: Dict[str, float] = {}
-    while it < cfg.iterations:
-        n = min(check, cfg.iterations - it)
-        if n != check:
-            chunk_fn = _build_chunk(loss_fn, opt, n)
-        params, opt_state, aux = chunk_fn(params, opt_state, data)
-        it += n
+    state = {"t_log": t0, "t_warm": None, "it_warm": 0, "it": 0, "aux": {}}
 
-        aux_host = {k: float(v) for k, v in aux.items()}  # device sync point
-        if t_warm is None:
-            t_warm, it_warm = time.perf_counter(), it
-        records.append({"iteration": it, **aux_host})
-        loss_value = aux_host["loss"]
+    def run_phase(build_chunk, opt, params, opt_state, n_iters):
+        nonlocal stopped, best_params, min_loss
+        chunk_fn = build_chunk(loss_fn, opt, check)
+        end = state["it"] + n_iters
+        while state["it"] < end:
+            n = min(check, end - state["it"])
+            if n != check:
+                chunk_fn = build_chunk(loss_fn, opt, n)
+            params, opt_state, aux = chunk_fn(params, opt_state, data)
+            it = state["it"] = state["it"] + n
 
-        if snap_after is not None and it > snap_after and loss_value < min_loss:
-            min_loss = loss_value
-            best_params = jax.tree.map(lambda a: np.asarray(a), params)
-        if checkpointer is not None and cfg.checkpoint_every and it % cfg.checkpoint_every < check:
-            checkpointer.save(it, params, opt_state)
+            aux_host = {k: float(v) for k, v in aux.items()}  # device sync
+            state["aux"] = aux_host
+            if state["t_warm"] is None:
+                state["t_warm"], state["it_warm"] = time.perf_counter(), it
+            records.append({"iteration": it, **aux_host})
+            loss_value = aux_host["loss"]
 
-        if cfg.threshold is not None and loss_value < cfg.threshold:
-            if verbose:
-                print(f"It: {it}, Loss: {loss_value:.3e} (threshold reached)")
-            stopped = True
-            break
-        if verbose and it % cfg.log_every < check:
-            now = time.perf_counter()
-            parts = ", ".join(f"{k}: {v:.3e}" for k, v in aux_host.items() if k != "loss")
-            print(f"It: {it}, Loss: {loss_value:.3e}, {parts}, Time: {now - t_log:.2f}")
-            t_log = now
+            if snap_after is not None and it > snap_after and loss_value < min_loss:
+                min_loss = loss_value
+                best_params = jax.tree.map(lambda a: np.asarray(a), params)
+            if checkpointer is not None and cfg.checkpoint_every and it % cfg.checkpoint_every < check:
+                checkpointer.save(it, params, opt_state)
+
+            if cfg.threshold is not None and loss_value < cfg.threshold:
+                if verbose:
+                    print(f"It: {it}, Loss: {loss_value:.3e} (threshold reached)")
+                stopped = True
+                break
+            if verbose and it % cfg.log_every < check:
+                now = time.perf_counter()
+                parts = ", ".join(f"{k}: {v:.3e}" for k, v in aux_host.items() if k != "loss")
+                print(f"It: {it}, Loss: {loss_value:.3e}, {parts}, Time: {now - state['t_log']:.2f}")
+                state["t_log"] = now
+        return params, opt_state
+
+    params, opt_state = run_phase(_build_chunk, opt, params, opt_state, cfg.iterations)
+
+    if cfg.lbfgs_iterations > 0 and not stopped:
+        # Second-phase full-batch L-BFGS with zoom linesearch: the standard
+        # accelerator once Adam has found the basin.
+        lbfgs = optax.lbfgs()
+        lbfgs_state = lbfgs.init(params)
+        params, _ = run_phase(_build_lbfgs_chunk, lbfgs, params, lbfgs_state, cfg.lbfgs_iterations)
+
+    it = state["it"]
+    aux_host = state["aux"]
+    t_warm, it_warm = state["t_warm"], state["it_warm"]
 
     jax.block_until_ready(params)
     t_end = time.perf_counter()

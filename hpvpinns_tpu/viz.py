@@ -1,0 +1,202 @@
+"""Visualization — the reference's plot set (C16), reproduced per problem.
+
+Covers: quadrature/training-point maps and prediction/error plots for 1D
+(Poisson-1D.py:339-429), loss history on log scale (:386-397), 2D contour
+prediction/error (Poisson-2D.py:437-534), AdvDiff per-time slices with L-inf
+annotation (AdvDiff.py:660-696) and the epsilon-convergence trajectory
+(AdvDiff.py:539-551).  All figures are written to an output directory as PDF
+or PNG, mirroring the reference's Results/ artifacts.
+
+matplotlib is an optional dependency; import errors surface only when a plot
+function is called.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from hpvpinns_tpu.evaluate import predict
+from hpvpinns_tpu.problems.base import Problem
+from hpvpinns_tpu.training.trainer import TrainResult
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _save(fig, outdir: str, name: str, fmt: str):
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"{name}.{fmt}")
+    fig.savefig(path, bbox_inches="tight")
+    return path
+
+
+def plot_loss_history(result: TrainResult, outdir: str, fmt: str = "pdf"):
+    """Log-scale loss history (Poisson-1D.py:386-397)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(11, 5.5))
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("loss values")
+    ax.set_yscale("log")
+    ax.grid(True)
+    for key in ("loss", "lossb", "lossv", "lossp"):
+        if key in result.history:
+            ax.plot(result.history["iteration"], result.history[key], label=key)
+    ax.legend()
+    path = _save(fig, outdir, "loss", fmt)
+    plt.close(fig)
+    return path
+
+
+def plot_1d_solution(problem: Problem, params, outdir: str, fmt: str = "pdf", pnt_skip: int = 25):
+    """Prediction vs exact + log pointwise error with element boundaries
+    (Poisson-1D.py:400-429)."""
+    plt = _plt()
+    x = problem.test_points.reshape(-1)
+    u_true = problem.test_values.reshape(-1)
+    u_pred = predict(problem, params).reshape(-1)
+    grid = problem.extras["mesh"].grid
+
+    fig, ax = plt.subplots(figsize=(11, 5.5))
+    ax.axhline(0, linewidth=0.8, color="gray")
+    for xc in grid:
+        ax.axvline(x=xc, linewidth=2, ls="--")
+    ax.plot(x, u_true, linewidth=1, color="r", label="exact")
+    ax.plot(x[::pnt_skip], u_pred[::pnt_skip], "k*", label="VPINN")
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$u$")
+    ax.legend(loc="upper left")
+    p1 = _save(fig, outdir, "prediction", fmt)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(11, 5.5))
+    ax.set_yscale("log")
+    for xc in grid:
+        ax.axvline(x=xc, linewidth=2, ls="--")
+    ax.plot(x, np.abs(u_true - u_pred), "k")
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("point-wise error")
+    p2 = _save(fig, outdir, "error", fmt)
+    plt.close(fig)
+    return [p1, p2]
+
+
+def plot_2d_solution(problem: Problem, params, outdir: str, fmt: str = "png"):
+    """Contour plots of prediction, exact, and pointwise error over the dense
+    test grid, with element grid lines (Poisson-2D.py:437-534)."""
+    plt = _plt()
+    ny, nx = problem.extras["test_grid_shape"]
+    X = problem.test_points[:, 0].reshape(ny, nx)
+    Y = problem.test_points[:, 1].reshape(ny, nx)
+    u_true = problem.test_values.reshape(ny, nx)
+    u_pred = predict(problem, params).reshape(ny, nx)
+    mesh = problem.extras["mesh"]
+
+    paths = []
+    for name, Z in (
+        ("prediction", u_pred),
+        ("exact", u_true),
+        ("pointwise_error", np.abs(u_true - u_pred)),
+    ):
+        fig, ax = plt.subplots(figsize=(8, 6.5))
+        cs = ax.contourf(X, Y, Z, levels=100, cmap="jet")
+        fig.colorbar(cs)
+        for xc in mesh.axis_x.grid:
+            ax.axvline(x=xc, linewidth=1, ls="--", color="w")
+        for yc in mesh.axis_y.grid:
+            ax.axhline(y=yc, linewidth=1, ls="--", color="w")
+        ax.set_xlabel("$x$")
+        ax.set_ylabel("$y$")
+        ax.set_title(name.replace("_", " "))
+        paths.append(_save(fig, outdir, name, fmt))
+        plt.close(fig)
+    return paths
+
+
+def plot_advdiff_slices(problem: Problem, params, outdir: str, times=(0.25, 0.5, 0.75, 1.0), fmt: str = "pdf"):
+    """Per-time solution slices with L-inf error annotation
+    (AdvDiff.py:660-696)."""
+    plt = _plt()
+    ny, nx = problem.extras["test_grid_shape"]
+    X = problem.test_points[:, 0].reshape(ny, nx)
+    T = problem.test_points[:, 1].reshape(ny, nx)
+    u_true = problem.test_values.reshape(ny, nx)
+    u_pred = predict(problem, params).reshape(ny, nx)
+    tvals = T[:, 0]
+
+    fig, axes = plt.subplots(1, len(times), figsize=(4.5 * len(times), 4), sharey=True)
+    for ax, t in zip(np.atleast_1d(axes), times):
+        j = int(np.argmin(np.abs(tvals - t)))
+        linf = np.max(np.abs(u_true[j] - u_pred[j]))
+        ax.plot(X[j], u_true[j], "r-", label="exact")
+        ax.plot(X[j][::8], u_pred[j][::8], "k*", label="VPINN")
+        ax.set_title(f"t = {tvals[j]:.2f},  $L_\\infty$ = {linf:.2e}")
+        ax.set_xlabel("$x$")
+    np.atleast_1d(axes)[0].set_ylabel("$u$")
+    np.atleast_1d(axes)[0].legend()
+    path = _save(fig, outdir, "time_slices", fmt)
+    plt.close(fig)
+    return path
+
+
+def plot_epsilon_history(result: TrainResult, eps_true: float, outdir: str, fmt: str = "pdf"):
+    """Recovered-coefficient trajectory vs truth (AdvDiff.py:539-551)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(11, 5.5))
+    ax.plot(result.history["iteration"], result.history["epsilon"], "b", label="estimated $\\epsilon$")
+    ax.axhline(eps_true, color="r", ls="--", label="true $\\epsilon$")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("$\\epsilon$")
+    ax.legend()
+    path = _save(fig, outdir, "epsilon_convergence", fmt)
+    plt.close(fig)
+    return path
+
+
+def plot_training_points(problem: Problem, outdir: str, fmt: str = "pdf"):
+    """Quadrature / boundary-training point maps (Poisson-1D.py:342-381,
+    Poisson-2D 2D scatter equivalents)."""
+    plt = _plt()
+    xb = np.asarray(problem.data["xb"])
+    el = problem.data["elements"]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    if xb.shape[1] == 1:
+        xq = np.asarray(el.x).reshape(-1)
+        ax.scatter(xq, np.ones_like(xq), color="green", s=8, label="quadrature")
+        ax.scatter(xb[:, 0], np.full(len(xb), 1.1), color="blue", label="training")
+        ax.set_yticks([])
+    else:
+        xq = np.asarray(el.x).reshape(-1)
+        yq = np.asarray(el.y).reshape(-1)
+        ax.scatter(xq, yq, color="green", s=4, label="quadrature")
+        ax.scatter(xb[:, 0], xb[:, 1], color="blue", s=8, label="boundary/data")
+        ax.set_ylabel("$y$")
+    ax.set_xlabel("$x$")
+    ax.legend()
+    path = _save(fig, outdir, "train_quad_points", fmt)
+    plt.close(fig)
+    return path
+
+
+def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
+    """The full per-problem artifact set, dispatched on problem name."""
+    paths = [plot_loss_history(result, outdir), plot_training_points(problem, outdir)]
+    params = result.params
+    if problem.name == "poisson1d":
+        paths += plot_1d_solution(problem, params, outdir)
+    elif problem.name == "poisson2d":
+        paths += plot_2d_solution(problem, params, outdir)
+    elif problem.name == "advdiff":
+        paths += plot_2d_solution(problem, params, outdir)
+        paths.append(plot_advdiff_slices(problem, params, outdir))
+        if "epsilon" in result.history:
+            paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
+    return paths

@@ -1,0 +1,56 @@
+"""CLI surface: presets, overrides, artifact emission."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hpvpinns_tpu.cli import _config_from_args, build_parser, main
+
+
+def parse(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_preset_override_mapping():
+    args = parse(
+        "run poisson1d --iterations 50 --n-quad 12 --n-test 4 --grid=-1,-0.1,0.1,1 "
+        "--lbfgs-iterations 7 --var-form 2 --layers 1,8,1".split()
+    )
+    cfg = _config_from_args(args)
+    assert cfg.train.iterations == 50
+    assert cfg.train.lbfgs_iterations == 7
+    assert cfg.n_quad == 12
+    assert cfg.var_form == 2
+    assert cfg.layers == (1, 8, 1)
+    assert cfg.grid == (-1.0, -0.1, 0.1, 1.0)
+    assert cfg.n_elements == 3
+
+
+def test_advdiff_forward_flag():
+    args = parse("run advdiff --forward --iterations 5".split())
+    cfg = _config_from_args(args)
+    assert cfg.inverse is False
+
+
+def test_run_end_to_end(capsys, tmp_path):
+    rc = main(
+        (
+            f"run poisson1d --iterations 30 --n-quad 10 --n-test 4 --layers 1,6,1 "
+            f"--quiet --record {tmp_path}/rec --outdir {tmp_path}/viz --plots"
+        ).split()
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[0]
+    assert summary["problem"] == "poisson1d"
+    assert summary["iterations"] == 30
+    assert "rel_l2" in summary
+    assert any("plots" in l for l in lines)
+    assert (tmp_path / "rec.npz").exists()
+
+
+def test_presets_command(capsys):
+    assert main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "poisson1d" in out and "advdiff" in out

@@ -82,3 +82,30 @@ def test_resume_from_checkpoint(tmp_path):
     _, restored = ck.restore()
     res2 = hv.train(prob, hv.TrainConfig(iterations=10, check_every=10), params=restored["params"], verbose=False)
     assert res2.history["loss"][-1] <= res.history["loss"][-1] * 1.5  # keeps improving-ish
+
+
+def test_lbfgs_phase_improves_loss():
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
+        train=hv.TrainConfig(iterations=200, lbfgs_iterations=200, check_every=50),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, cfg.train, verbose=False)
+    assert res.iterations_run == 400
+    # L-BFGS phase records continue the same history
+    np.testing.assert_array_equal(
+        res.history["iteration"], np.arange(50, 401, 50)
+    )
+    adam_end = res.history["loss"][3]
+    assert res.history["loss"][-1] < adam_end
+
+
+def test_profiling_time_fn():
+    import jax
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.utils.profiling import time_fn
+
+    f = jax.jit(lambda x: (x * 2).sum())
+    stats = time_fn(f, jnp.ones(128), iters=10, warmup=2)
+    assert stats["iters_per_sec"] > 0 and stats["best_s"] <= stats["mean_s"] * 1.01
