@@ -51,6 +51,7 @@ class Poisson1DConfig:
     lossb_weight: float = 1.0  # Poisson-1D.py:240,100
     domain: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"
+    deriv_mode: str = "taylor"  # "taylor" (fused one-pass propagation) | "jvp"
     train: TrainConfig = field(
         default_factory=lambda: TrainConfig(iterations=1001, threshold=2e-32)
     )
@@ -77,6 +78,7 @@ class Poisson2DConfig:
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     domain_y: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"
+    deriv_mode: str = "taylor"  # "taylor" (fused one-pass propagation) | "jvp"
     train: TrainConfig = field(default_factory=lambda: TrainConfig(iterations=10001))
 
 
@@ -106,6 +108,7 @@ class AdvDiffConfig:
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     fourier_terms: int = 800  # exact-solution series truncation (AdvDiff.py:416)
     dtype: str = "float32"
+    deriv_mode: str = "taylor"  # "taylor" (fused one-pass propagation) | "jvp"
     train: TrainConfig = field(
         default_factory=lambda: TrainConfig(
             iterations=1501, threshold=2e-11, best_snapshot_fraction=0.9

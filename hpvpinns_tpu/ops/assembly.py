@@ -103,7 +103,7 @@ _register(Elements1D)
 _register(Elements2D)
 
 
-def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int):
+def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int, fields_fn=None):
     """Res[e, n] for -u'' = f with test fns phi_n (Poisson-1D.py:82-94).
 
     var_form 1:  U = -jac * sum_q w u_xx phi_n            (:83-84)
@@ -113,7 +113,10 @@ def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int):
                      + (1/jac) [u(x_r) phi'_n(+1) - u(x_l) phi'_n(-1)]  (:88-91)
     """
     with jax.named_scope("vpinn_fields_1d"):
-        u, ux, uxx = scalar_fields_1d(u_fn, elems.x)
+        if fields_fn is None:
+            u, ux, uxx = scalar_fields_1d(u_fn, elems.x)
+        else:  # fused Taylor-mode propagation (ops/taylor.py)
+            u, ux, uxx = fields_fn(elems.x)
     if var_form == 1:
         U = -elems.jac[:, None] * contract_1d(basis.wphi, uxx)
     elif var_form == 2:
@@ -129,7 +132,7 @@ def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int):
     return U - elems.f_proj
 
 
-def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form: int):
+def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form: int, fields_fn=None):
     """Res[e, k, r] for Delta u = f on tensor-product elements
     (Poisson-2D.py:91-118; integrand convention f = Delta u, :307-310).
 
@@ -147,7 +150,8 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
     C(a, b, g) = sum_{qy,qx} w_x a(xi_qx) w_y b(eta_qy) g[qy, qx].
     """
     with jax.named_scope("vpinn_fields_2d"):
-        flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=(var_form == 1))
+        f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
+        flds = f2d(elems.x, elems.y, first_y_only=(var_form == 1))
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     if var_form == 0:
         U = jac * contract_2d(bx.wphi, by.wphi, flds["uxx"] + flds["uyy"])
@@ -166,7 +170,7 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
     return U - elems.f_proj
 
 
-def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, velocity, epsilon):
+def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, velocity, epsilon, fields_fn=None):
     """Res[e, k, r] for u_t + V u_x - eps u_xx = 0 in space-time elements
     (AdvDiff.py:161-180; F = 0, the weak residual itself is minimized :180).
 
@@ -180,7 +184,8 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
                  jac/jac_x = jac_t)
     """
     with jax.named_scope("vpinn_fields_2d"):
-        flds = scalar_fields_2d(u_fn, elems.x, elems.y, first_y_only=True)
+        f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
+        flds = f2d(elems.x, elems.y, first_y_only=True)
     ut, ux = flds["uy"], flds["ux"]
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     if var_form == 0:

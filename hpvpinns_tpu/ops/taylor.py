@@ -1,0 +1,115 @@
+"""Fused Taylor-mode derivative propagation through the MLP.
+
+The generic path (ops/fields.py) computes u, u_x, u_xx by *nesting JVPs
+around the whole network*: each nesting level re-traverses the layer chain,
+so the 2D forms cost ~8 forward passes.  Because the ansatz is a plain dense
+MLP, the derivatives can instead be propagated *alongside* the forward pass
+in closed form — one traversal, all fields:
+
+  per layer l with z = h W + b (W constant w.r.t. x):
+    z_k    = h_k W                    (first derivative, direction k)
+    z_kk   = h_kk W                   (diagonal second derivative)
+    a      = act(z)
+    a_k    = act'(z) z_k
+    a_kk   = act''(z) z_k^2 + act'(z) z_kk
+
+All five fields (u, u_x, u_xx, u_y, u_yy) share one activation evaluation and
+one traversal; every operation is a batched matmul or elementwise VPU op, and
+XLA fuses the elementwise chains between the MXU calls.  Ordinary reverse-mode
+AD differentiates straight through this, so training losses built on it get
+gradients for free.
+
+Equivalent to (and tested against) the nested-JVP path; both replace the
+reference's nested tf.gradients (Poisson-1D.py:144-155, Poisson-2D.py:175-194).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hpvpinns_tpu.models.mlp import MLP
+
+# act -> (f, f', f'') as elementwise closures of the activation value/input.
+# Expressed in terms that reuse already-computed quantities where possible.
+
+
+def _act_derivs(name: str, z):
+    if name == "sin":
+        s, c = jnp.sin(z), jnp.cos(z)
+        return s, c, -s
+    if name == "tanh":
+        t = jnp.tanh(z)
+        d1 = 1.0 - t * t
+        return t, d1, -2.0 * t * d1
+    if name == "gelu":
+        a = jax.nn.gelu(z)
+        d1 = jax.grad(lambda q: jax.nn.gelu(q).sum())(z)
+        d2 = jax.grad(lambda q: jax.grad(lambda r: jax.nn.gelu(r).sum())(q).sum())(z)
+        return a, d1, d2
+    if name == "swish":
+        s = jax.nn.sigmoid(z)
+        a = z * s
+        d1 = s * (1.0 + z * (1.0 - s))
+        d2 = s * (1.0 - s) * (2.0 + z * (1.0 - 2.0 * s))
+        return a, d1, d2
+    raise ValueError(f"no closed-form derivatives for activation {name!r}")
+
+
+def mlp_fields(spec: MLP, params, X, directions):
+    """Network value + per-direction first/second derivatives, fused.
+
+    X: [P, d] points.  directions: tuple of input-coordinate indices, e.g.
+    (0,) for u_x/u_xx only, (0, 1) for both axes.
+    Returns (u [P, out], firsts, seconds) where firsts/seconds are tuples of
+    [P, out] arrays ordered like `directions`.
+    """
+    prec = jax.lax.Precision(spec.precision)
+    dot = lambda A, W: jnp.dot(A, W, precision=prec)
+
+    h = X
+    # Seed tangents: dX/dx_k = e_k broadcast over the batch.
+    hk = [
+        jnp.zeros_like(X).at[..., k].set(1.0) for k in directions
+    ]
+    hkk = [jnp.zeros_like(X) for _ in directions]
+
+    for layer in params[:-1]:
+        W, b = layer["W"], layer["b"]
+        z = dot(h, W) + b
+        zk = [dot(t, W) for t in hk]
+        zkk = [dot(t, W) for t in hkk]
+        a, d1, d2 = _act_derivs(spec.activation, z)
+        h = a
+        hk = [d1 * t for t in zk]
+        hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]
+
+    W, b = params[-1]["W"], params[-1]["b"]
+    u = dot(h, W) + b
+    firsts = tuple(dot(t, W) for t in hk)
+    seconds = tuple(dot(t, W) for t in hkk)
+    return u, firsts, seconds
+
+
+def taylor_fields_1d(spec: MLP, params, x):
+    """(u, u_x, u_xx) at x [..., Q] — fused-propagation twin of
+    ops.fields.scalar_fields_1d."""
+    shape = x.shape
+    X = x.reshape(-1, 1)
+    u, (ux,), (uxx,) = mlp_fields(spec, params, X, (0,))
+    return u.reshape(shape), ux.reshape(shape), uxx.reshape(shape)
+
+
+def taylor_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_only: bool = False):
+    """Fused-propagation twin of ops.fields.scalar_fields_2d (same contract)."""
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    if first_y_only or second_y:
+        u, (ux, uy), (uxx, uyy) = mlp_fields(spec, params, X, (0, 1))
+        out = {"u": u.reshape(shape), "ux": ux.reshape(shape), "uxx": uxx.reshape(shape)}
+        out["uy"] = uy.reshape(shape)
+        if not first_y_only:
+            out["uyy"] = uyy.reshape(shape)
+        return out
+    u, (ux,), (uxx,) = mlp_fields(spec, params, X, (0,))
+    return {"u": u.reshape(shape), "ux": ux.reshape(shape), "uxx": uxx.reshape(shape)}

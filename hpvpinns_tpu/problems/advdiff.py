@@ -22,6 +22,7 @@ from hpvpinns_tpu.config import AdvDiffConfig
 from hpvpinns_tpu.geometry.mesh import TensorMesh2D
 from hpvpinns_tpu.models.mlp import MLP, mlp_apply
 from hpvpinns_tpu.ops.assembly import advdiff_residual, variational_loss
+from hpvpinns_tpu.ops.taylor import taylor_fields_2d
 from hpvpinns_tpu.problems.base import Problem, make_net_init
 from hpvpinns_tpu.problems.build import build_elements_2d, make_weighted_basis
 from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
@@ -117,6 +118,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form, wb, V = cfg.var_form, cfg.lossb_weight, cfg.velocity
     inverse = cfg.inverse
+    taylor = cfg.deriv_mode == "taylor"
 
     def pde_init():
         if inverse:
@@ -127,7 +129,14 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
         el = data["elements"]
         eps = params["pde"]["epsilon"] if inverse else eps_true
-        res = advdiff_residual(u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps)
+        fields_fn = (
+            (lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw))
+            if taylor
+            else None
+        )
+        res = advdiff_residual(
+            u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps, fields_fn=fields_fn
+        )
         lossv = variational_loss(res, el.mask, el.n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
             lossv = jax.lax.psum(lossv, axis_name)

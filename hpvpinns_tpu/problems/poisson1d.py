@@ -18,6 +18,7 @@ from hpvpinns_tpu.config import Poisson1DConfig
 from hpvpinns_tpu.geometry.mesh import Interval1D
 from hpvpinns_tpu.models.mlp import MLP, mlp_apply
 from hpvpinns_tpu.ops.assembly import poisson1d_residual, variational_loss
+from hpvpinns_tpu.ops.taylor import taylor_fields_1d
 from hpvpinns_tpu.problems.base import Problem, make_net_init
 from hpvpinns_tpu.problems.build import build_elements_1d, make_weighted_basis
 from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
@@ -71,10 +72,12 @@ def build(cfg: Poisson1DConfig) -> Problem:
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form = cfg.var_form
     lossb_weight = cfg.lossb_weight
+    taylor = cfg.deriv_mode == "taylor"
 
     def loss_fn(params, data, axis_name=None):
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
-        res = poisson1d_residual(u_fn, data["elements"], data["basis"], var_form)
+        fields_fn = (lambda x: taylor_fields_1d(spec, params["net"], x)) if taylor else None
+        res = poisson1d_residual(u_fn, data["elements"], data["basis"], var_form, fields_fn=fields_fn)
         lossv = variational_loss(res, data["elements"].mask, data["elements"].n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
             lossv = jax.lax.psum(lossv, axis_name)

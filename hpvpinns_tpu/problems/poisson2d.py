@@ -18,6 +18,7 @@ from hpvpinns_tpu.geometry.mesh import TensorMesh2D
 from hpvpinns_tpu.models.mlp import MLP, mlp_apply
 from hpvpinns_tpu.ops.assembly import poisson2d_residual, variational_loss
 from hpvpinns_tpu.ops.fields import scalar_fields_2d
+from hpvpinns_tpu.ops.taylor import taylor_fields_2d
 from hpvpinns_tpu.problems.base import Problem, make_net_init
 from hpvpinns_tpu.problems.build import build_elements_2d
 from hpvpinns_tpu.problems.build import make_weighted_basis
@@ -100,6 +101,7 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
 
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form, scheme, wb = cfg.var_form, cfg.scheme, cfg.lossb_weight
+    taylor = cfg.deriv_mode == "taylor"
     if scheme not in ("VPINNs", "PINNs"):
         raise ValueError(f"scheme must be 'VPINNs' or 'PINNs'; got {scheme!r}")
 
@@ -110,7 +112,14 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
         aux = {"lossb": lossb}
         if scheme == "VPINNs":
-            res = poisson2d_residual(u_fn, el, data["basis_x"], data["basis_y"], var_form)
+            fields_fn = (
+                (lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw))
+                if taylor
+                else None
+            )
+            res = poisson2d_residual(
+                u_fn, el, data["basis_x"], data["basis_y"], var_form, fields_fn=fields_fn
+            )
             lossv = variational_loss(res, el.mask, el.n_test)
             if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
                 lossv = jax.lax.psum(lossv, axis_name)

@@ -1,0 +1,76 @@
+"""Fused Taylor-mode propagation vs nested-JVP oracle (ops/taylor.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.models.mlp import MLP, init_mlp, mlp_apply
+from hpvpinns_tpu.ops.fields import scalar_fields_1d, scalar_fields_2d
+from hpvpinns_tpu.ops.taylor import taylor_fields_1d, taylor_fields_2d
+
+
+@pytest.mark.parametrize("act", ["sin", "tanh", "gelu", "swish"])
+def test_taylor_1d_matches_jvp(act):
+    spec = MLP(layers=(1, 9, 7, 1), activation=act)
+    params = init_mlp(spec, jax.random.key(3), dtype=jnp.float64)
+    x = jnp.linspace(-1, 1, 23).reshape(1, -1)
+    u_fn = lambda X: mlp_apply(spec, params, X)
+    u0, ux0, uxx0 = scalar_fields_1d(u_fn, x)
+    u1, ux1, uxx1 = taylor_fields_1d(spec, params, x)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ux1), np.asarray(ux0), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(uxx1), np.asarray(uxx0), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("act", ["sin", "tanh"])
+def test_taylor_2d_matches_jvp(act):
+    spec = MLP(layers=(2, 8, 8, 1), activation=act)
+    params = init_mlp(spec, jax.random.key(4), dtype=jnp.float64)
+    x = jnp.linspace(-1, 1, 5).reshape(1, 1, 5)
+    y = jnp.linspace(-0.5, 0.5, 4).reshape(1, 4, 1)
+    x, y = jnp.broadcast_arrays(x, y)
+    u_fn = lambda X: mlp_apply(spec, params, X)
+    f0 = scalar_fields_2d(u_fn, x, y, second_y=True)
+    f1 = taylor_fields_2d(spec, params, x, y, second_y=True)
+    for key in ("u", "ux", "uxx", "uy", "uyy"):
+        np.testing.assert_allclose(
+            np.asarray(f1[key]), np.asarray(f0[key]), rtol=1e-10, atol=1e-12, err_msg=key
+        )
+
+
+def test_taylor_first_y_only_contract():
+    spec = MLP(layers=(2, 6, 1), activation="tanh")
+    params = init_mlp(spec, jax.random.key(5), dtype=jnp.float64)
+    x = jnp.ones((1, 2, 2)) * 0.3
+    y = jnp.ones((1, 2, 2)) * 0.1
+    out = taylor_fields_2d(spec, params, x, y, first_y_only=True)
+    assert set(out) == {"u", "ux", "uxx", "uy"}
+
+
+@pytest.mark.parametrize("problem_cfg", [
+    hv.Poisson1DConfig(dtype="float64", n_quad=12, n_test=6),
+    hv.Poisson2DConfig(dtype="float64", n_quad=6),
+    hv.AdvDiffConfig(dtype="float64"),
+])
+def test_losses_and_grads_mode_invariant(problem_cfg):
+    """Loss and gradients must be identical under deriv_mode 'taylor' vs 'jvp'
+    for every problem family."""
+    import dataclasses
+
+    pt = hv.build(dataclasses.replace(problem_cfg, deriv_mode="taylor"))
+    pj = hv.build(dataclasses.replace(problem_cfg, deriv_mode="jvp"))
+    params = pt.init_params(jax.random.key(0))
+    lt, _ = pt.loss_fn(params, pt.data)
+    lj, _ = pj.loss_fn(params, pj.data)
+    np.testing.assert_allclose(float(lt), float(lj), rtol=1e-12)
+    gt = jax.grad(lambda p: pt.loss_fn(p, pt.data)[0])(params)
+    gj = jax.grad(lambda p: pj.loss_fn(p, pj.data)[0])(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+        ),
+        gt,
+        gj,
+    )
