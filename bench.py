@@ -40,32 +40,37 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
 
     import hpvpinns_tpu as hv
 
+    from hpvpinns_tpu.training.trainer import _build_chunk, make_optimizer
+
     prob = build_bench_problem()
     params = prob.init_params(jax.random.key(0))
-    opt = optax.adam(1e-3)
+    opt = make_optimizer(hv.TrainConfig())
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, data):
-        (loss, _), grads = jax.value_and_grad(prob.loss_fn, has_aux=True)(params, data)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # Measure the trainer's actual unit of work: a lax.scan chunk of
+    # `chunk_len` optimizer steps per launch (training/trainer.py).
+    chunk_len = 10
+    chunk = _build_chunk(prob.loss_fn, opt, chunk_len)
 
     data = prob.data
-    for _ in range(warmup):
-        params, opt_state, loss = train_step(params, opt_state, data)
+    for _ in range(max(1, warmup // chunk_len)):
+        params, opt_state, aux = chunk(params, opt_state, data)
+    loss = aux["loss"]
     jax.block_until_ready(loss)
     float(loss)  # pay the backend's one-time first-readback handshake here
 
     # Best of `trials` pipelined windows: the tunneled device transport has
     # high wall-clock variance, so the best window is the honest device rate.
     best_dt = float("inf")
+    n_chunks = max(1, steps // chunk_len)
     for _ in range(trials):
         t0 = time.perf_counter()
-        for _ in range(steps):
-            params, opt_state, loss = train_step(params, opt_state, data)
-        jax.block_until_ready(loss)
+        for _ in range(n_chunks):
+            params, opt_state, aux = chunk(params, opt_state, data)
+        jax.block_until_ready(aux["loss"])
         best_dt = min(best_dt, time.perf_counter() - t0)
+    steps = n_chunks * chunk_len
+    loss = aux["loss"]
 
     el = prob.data["elements"]
     n_elem = el.x.shape[0]

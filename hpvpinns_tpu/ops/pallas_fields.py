@@ -1,0 +1,199 @@
+"""Pallas TPU kernel: fused MLP + derivative-field propagation.
+
+The derivative-field evaluation (ops/taylor.py) lowers under XLA to a chain
+of ~15 small matmuls with elementwise fusions between them; each fusion
+boundary costs a kernel dispatch + HBM round trip of the [P, H] hidden state.
+This kernel runs the whole Taylor-mode propagation — forward value plus
+first/second derivatives along the requested input axes — in ONE Pallas
+launch: hidden states live in VMEM registers between layers, matmuls hit the
+MXU, activation-derivative chains run on the VPU with no materialization.
+
+Scope: forward evaluation (value + fields).  It is wrapped in jax.custom_vjp
+with the XLA Taylor path as the backward rule (hpvpinns recomputes, not
+stashes), so `pallas_fields_*` is a drop-in differentiable replacement for
+`taylor_fields_*`: training losses built on it produce identical gradients
+(the backward pass runs the XLA path).  Select with deriv_mode='pallas'.
+
+Measured first, per SURVEY.md §7: see benchmarks/MEASUREMENTS.md for the
+XLA-vs-Pallas numbers that motivated keeping the contraction in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hpvpinns_tpu.models.mlp import MLP
+from hpvpinns_tpu.ops.taylor import mlp_fields
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _act_val_d1_d2(name: str, z):
+    if name == "sin":
+        s, c = jnp.sin(z), jnp.cos(z)
+        return s, c, -s
+    if name == "tanh":
+        t = jnp.tanh(z)
+        d1 = 1.0 - t * t
+        return t, d1, -2.0 * t * d1
+    raise ValueError(
+        f"pallas fields kernel supports sin/tanh activations; got {name!r}"
+    )
+
+
+def _fields_kernel(x_ref, *refs, activation, n_layers, n_dirs, second: bool):
+    """One grid block of points: propagate (h, h_k[, h_kk]) through the MLP.
+
+    refs layout: W_0, b_0, ..., W_{L-1}, b_{L-1}, out_ref.
+    x_ref: [BP, d_in_padded]; out_ref: [BP, F_padded] where the first
+    1 + n_dirs * (2 if second else 1) lanes are u, u_k..., u_kk... .
+    """
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+
+    h = x_ref[:]
+    BP = h.shape[0]
+    # Coordinate tangents: column k of the (padded) input is coordinate k.
+    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    hk = [jnp.where(lane == k, 1.0, 0.0).astype(h.dtype) for k in range(n_dirs)]
+    hkk = [jnp.zeros_like(h) for k in range(n_dirs)] if second else None
+
+    for l in range(n_layers - 1):
+        W = wrefs[2 * l][:]
+        b = wrefs[2 * l + 1][:]
+        z = jnp.dot(h, W, preferred_element_type=jnp.float32, precision=_PREC) + b
+        zk = [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hk]
+        a, d1, d2 = _act_val_d1_d2(activation, z)
+        if second:
+            zkk = [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hkk]
+            hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]
+        h = a
+        hk = [d1 * t for t in zk]
+
+    W = wrefs[2 * (n_layers - 1)][:]
+    b = wrefs[2 * (n_layers - 1) + 1][:]
+    u = jnp.dot(h, W, preferred_element_type=jnp.float32, precision=_PREC) + b
+    cols = [u] + [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hk]
+    if second:
+        cols += [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hkk]
+
+    # Each col is [BP, 128] (padded output width; lanes >= 1 are exact zeros
+    # because the padding weights/biases are zero). Concatenate along lanes:
+    # field f lives at lane f * 128.
+    out_ref[:] = jnp.concatenate(cols, axis=1)
+
+
+def _pad_params(spec: MLP, params, dtype):
+    """Pad every layer's width to the f32 lane tile (128) so all kernel
+    matmuls are aligned; zero padding keeps the math exact."""
+    padded = []
+    for layer in params:
+        W, b = layer["W"], layer["b"]
+        pin, pout = _round_up(W.shape[0], 128), _round_up(W.shape[1], 128)
+        Wp = jnp.zeros((pin, pout), dtype=dtype).at[: W.shape[0], : W.shape[1]].set(W)
+        bp = jnp.zeros((1, pout), dtype=dtype).at[0, : b.shape[0]].set(b)
+        padded.append((Wp, bp))
+    return padded
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "n_dirs", "second", "block_points")
+)
+def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_points: int = 2048):
+    """u + derivative fields at X [P, d]: returns [P, F] with
+    F = 1 + n_dirs * (2 if second else 1) columns (u, firsts..., seconds...)."""
+    dtype = X.dtype
+    P, d = X.shape
+    n_fields = 1 + n_dirs * (2 if second else 1)
+    Pp = _round_up(P, block_points)
+    din_p = _round_up(d, 128)
+    Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
+    padded = _pad_params(spec, params, dtype)
+
+    Fp = n_fields * 128  # one (mostly-zero) lane tile per field column
+    kernel = functools.partial(
+        _fields_kernel,
+        activation=spec.activation,
+        n_layers=spec.n_layers,
+        n_dirs=n_dirs,
+        second=second,
+    )
+    grid = (Pp // block_points,)
+    in_specs = [
+        pl.BlockSpec((block_points, din_p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    operands = [Xp]
+    for W, b in padded:
+        in_specs.append(pl.BlockSpec(W.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        operands += [W, b]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_points, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, Fp), dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(*operands)
+    # Gather lane f*128 of each field tile into a dense [P, n_fields] array.
+    return out[:P, :: 128]
+
+
+def _xla_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool):
+    u, firsts, seconds = mlp_fields(spec, params, X, tuple(range(n_dirs)))
+    cols = [u] + list(firsts) + (list(seconds) if second else [])
+    return jnp.concatenate(cols, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def fields_flat(spec: MLP, params, X, n_dirs: int, second: bool):
+    """Differentiable fused fields: Pallas forward, XLA-Taylor backward."""
+    return _pallas_fields_flat(spec, params, X, n_dirs, second)
+
+
+def _fields_fwd(spec, params, X, n_dirs, second):
+    return _pallas_fields_flat(spec, params, X, n_dirs, second), (params, X)
+
+
+def _fields_bwd(spec, n_dirs, second, res, g):
+    params, X = res
+    _, vjp = jax.vjp(lambda p, x: _xla_fields_flat(spec, p, x, n_dirs, second), params, X)
+    return vjp(g)
+
+
+fields_flat.defvjp(_fields_fwd, _fields_bwd)
+
+
+def pallas_fields_1d(spec: MLP, params, x):
+    """(u, u_x, u_xx) — fused-kernel twin of taylor_fields_1d."""
+    shape = x.shape
+    out = fields_flat(spec, params, x.reshape(-1, 1), 1, True)
+    return out[:, 0].reshape(shape), out[:, 1].reshape(shape), out[:, 2].reshape(shape)
+
+
+def pallas_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_only: bool = False):
+    """Fused-kernel twin of taylor_fields_2d (same contract).
+
+    The kernel computes seconds per-direction all-or-nothing, so the
+    first_y_only contract (u, ux, uxx, uy — the AdvDiff case) also computes
+    uyy inside the kernel and drops it (~1/6 extra work; still one launch).
+    """
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    out = fields_flat(spec, params, X, 2, True)
+    r = lambda c: out[:, c].reshape(shape)
+    flds = {"u": r(0), "ux": r(1), "uy": r(2), "uxx": r(3)}
+    if not first_y_only:
+        flds["uyy"] = r(4)
+    return flds

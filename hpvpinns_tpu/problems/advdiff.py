@@ -118,7 +118,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form, wb, V = cfg.var_form, cfg.lossb_weight, cfg.velocity
     inverse = cfg.inverse
-    taylor = cfg.deriv_mode == "taylor"
+    mode = cfg.deriv_mode
 
     def pde_init():
         if inverse:
@@ -129,11 +129,14 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
         el = data["elements"]
         eps = params["pde"]["epsilon"] if inverse else eps_true
-        fields_fn = (
-            (lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw))
-            if taylor
-            else None
-        )
+        if mode == "taylor":
+            fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
+        elif mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
+
+            fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
+        else:
+            fields_fn = None
         res = advdiff_residual(
             u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps, fields_fn=fields_fn
         )

@@ -72,11 +72,18 @@ def build(cfg: Poisson1DConfig) -> Problem:
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form = cfg.var_form
     lossb_weight = cfg.lossb_weight
-    taylor = cfg.deriv_mode == "taylor"
+    mode = cfg.deriv_mode
 
     def loss_fn(params, data, axis_name=None):
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
-        fields_fn = (lambda x: taylor_fields_1d(spec, params["net"], x)) if taylor else None
+        if mode == "taylor":
+            fields_fn = lambda x: taylor_fields_1d(spec, params["net"], x)
+        elif mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_1d
+
+            fields_fn = lambda x: pallas_fields_1d(spec, params["net"], x)
+        else:
+            fields_fn = None
         res = poisson1d_residual(u_fn, data["elements"], data["basis"], var_form, fields_fn=fields_fn)
         lossv = variational_loss(res, data["elements"].mask, data["elements"].n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)

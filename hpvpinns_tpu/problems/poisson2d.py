@@ -101,7 +101,7 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
 
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form, scheme, wb = cfg.var_form, cfg.scheme, cfg.lossb_weight
-    taylor = cfg.deriv_mode == "taylor"
+    mode = cfg.deriv_mode
     if scheme not in ("VPINNs", "PINNs"):
         raise ValueError(f"scheme must be 'VPINNs' or 'PINNs'; got {scheme!r}")
 
@@ -112,11 +112,14 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
         aux = {"lossb": lossb}
         if scheme == "VPINNs":
-            fields_fn = (
-                (lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw))
-                if taylor
-                else None
-            )
+            if mode == "taylor":
+                fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
+            elif mode == "pallas":
+                from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
+
+                fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
+            else:
+                fields_fn = None
             res = poisson2d_residual(
                 u_fn, el, data["basis_x"], data["basis_y"], var_form, fields_fn=fields_fn
             )

