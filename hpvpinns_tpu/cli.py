@@ -84,6 +84,17 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_flags(p3)
 
     sub.add_parser("presets", help="print the shipped configurations of record")
+
+    sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
+    sw.add_argument("problem", choices=["poisson1d", "poisson2d"])
+    sw.add_argument("--axis", choices=["h", "p"], required=True)
+    sw.add_argument("--values", required=True, help="comma-separated sweep values")
+    sw.add_argument("--iterations", type=int)
+    sw.add_argument("--lbfgs-iterations", type=int)
+    sw.add_argument("--n-quad", type=int, dest="n_quad")
+    sw.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
+    sw.add_argument("--outdir", default="results/sweep")
+    sw.add_argument("--plots", action="store_true")
     return ap
 
 
@@ -189,10 +200,38 @@ def cmd_presets() -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    import os
+
+    from hpvpinns_tpu import sweep as sweepmod
+
+    _enable_compile_cache()
+    cfg = _PRESETS[args.problem]()
+    over = {k: v for k, v in vars(args).items() if k in ("n_quad", "dtype") and v is not None}
+    cfg = dataclasses.replace(cfg, **over)
+    train_over = {
+        k: v for k, v in vars(args).items() if k in ("iterations", "lbfgs_iterations") and v is not None
+    }
+    train = dataclasses.replace(cfg.train, **train_over) if train_over else cfg.train
+    values = [int(v) for v in args.values.split(",")]
+    fn = sweepmod.h_sweep if args.axis == "h" else sweepmod.p_sweep
+    records = fn(cfg, values, train)
+    os.makedirs(args.outdir, exist_ok=True)
+    path = sweepmod.save_sweep(records, os.path.join(args.outdir, f"{args.axis}_sweep.json"))
+    print(json.dumps({"sweep": records}))
+    out = {"record": path}
+    if args.plots:
+        out["plot"] = sweepmod.plot_sweep(records, args.outdir)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "presets":
         return cmd_presets()
+    if args.command == "sweep":
+        return cmd_sweep(args)
     return cmd_run(args)
 
 

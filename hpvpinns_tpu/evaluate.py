@@ -52,6 +52,45 @@ def evaluate(problem: Problem, params) -> dict:
     }
 
 
+def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) -> np.ndarray:
+    """Pointwise strong-form PDE residual — the reference's `net_f`
+    (Poisson-1D.py:150-155: f_pred = -u_xx; Poisson-2D.py:187-194:
+    f_pred = u_xx + u_yy; AdvDiff.py:247-253: u_t + V u_x - eps u_xx).
+
+    For the Poisson problems the residual is f_pred - f(X); for AdvDiff it is
+    the homogeneous operator value itself (F = 0).  Computed with the fused
+    Taylor propagation on the problem's test grid by default."""
+    from hpvpinns_tpu.ops.taylor import taylor_fields_1d, taylor_fields_2d
+
+    if X is None:
+        X = problem.test_points
+    dtype = problem.data["xb"].dtype
+    X = jnp.asarray(np.asarray(X), dtype=dtype)
+    net = params["net"]
+    if problem.name == "poisson1d":
+        from hpvpinns_tpu.problems.poisson1d import f_rhs
+
+        _, _, uxx = taylor_fields_1d(problem.spec, net, X[:, 0:1])
+        return np.asarray(-uxx - jnp.asarray(f_rhs(np.asarray(X)), dtype=dtype))
+    if problem.name == "poisson2d":
+        from hpvpinns_tpu.problems.poisson2d import f_rhs
+
+        flds = taylor_fields_2d(problem.spec, net, X[:, 0:1], X[:, 1:2])
+        f_pred = flds["uxx"] + flds["uyy"]
+        f_true = jnp.asarray(
+            f_rhs(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
+        )
+        return np.asarray(f_pred - f_true)
+    if problem.name == "advdiff":
+        cfg = problem.config
+        eps = params["pde"].get("epsilon", problem.extras["eps_true"]) if params.get("pde") else problem.extras["eps_true"]
+        flds = taylor_fields_2d(
+            problem.spec, net, X[:, 0:1], X[:, 1:2], first_y_only=True
+        )
+        return np.asarray(flds["uy"] + cfg.velocity * flds["ux"] - eps * flds["uxx"])
+    raise ValueError(f"no strong form registered for problem {problem.name!r}")
+
+
 def per_element_rel_l2(problem: Problem, params, n_points: int = 500) -> np.ndarray:
     """Per-subdomain rel-L2 on a fresh per-element grid (the working version
     of the reference's dead predict_subdomain, Poisson-1D.py:185-195).
