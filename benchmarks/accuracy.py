@@ -1,0 +1,120 @@
+"""Accuracy harness: run the reference configurations of record (and the
+extended hp/L-BFGS variants) end to end and record quality metrics.
+
+Writes benchmarks/ACCURACY.json: per-config rel-L2, max error, final losses,
+recovered epsilon, wall time, steps/s.  This is the measured counterpart of
+BASELINE.md's configs-of-record table (the reference publishes no numbers;
+these are the numbers a reference user gets when they switch).
+
+Run: python benchmarks/accuracy.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.config import replace
+
+
+def run(name, cfg, extra=()):
+    prob = hv.build(cfg)
+    t0 = time.perf_counter()
+    res = hv.train(prob, verbose=False)
+    wall = time.perf_counter() - t0
+    rec = {
+        "config": name,
+        "dtype": cfg.dtype,
+        "iterations": res.iterations_run,
+        "wall_s": round(wall, 2),
+        "steps_per_sec": round(res.steps_per_sec, 1),
+        "final_loss": res.final_aux.get("loss"),
+        **hv.evaluate_problem(prob, res.params),
+    }
+    if "epsilon" in res.final_aux:
+        rec["epsilon"] = res.final_aux["epsilon"]
+        rec["epsilon_true"] = prob.extras["eps_true"]
+        rec["epsilon_rel_err"] = abs(rec["epsilon"] - rec["epsilon_true"]) / rec["epsilon_true"]
+    for key, fn in extra:
+        rec[key] = fn(prob, res)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="1/10 iteration budgets")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
+    args = ap.parse_args()
+    q = 10 if args.quick else 1
+
+    from hpvpinns_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    records = []
+    # 1. Poisson-1D config of record (Poisson-1D.py:231-240).
+    cfg = hv.poisson1d_of_record()
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q))
+    records.append(run("poisson1d_of_record", cfg))
+
+    # 2. Poisson-1D hp (the reference's 3-element special grid) + L-BFGS.
+    records.append(
+        run(
+            "poisson1d_hp3_lbfgs",
+            hv.Poisson1DConfig(
+                grid=(-1.0, -0.1, 0.1, 1.0), n_quad=60, n_test=40,
+                train=hv.TrainConfig(
+                    iterations=4000 // q, lbfgs_iterations=3000 // q, check_every=100
+                ),
+            ),
+        )
+    )
+
+    # 3. Poisson-1D hp 4 uniform subdomains (BASELINE.json config 2).
+    records.append(
+        run(
+            "poisson1d_hp4",
+            hv.Poisson1DConfig(
+                n_elements=4, n_quad=60, n_test=30,
+                train=hv.TrainConfig(
+                    iterations=4000 // q, lbfgs_iterations=3000 // q, check_every=100
+                ),
+            ),
+        )
+    )
+
+    # 4. Poisson-2D config of record (Poisson-2D.py:279-288, 10001 iters).
+    cfg = hv.poisson2d_of_record()
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q, check_every=50))
+    records.append(run("poisson2d_of_record", cfg))
+
+    # 5. Poisson-2D extended: +L-BFGS phase.
+    cfg = hv.poisson2d_of_record()
+    cfg = replace(
+        cfg,
+        train=hv.TrainConfig(iterations=10000 // q, lbfgs_iterations=5000 // q, check_every=100),
+    )
+    records.append(run("poisson2d_lbfgs", cfg))
+
+    # 6. AdvDiff inverse config of record (AdvDiff.py:35-53).
+    cfg = hv.advdiff_of_record()
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q))
+    records.append(run("advdiff_of_record", cfg))
+
+    # 7. AdvDiff inverse, extended budget.
+    cfg = hv.advdiff_of_record()
+    cfg = replace(cfg, train=hv.TrainConfig(iterations=15000 // q, check_every=100, best_snapshot_fraction=0.9))
+    records.append(run("advdiff_extended", cfg))
+
+    with open(args.out, "w") as f:
+        json.dump(records, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "elements"
+POINT_AXIS = "points"
 
 
 def element_mesh(devices: Optional[Sequence] = None, axis_name: str = AXIS) -> Mesh:
     """1D device mesh over the element axis."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def element_point_mesh(
+    shape: tuple,
+    devices: Optional[Sequence] = None,
+    axis_names: tuple = (AXIS, POINT_AXIS),
+) -> Mesh:
+    """2D mesh: elements x quadrature-points — the data-parallel x
+    sequence-parallel analog for this workload.  The point axis splits the
+    fast quadrature dimension; the contraction over it becomes partial sums
+    + an all-reduce that XLA inserts (GSPMD) or `psum` provides (shard_map).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = shape[0] * shape[1]
+    return Mesh(np.asarray(devices[:n]).reshape(shape), axis_names)
 
 
 def _pad_leading(arr: jax.Array, pad: int, *, zero: bool) -> jax.Array:
@@ -69,16 +85,93 @@ def pad_elements(elems, multiple: int):
     return type(elems)(**fields)
 
 
-def shard_problem(data: dict, mesh: Mesh, axis_name: str = AXIS) -> dict:
+def _pad_trailing(arr: jax.Array, pad: int, *, zero: bool) -> jax.Array:
+    """Pad the LAST axis by `pad`; edge-replicate or zero."""
+    if pad == 0:
+        return arr
+    mode = "constant" if zero else "edge"
+    widths = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
+    return jax.numpy.asarray(np.pad(np.asarray(arr), widths, mode=mode))
+
+
+def pad_points(elems, fast_basis, multiple: int):
+    """Pad the fast quadrature axis (last axis of x/y and the column axis of
+    the fast-axis weighted basis) so Q divides the point-axis size.
+
+    Padded quadrature points are inert: the basis columns there carry zero
+    quadrature weight, so they contribute exactly zero to every contraction;
+    the coordinates are edge-replicated (finite network inputs).
+    """
+    Q = elems.x.shape[-1]
+    pad = (-Q) % multiple
+    if pad == 0:
+        return elems, fast_basis
+    efields = {}
+    for f in dataclasses.fields(elems):
+        arr = getattr(elems, f.name)
+        if f.name in ("x", "y"):
+            efields[f.name] = _pad_trailing(arr, pad, zero=False)
+        else:
+            efields[f.name] = arr
+    bfields = {}
+    for f in dataclasses.fields(fast_basis):
+        arr = getattr(fast_basis, f.name)
+        if f.name in ("wphi", "wdphi", "wd2phi"):
+            bfields[f.name] = _pad_trailing(arr, pad, zero=True)
+        else:
+            bfields[f.name] = arr
+    return type(elems)(**efields), type(fast_basis)(**bfields)
+
+
+def shard_problem(
+    data: dict, mesh: Mesh, axis_name: str = AXIS, point_axis: Optional[str] = None
+) -> dict:
     """Lay out a problem's data pytree on the mesh: element arrays split on
-    axis 0, everything else replicated.  Pads the element batch as needed."""
-    elem_sharding = NamedSharding(mesh, P(axis_name))
+    axis 0, everything else replicated.  Pads the element batch as needed.
+
+    If `point_axis` names a second mesh axis, the fast quadrature dimension
+    (last axis of the element coordinates, column axis of the fast-axis
+    basis) is split over it as well — the contraction over quadrature points
+    then all-reduces partial sums over that axis (XLA inserts it).
+    """
+    if point_axis is None and POINT_AXIS in mesh.axis_names:
+        point_axis = POINT_AXIS
     rep_sharding = NamedSharding(mesh, P())
-    out = {}
-    for key, value in data.items():
+    n_elem_shards = mesh.shape[axis_name]
+    out = dict(data)
+
+    elems = pad_elements(data["elements"], n_elem_shards)
+    fast_key = "basis_x" if "basis_x" in data else "basis"
+    if point_axis is not None:
+        elems, fast_basis = pad_points(elems, data[fast_key], mesh.shape[point_axis])
+        out[fast_key] = fast_basis
+
+    def elem_spec(name, arr):
+        lead = (axis_name,) + (None,) * (arr.ndim - 1)
+        spec = list(lead)
+        if point_axis is not None and name in ("x", "y"):
+            spec[-1] = point_axis
+        return P(*spec)
+
+    efields = {
+        f.name: jax.device_put(
+            getattr(elems, f.name), NamedSharding(mesh, elem_spec(f.name, getattr(elems, f.name)))
+        )
+        for f in dataclasses.fields(elems)
+    }
+    out["elements"] = type(elems)(**efields)
+
+    for key in out:
         if key == "elements":
-            value = pad_elements(value, mesh.size)
-            out[key] = jax.device_put(value, elem_sharding)
+            continue
+        value = out[key]
+        if point_axis is not None and key == fast_key:
+            bfields = {}
+            for f in dataclasses.fields(value):
+                arr = getattr(value, f.name)
+                spec = P(None, point_axis) if f.name in ("wphi", "wdphi", "wd2phi") else P()
+                bfields[f.name] = jax.device_put(arr, NamedSharding(mesh, spec))
+            out[key] = type(value)(**bfields)
         else:
             out[key] = jax.device_put(value, rep_sharding)
     return out

@@ -96,3 +96,52 @@ def test_train_on_mesh(problem):
     np.testing.assert_allclose(
         res_mesh.history["loss"], res_single.history["loss"], rtol=1e-8
     )
+
+
+def test_element_point_mesh_2d_problem(problem, params):
+    """elements x points mesh: Q padded 6->8, contraction partial-sums
+    all-reduced over the point axis; loss and grads bit-match."""
+    from hpvpinns_tpu.parallel.sharding import element_point_mesh
+
+    mesh = element_point_mesh((4, 2))
+    data = shard_problem(problem.data, mesh)
+    p = replicate(params, mesh)
+    loss0, _ = problem.loss_fn(params, problem.data)
+    loss1, _ = jax.jit(problem.loss_fn)(p, data)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-12)
+    g0 = jax.grad(lambda q: problem.loss_fn(q, problem.data)[0])(params)
+    g1 = jax.jit(jax.grad(lambda q: problem.loss_fn(q, data)[0]))(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-13
+        ),
+        g0,
+        g1,
+    )
+
+
+def test_element_point_mesh_1d_problem():
+    from hpvpinns_tpu.parallel.sharding import element_point_mesh
+
+    cfg = hv.Poisson1DConfig(dtype="float64", n_elements=3, n_quad=10, n_test=5)
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    mesh = element_point_mesh((2, 4))  # Q=10 -> padded to 12
+    data = shard_problem(prob.data, mesh)
+    l0, _ = prob.loss_fn(params, prob.data)
+    l1, _ = jax.jit(prob.loss_fn)(replicate(params, mesh), data)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-12)
+
+
+def test_pad_points_inert():
+    from hpvpinns_tpu.parallel.sharding import pad_points
+
+    cfg = hv.Poisson1DConfig(dtype="float64", n_elements=2, n_quad=10, n_test=5)
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(1))
+    elems, basis = pad_points(prob.data["elements"], prob.data["basis"], 8)
+    assert elems.x.shape[-1] == 16 and basis.wphi.shape[-1] == 16
+    padded = dict(prob.data, elements=elems, basis=basis)
+    l0, _ = prob.loss_fn(params, prob.data)
+    l1, _ = prob.loss_fn(params, padded)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-12)
