@@ -45,7 +45,13 @@ def make_mesh(cfg: Poisson1DConfig) -> Interval1D:
     return Interval1D.uniform(cfg.domain[0], cfg.domain[1], cfg.n_elements)
 
 
-def build(cfg: Poisson1DConfig) -> Problem:
+def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
+    """Build the problem; `u_fn`/`f_fn` override the exact solution and
+    forcing (custom manufactured solutions — the reference requires editing
+    the driver script, Poisson-1D.py:251-257).  Both must be numpy-vectorized;
+    f = -u''."""
+    u_ex = u_fn or u_exact
+    f_rh = f_fn or f_rhs
     dtype = jnp.dtype(cfg.dtype)
     mesh = make_mesh(cfg)
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
@@ -56,11 +62,11 @@ def build(cfg: Poisson1DConfig) -> Problem:
         else np.full(mesh.n_elem, cfg.n_test)
     )
     basis = make_weighted_basis(int(n_per_elem.max()), xq, wq, dtype)
-    elems = build_elements_1d(mesh, xq, wq, f_rhs, n_per_elem, dtype)
+    elems = build_elements_1d(mesh, xq, wq, f_rh, n_per_elem, dtype)
 
     # Boundary training data: the domain endpoints (Poisson-1D.py:298-299).
     xb = np.asarray(cfg.domain, dtype=np.float64)[:, None]
-    ub = u_exact(xb)
+    ub = u_ex(xb)
 
     data = {
         "elements": elems,
@@ -101,8 +107,8 @@ def build(cfg: Poisson1DConfig) -> Problem:
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, dtype=dtype),
-        exact=u_exact,
+        exact=u_ex,
         test_points=xt,
-        test_values=u_exact(xt),
+        test_values=u_ex(xt),
         extras={"mesh": mesh},
     )

@@ -45,7 +45,7 @@ def f_rhs(x, y):
     )
 
 
-def boundary_points(cfg: Poisson2DConfig, rng: np.random.Generator):
+def boundary_points(cfg: Poisson2DConfig, rng: np.random.Generator, u_ex=u_exact):
     """80 LHS points per edge with exact data (Poisson-2D.py:313-347)."""
     (xl, xr), (yl, yu) = cfg.domain_x, cfg.domain_y
     n = cfg.n_bound
@@ -57,11 +57,16 @@ def boundary_points(cfg: Poisson2DConfig, rng: np.random.Generator):
         y = lhs_interval(yl, yu, n, rng)
         edges.append(np.hstack([np.full_like(y, xr if _ == 0 else xl), y]))
     Xb = np.concatenate(edges)
-    ub = u_exact(Xb[:, 0:1], Xb[:, 1:2])
+    ub = u_ex(Xb[:, 0:1], Xb[:, 1:2])
     return Xb, ub
 
 
-def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Problem:
+def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None, u_fn=None, f_fn=None) -> Problem:
+    """Build the problem; `u_fn`/`f_fn` override the exact solution and
+    forcing (numpy-vectorized (x, y) -> value; f = Delta u convention,
+    Poisson-2D.py:307-310)."""
+    u_ex = u_fn or u_exact
+    f_rh = f_fn or f_rhs
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
     mesh = TensorMesh2D.uniform(
@@ -81,13 +86,13 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
     )
     bx = make_weighted_basis(int(ntx.max()), xq, wq, dtype)
     by = make_weighted_basis(int(nty.max()), xq, wq, dtype)
-    elems = build_elements_2d(mesh, xq, wq, xq, wq, f_rhs, ntx, nty, dtype)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, f_rh, ntx, nty, dtype)
 
-    Xb, ub = boundary_points(cfg, rng)
+    Xb, ub = boundary_points(cfg, rng, u_ex)
 
     # PINN-mode residual collocation points (Poisson-2D.py:350-356).
     Xf = lhs_box([cfg.domain_x, cfg.domain_y], cfg.n_residual, rng)
-    ff = f_rhs(Xf[:, 0:1], Xf[:, 1:2])
+    ff = f_rh(Xf[:, 0:1], Xf[:, 1:2])
 
     data = {
         "elements": elems,
@@ -144,7 +149,7 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
     yt = np.arange(cfg.domain_y[0], cfg.domain_y[1] + 0.01, 0.01)
     XT, YT = np.meshgrid(xt, yt)
     test_points = np.stack([XT.reshape(-1), YT.reshape(-1)], axis=-1)
-    test_values = u_exact(test_points[:, 0:1], test_points[:, 1:2])
+    test_values = u_ex(test_points[:, 0:1], test_points[:, 1:2])
 
     return Problem(
         name="poisson2d",
@@ -153,7 +158,7 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None) -> Probl
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, dtype=dtype),
-        exact=u_exact,
+        exact=u_ex,
         test_points=test_points,
         test_values=test_values,
         extras={"mesh": mesh, "test_grid_shape": (len(yt), len(xt))},

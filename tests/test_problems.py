@@ -5,6 +5,7 @@ Budgets are kept CPU-small; thresholds are calibrated loose (these are smoke
 convergence tests — the full configs-of-record run in the benchmark harness).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -131,3 +132,48 @@ def test_build_dispatch():
     assert hv.build(hv.AdvDiffConfig()).name == "advdiff"
     with pytest.raises(TypeError):
         hv.build(object())
+
+
+@pytest.mark.slow
+def test_custom_manufactured_solution_1d():
+    """build() accepts user u/f overrides — custom PDEs without editing the
+    library (the reference requires editing driver constants)."""
+    from hpvpinns_tpu.problems import poisson1d
+
+    prob = poisson1d.build(
+        hv.Poisson1DConfig(
+            dtype="float64", n_quad=20, n_test=10, layers=(1, 12, 12, 1),
+            train=hv.TrainConfig(iterations=2000, lbfgs_iterations=500, check_every=200),
+        ),
+        u_fn=lambda x: x**3,
+        f_fn=lambda x: -6 * x,
+    )
+    res = hv.train(prob, verbose=False)
+    assert hv.evaluate_problem(prob, res.params)["rel_l2"] < 1e-4
+
+
+def test_custom_manufactured_solution_2d_builds():
+    from hpvpinns_tpu.problems import poisson2d
+
+    u = lambda x, y: x * y
+    f = lambda x, y: 0.0 * x * y  # Delta(xy) = 0
+    prob = poisson2d.build(
+        hv.Poisson2DConfig(dtype="float64", n_quad=5, layers=(2, 6, 1),
+                           train=hv.TrainConfig(iterations=20, check_every=10)),
+        u_fn=u, f_fn=f,
+    )
+    np.testing.assert_allclose(np.asarray(prob.data["elements"].f_proj), 0.0, atol=1e-14)
+    res = hv.train(prob, verbose=False)
+    assert np.isfinite(res.final_aux["loss"])
+
+
+def test_bfloat16_trains():
+    """bf16 is supported end to end (convergence is slower — see
+    benchmarks/MEASUREMENTS.md; f32 with HIGHEST-precision matmuls is the
+    accuracy-sane default)."""
+    cfg = hv.Poisson2DConfig(dtype="bfloat16", n_quad=5, layers=(2, 6, 1),
+                             train=hv.TrainConfig(iterations=30, check_every=10))
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert np.isfinite(res.final_aux["loss"])
+    assert prob.data["xb"].dtype == jnp.bfloat16
