@@ -36,7 +36,6 @@ def build_bench_problem():
 
 def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -> dict:
     import jax
-    import optax
 
     import hpvpinns_tpu as hv
 

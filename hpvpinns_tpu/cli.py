@@ -19,8 +19,6 @@ import dataclasses
 import json
 import sys
 
-import numpy as np
-
 from hpvpinns_tpu import config as cfgmod
 
 

@@ -17,8 +17,7 @@ more accumulation precision than bf16 MXU passes give by default.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Sequence
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

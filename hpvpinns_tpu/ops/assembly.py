@@ -27,7 +27,6 @@ import dataclasses
 from dataclasses import dataclass
 
 import jax
-import jax.numpy as jnp
 
 from hpvpinns_tpu.ops.contract import contract_1d, contract_2d
 from hpvpinns_tpu.ops.fields import scalar_fields_1d, scalar_fields_2d

@@ -21,7 +21,6 @@ XLA-vs-Pallas numbers that motivated keeping the contraction in XLA.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
 
-import jax
 import numpy as np
 
 from hpvpinns_tpu.models.mlp import MLP, init_mlp, mlp_apply

@@ -18,8 +18,6 @@ import dataclasses
 import json
 from typing import Optional, Sequence
 
-import numpy as np
-
 import hpvpinns_tpu as hv
 
 

@@ -79,6 +79,29 @@ def _build_lbfgs_chunk(loss_fn: Callable, opt, n_steps: int):
     return jax.jit(chunk)
 
 
+def _build_stepwise_chunk(loss_fn: Callable, opt, n_steps: int):
+    """Fallback chunk: n_steps single-step jit dispatches (no lax.scan).
+
+    Some XLA TPU builds crash compiling large scan-of-step graphs (observed:
+    SIGILL in the fusion cost model for wide-MLP chunks); the single-step
+    graph compiles fine and dispatches pipeline back-to-back, costing only
+    per-launch overhead.
+    """
+
+    @jax.jit
+    def step(params, opt_state, data):
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, data)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, aux
+
+    def chunk(params, opt_state, data):
+        for _ in range(n_steps):
+            params, opt_state, aux = step(params, opt_state, data)
+        return params, opt_state, aux
+
+    return chunk
+
+
 def _build_chunk(loss_fn: Callable, opt: optax.GradientTransformation, n_steps: int):
     """Jitted scan over n_steps optimizer updates; returns last step's aux."""
 
@@ -155,11 +178,22 @@ def train(
         nonlocal stopped, best_params, min_loss
         chunk_fn = build_chunk(loss_fn, opt, check)
         end = state["it"] + n_iters
+        first_call = True
         while state["it"] < end:
             n = min(check, end - state["it"])
             if n != check:
                 chunk_fn = build_chunk(loss_fn, opt, n)
-            params, opt_state, aux = chunk_fn(params, opt_state, data)
+            try:
+                params, opt_state, aux = chunk_fn(params, opt_state, data)
+            except Exception as err:  # XLA scan-compile crash fallback
+                if not (first_call and build_chunk is _build_chunk and "compile" in str(err).lower()):
+                    raise
+                if verbose:
+                    print(f"scan-chunk compile failed ({str(err)[:80]}); falling back to per-step jit")
+                build_chunk = _build_stepwise_chunk
+                chunk_fn = build_chunk(loss_fn, opt, n)
+                params, opt_state, aux = chunk_fn(params, opt_state, data)
+            first_call = False
             it = state["it"] = state["it"] + n
 
             aux_host = {k: float(v) for k, v in aux.items()}  # device sync

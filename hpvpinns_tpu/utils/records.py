@@ -9,7 +9,6 @@ compressed ``.npz``) for any problem, and `load_record` reads either back.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ function is called.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

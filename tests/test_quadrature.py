@@ -1,8 +1,6 @@
 """Quadrature rules vs scipy oracles and polynomial-exactness properties
 (reference C3, Utilities/GaussJacobiQuadRule_V3.py:38-61)."""
 
-import math
-
 import numpy as np
 import pytest
 import scipy.special as sps
