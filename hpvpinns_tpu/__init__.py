@@ -28,6 +28,7 @@ from hpvpinns_tpu.config import (
     AdvDiffConfig,
     Poisson1DConfig,
     Poisson2DConfig,
+    Poisson3DConfig,
     TrainConfig,
     advdiff_of_record,
     poisson1d_of_record,

@@ -83,6 +83,31 @@ class Poisson2DConfig:
 
 
 @dataclass(frozen=True)
+class Poisson3DConfig:
+    """3D Poisson Delta u = f on [-1, 1]^3 — no reference analog; the
+    volumetric generalization of the tensor-product architecture."""
+
+    layers: Tuple[int, ...] = (3, 20, 20, 20, 1)
+    activation: str = "tanh"
+    var_form: int = 1  # 0 | 1
+    n_elements_x: int = 2
+    n_elements_y: int = 2
+    n_elements_z: int = 2
+    n_test_x: int = 5
+    n_test_y: int = 5
+    n_test_z: int = 5
+    n_quad: int = 8  # per axis per element
+    n_bound: int = 100  # boundary points per face (6 faces)
+    lossb_weight: float = 10.0
+    domain_x: Tuple[float, float] = (-1.0, 1.0)
+    domain_y: Tuple[float, float] = (-1.0, 1.0)
+    domain_z: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "float32"
+    deriv_mode: str = "taylor"
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(iterations=5001))
+
+
+@dataclass(frozen=True)
 class AdvDiffConfig:
     """Space-time advection-diffusion u_t + V u_x - eps u_xx = 0 on
     [-1, 1] x [0, T], inverse identification of eps (main/AdvDiff-Identification).
@@ -149,6 +174,7 @@ __all__ = [
     "TrainConfig",
     "Poisson1DConfig",
     "Poisson2DConfig",
+    "Poisson3DConfig",
     "AdvDiffConfig",
     "poisson1d_of_record",
     "poisson2d_of_record",

@@ -204,3 +204,66 @@ def variational_loss(res: jax.Array, mask: jax.Array, n_test: jax.Array) -> jax.
     res2 = (res * mask) ** 2
     per_elem = res2.reshape(res.shape[0], -1).sum(axis=1) / n_test
     return per_elem.sum()
+
+
+@dataclass(frozen=True)
+class Elements3D:
+    """Per-element geometry + targets for a tensor-product 3D assembly.
+
+    x, y, z: [E, Qz, Qy, Qx] physical quadrature points (z slowest, x
+    fastest); jac_*: [E] per-axis jacobians; f_proj/mask: [E, M, K, R];
+    n_test: [E].  (No reference analog — 3D generalization.)
+    """
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    jac_x: jax.Array
+    jac_y: jax.Array
+    jac_z: jax.Array
+    f_proj: jax.Array
+    mask: jax.Array
+    n_test: jax.Array
+
+
+_register(Elements3D)
+
+
+def poisson3d_residual(
+    u_fn, elems: Elements3D, bx: Basis1D, by: Basis1D, bz: Basis1D, var_form: int, fields_fn=None
+):
+    """Res[e, m, k, r] for Delta u = f on tensor-product 3D elements —
+    the volumetric generalization of poisson2d_residual (same f = Delta u
+    convention and form numbering 0/1).
+
+    var_form 0:  U = jac * C(phi_r, phi_k, phi_m, u_xx + u_yy + u_zz)
+    var_form 1:  U = -(jac/jac_x) C(phi'_r, phi_k, phi_m, u_x)
+                     -(jac/jac_y) C(phi_r, phi'_k, phi_m, u_y)
+                     -(jac/jac_z) C(phi_r, phi_k, phi'_m, u_z)
+    """
+    from hpvpinns_tpu.ops.contract import contract_3d
+
+    with jax.named_scope("vpinn_fields_3d"):
+        if fields_fn is None:
+            from hpvpinns_tpu.ops.fields import scalar_fields_3d
+
+            flds = scalar_fields_3d(u_fn, elems.x, elems.y, elems.z, second=(var_form == 0))
+        else:
+            flds = fields_fn(elems.x, elems.y, elems.z, second=(var_form == 0))
+    jac = (elems.jac_x * elems.jac_y * elems.jac_z)[:, None, None, None]
+    if var_form == 0:
+        U = jac * contract_3d(
+            bx.wphi, by.wphi, bz.wphi, flds["uxx"] + flds["uyy"] + flds["uzz"]
+        )
+    elif var_form == 1:
+        jx = (elems.jac_y * elems.jac_z)[:, None, None, None]
+        jy = (elems.jac_x * elems.jac_z)[:, None, None, None]
+        jz = (elems.jac_x * elems.jac_y)[:, None, None, None]
+        U = -(
+            jx * contract_3d(bx.wdphi, by.wphi, bz.wphi, flds["ux"])
+            + jy * contract_3d(bx.wphi, by.wdphi, bz.wphi, flds["uy"])
+            + jz * contract_3d(bx.wphi, by.wphi, bz.wdphi, flds["uz"])
+        )
+    else:
+        raise ValueError(f"Poisson-3D var_form must be 0 or 1; got {var_form}")
+    return U - elems.f_proj

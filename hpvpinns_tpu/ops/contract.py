@@ -49,3 +49,19 @@ def contract_2d(wphi_x: jax.Array, wphi_y: jax.Array, g: jax.Array) -> jax.Array
     """
     t = jnp.einsum("rx,...yx->...yr", wphi_x, g, precision=_PREC)
     return jnp.einsum("ky,...yr->...kr", wphi_y, t, precision=_PREC)
+
+
+def contract_3d(
+    wphi_x: jax.Array, wphi_y: jax.Array, wphi_z: jax.Array, g: jax.Array
+) -> jax.Array:
+    """Sum-factorized 3D tensor-product contraction (no reference analog —
+    the architecture's generalization of contract_2d to volumetric elements).
+
+    wphi_x: [R, Qx] (fast axis), wphi_y: [K, Qy], wphi_z: [M, Qz] (slow axis).
+    g: [..., Qz, Qy, Qx].
+    Returns U[..., M, K, R]; three batched matmuls instead of the O(Q^3 N^3)
+    dense table a naive tensor-product loop would materialize.
+    """
+    t = jnp.einsum("rx,...zyx->...zyr", wphi_x, g, precision=_PREC)
+    t = jnp.einsum("ky,...zyr->...zkr", wphi_y, t, precision=_PREC)
+    return jnp.einsum("mz,...zkr->...mkr", wphi_z, t, precision=_PREC)

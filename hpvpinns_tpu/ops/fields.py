@@ -15,6 +15,7 @@ reference's PDE operators).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from hpvpinns_tpu.ops.derivatives import coord_tangent, dir_deriv, value_and_dir_derivs2
@@ -59,4 +60,24 @@ def scalar_fields_2d(u_fn, x, y, *, second_y: bool = True, first_y_only: bool = 
         _, uy, uyy = value_and_dir_derivs2(u_fn, X, vy)
         out["uy"] = uy.reshape(shape)
         out["uyy"] = uyy.reshape(shape)
+    return out
+
+
+def scalar_fields_3d(u_fn, x, y, z, *, second: bool = True):
+    """Network value and per-axis derivatives at 3D points [..., Qz, Qy, Qx].
+
+    Returns {'u','ux','uy','uz'} plus {'uxx','uyy','uzz'} when `second`.
+    """
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+    out = {}
+    for k, name1, name2 in ((0, "ux", "uxx"), (1, "uy", "uyy"), (2, "uz", "uzz")):
+        v = coord_tangent(X, k)
+        if second:
+            u, d1, d2 = value_and_dir_derivs2(u_fn, X, v)
+            out[name2] = d2.reshape(shape)
+        else:
+            u, d1 = jax.jvp(u_fn, (X,), (v,))
+        out[name1] = d1.reshape(shape)
+    out["u"] = u.reshape(shape)
     return out

@@ -113,3 +113,17 @@ def taylor_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_
         return out
     u, (ux,), (uxx,) = mlp_fields(spec, params, X, (0,))
     return {"u": u.reshape(shape), "ux": ux.reshape(shape), "uxx": uxx.reshape(shape)}
+
+
+def taylor_fields_3d(spec: MLP, params, x, y, z, *, second: bool = True):
+    """Fused-propagation twin of ops.fields.scalar_fields_3d."""
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+    u, firsts, seconds = mlp_fields(spec, params, X, (0, 1, 2))
+    out = {"u": u.reshape(shape)}
+    for name, arr in zip(("ux", "uy", "uz"), firsts):
+        out[name] = arr.reshape(shape)
+    if second:
+        for name, arr in zip(("uxx", "uyy", "uzz"), seconds):
+            out[name] = arr.reshape(shape)
+    return out

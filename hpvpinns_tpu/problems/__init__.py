@@ -1,21 +1,29 @@
-from hpvpinns_tpu.problems import advdiff, poisson1d, poisson2d
+from hpvpinns_tpu.problems import advdiff, poisson1d, poisson2d, poisson3d
 from hpvpinns_tpu.problems.base import Problem
 
 _BUILDERS = {
     "poisson1d": poisson1d.build,
     "poisson2d": poisson2d.build,
+    "poisson3d": poisson3d.build,
     "advdiff": advdiff.build,
 }
 
 
 def build(config) -> Problem:
     """Dispatch on config type (Poisson1DConfig / Poisson2DConfig / AdvDiffConfig)."""
-    from hpvpinns_tpu.config import AdvDiffConfig, Poisson1DConfig, Poisson2DConfig
+    from hpvpinns_tpu.config import (
+        AdvDiffConfig,
+        Poisson1DConfig,
+        Poisson2DConfig,
+        Poisson3DConfig,
+    )
 
     if isinstance(config, Poisson1DConfig):
         return poisson1d.build(config)
     if isinstance(config, Poisson2DConfig):
         return poisson2d.build(config)
+    if isinstance(config, Poisson3DConfig):
+        return poisson3d.build(config)
     if isinstance(config, AdvDiffConfig):
         return advdiff.build(config)
     raise TypeError(f"unknown problem config type: {type(config).__name__}")

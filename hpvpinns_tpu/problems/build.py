@@ -129,3 +129,58 @@ def build_elements_2d(
         mask=jnp.asarray(mask, dtype=dtype),
         n_test=jnp.asarray(n_test, dtype=dtype),
     )
+
+
+def build_elements_3d(
+    mesh,
+    xq: np.ndarray,
+    wq: np.ndarray,
+    f_fn,
+    n_test_x: int,
+    n_test_y: int,
+    n_test_z: int,
+    dtype,
+):
+    """3D element batch with RHS projections (volumetric generalization of
+    build_elements_2d; same quadrature rule on every axis).
+
+    F[e, m, k, r] = jac_e * sum_q wx wy wz f(x,y,z) phi_r(xi) phi_k(eta) phi_m(zeta)
+    """
+    from hpvpinns_tpu.ops.assembly import Elements3D
+
+    xq = np.asarray(xq, dtype=np.float64).reshape(-1)
+    wq = np.asarray(wq, dtype=np.float64).reshape(-1)
+    tbx = make_test_basis(n_test_x, xq)
+    tby = make_test_basis(n_test_y, xq)
+    tbz = make_test_basis(n_test_z, xq)
+
+    X, Y, Z = mesh.map_points(xq, xq, xq)  # [E, Qz, Qy, Qx]
+    jx, jy, jz = mesh.jacobians()
+    E = mesh.n_elem
+
+    w = wq[None, :]
+    if f_fn is None:
+        f_proj = np.zeros((E, n_test_z, n_test_y, n_test_x))
+    else:
+        f_vals = f_fn(X, Y, Z)
+        t = np.einsum("rx,ezyx->ezyr", tbx.phi * w, f_vals)
+        t = np.einsum("ky,ezyr->ezkr", tby.phi * w, t)
+        f_proj = (jx * jy * jz)[:, None, None, None] * np.einsum(
+            "mz,ezkr->emkr", tbz.phi * w, t
+        )
+    mask = np.ones_like(f_proj)
+    n_test = np.full(E, float(n_test_x * n_test_y * n_test_z))
+
+    import jax.numpy as jnp
+
+    return Elements3D(
+        x=jnp.asarray(X, dtype=dtype),
+        y=jnp.asarray(Y, dtype=dtype),
+        z=jnp.asarray(Z, dtype=dtype),
+        jac_x=jnp.asarray(jx, dtype=dtype),
+        jac_y=jnp.asarray(jy, dtype=dtype),
+        jac_z=jnp.asarray(jz, dtype=dtype),
+        f_proj=jnp.asarray(f_proj, dtype=dtype),
+        mask=jnp.asarray(mask, dtype=dtype),
+        n_test=jnp.asarray(n_test, dtype=dtype),
+    )
