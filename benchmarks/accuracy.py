@@ -125,9 +125,9 @@ def main():
         run(
             "poisson2d_quality",
             hv.Poisson2DConfig(
-                layers=(2, 32, 32, 32, 32, 1), n_test_x=10, n_test_y=10, n_quad=16,
+                layers=(2, 48, 48, 48, 48, 1), n_test_x=10, n_test_y=10, n_quad=16,
                 train=hv.TrainConfig(
-                    iterations=10000 // q, lbfgs_iterations=15000 // q, check_every=1000
+                    iterations=10000 // q, lbfgs_iterations=20000 // q, check_every=1000
                 ),
             ),
         )

@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     p2.add_argument("--n-residual", type=int, dest="n_residual")
     _add_common_flags(p2)
 
+    p3d = runsub.add_parser("poisson3d", help="3D Poisson hp-VPINN (beyond reference)")
+    for flag in ("x", "y", "z"):
+        p3d.add_argument(f"--n-elements-{flag}", type=int, dest=f"n_elements_{flag}")
+        p3d.add_argument(f"--n-test-{flag}", type=int, dest=f"n_test_{flag}")
+    p3d.add_argument("--n-bound", type=int, dest="n_bound")
+    _add_common_flags(p3d)
+
     p3 = runsub.add_parser("advdiff", help="inverse advection-diffusion (main/AdvDiff-Identification)")
     p3.add_argument("--n-elements-x", type=int, dest="n_elements_x")
     p3.add_argument("--n-elements-t", type=int, dest="n_elements_t")
@@ -99,6 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
 _PRESETS = {
     "poisson1d": cfgmod.poisson1d_of_record,
     "poisson2d": cfgmod.poisson2d_of_record,
+    "poisson3d": cfgmod.Poisson3DConfig,
     "advdiff": cfgmod.advdiff_of_record,
 }
 
