@@ -108,7 +108,9 @@ def _pad_params(spec: MLP, params, dtype):
 @functools.partial(
     jax.jit, static_argnames=("spec", "n_dirs", "second", "block_points")
 )
-def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_points: int = 2048):
+def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_points: int = 1024):
+    # 1024-point blocks keep the [BP, n_fields*128] output block + propagated
+    # hidden states inside the 16 MB VMEM budget at width-128 layers.
     """u + derivative fields at X [P, d]: returns [P, F] with
     F = 1 + n_dirs * (2 if second else 1) columns (u, firsts..., seconds...)."""
     dtype = X.dtype
@@ -167,6 +169,9 @@ def _fields_fwd(spec, params, X, n_dirs, second):
 
 def _fields_bwd(spec, n_dirs, second, res, g):
     params, X = res
+    if second and spec.activation in ("sin", "tanh"):
+        return _pallas_fields_bwd(spec, params, X, g, n_dirs)
+    # fallback: VJP of the XLA Taylor path (covers first_y_only layouts)
     _, vjp = jax.vjp(lambda p, x: _xla_fields_flat(spec, p, x, n_dirs, second), params, X)
     return vjp(g)
 
@@ -196,3 +201,219 @@ def pallas_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_
     if not first_y_only:
         flds["uyy"] = r(4)
     return flds
+
+
+# ---------------------------------------------------------------------------
+# Hand-written fused backward kernel
+# ---------------------------------------------------------------------------
+#
+# Backward of the Taylor propagation in ONE launch per point block: replays
+# the forward (recompute, nothing stashed from the fwd kernel), storing the
+# per-layer pre-activations z / tangent pre-activations zk, zkk in VMEM
+# scratch, then runs the exact reverse chain.  Weight/bias gradients are
+# accumulated across grid steps (the TPU grid is sequential on a core, so
+# read-modify-write on the output refs is race-free).
+#
+# The reverse rules through one hidden layer (a = act(z), hk' = d1 zk,
+# hkk' = d2 zk^2 + d1 zkk, with d_i = act^{(i)}(z)):
+#   gz    = d1 gh' + sum_d d2 zk_d ghk'_d + sum_d (d3 zk_d^2 + d2 zkk_d) ghkk'_d
+#   gzk_d = d1 ghk'_d + 2 d2 zk_d ghkk'_d
+#   gzkk_d = d1 ghkk'_d
+# then through the linear maps z = h W + b, zk = hk W, zkk = hkk W:
+#   gW += h^T gz + sum_d (hk^T gzk_d + hkk^T gzkk_d);  gb += colsum gz
+#   gh = gz W^T;  ghk_d = gzk_d W^T;  ghkk_d = gzkk_d W^T
+
+
+def _act_all_derivs(name: str, z):
+    """(act, act', act'', act''') — third derivative needed by the backward
+    of the second-derivative propagation."""
+    if name == "sin":
+        s, c = jnp.sin(z), jnp.cos(z)
+        return s, c, -s, -c
+    if name == "tanh":
+        t = jnp.tanh(z)
+        d1 = 1.0 - t * t
+        return t, d1, -2.0 * t * d1, -2.0 * d1 * (1.0 - 3.0 * t * t)
+    raise ValueError(f"pallas fields kernel supports sin/tanh; got {name!r}")
+
+
+def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
+    """refs: W_0..b_{L-1} (inputs), gx_ref, gW_0, gb_0, .., gW_{L-1}, gb_{L-1}
+    (outputs), z_s, zk_s, zkk_s (VMEM scratch [Lh(,D), BP, H])."""
+    n_in = 2 * n_layers
+    wrefs = refs[:n_in]
+    gx_ref = refs[n_in]
+    grefs = refs[n_in + 1 : n_in + 1 + n_in]
+    z_s, zk_s, zkk_s = refs[n_in + 1 + n_in :]
+    Lh = n_layers - 1
+    i = pl.program_id(0)
+
+    dotT_lhs = lambda A, B: jax.lax.dot_general(  # A^T B: [H, out]
+        A, B, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_PREC,
+    )
+    dotT_rhs = lambda A, W: jax.lax.dot_general(  # A W^T: [BP, H]
+        A, W, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_PREC,
+    )
+    dot = lambda A, W: jnp.dot(A, W, preferred_element_type=jnp.float32, precision=_PREC)
+
+    # ---- forward replay, stashing pre-activations in scratch ----
+    h = x_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    hk = [jnp.where(lane == k, 1.0, 0.0).astype(h.dtype) for k in range(n_dirs)]
+    hkk = [jnp.zeros_like(h) for _ in range(n_dirs)]
+    for l in range(Lh):
+        W, b = wrefs[2 * l][:], wrefs[2 * l + 1][:]
+        z = dot(h, W) + b
+        zk = [dot(t, W) for t in hk]
+        zkk = [dot(t, W) for t in hkk]
+        z_s[l] = z
+        for d in range(n_dirs):
+            zk_s[l, d] = zk[d]
+            zkk_s[l, d] = zkk[d]
+        a, d1, d2, _ = _act_all_derivs(activation, z)
+        h = a
+        hk = [d1 * t for t in zk]
+        hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]
+
+    # ---- final (linear) layer ----
+    W_L = wrefs[2 * (n_layers - 1)][:]
+    gu = g_ref[:, 0:128]
+    guk = [g_ref[:, (1 + d) * 128 : (2 + d) * 128] for d in range(n_dirs)]
+    gukk = [
+        g_ref[:, (1 + n_dirs + d) * 128 : (2 + n_dirs + d) * 128]
+        for d in range(n_dirs)
+    ]
+    gW_L = dotT_lhs(h, gu)
+    for d in range(n_dirs):
+        gW_L = gW_L + dotT_lhs(hk[d], guk[d]) + dotT_lhs(hkk[d], gukk[d])
+    gb_L = jnp.sum(gu, axis=0, keepdims=True)
+    gh = dotT_rhs(gu, W_L)
+    ghk = [dotT_rhs(t, W_L) for t in guk]
+    ghkk = [dotT_rhs(t, W_L) for t in gukk]
+
+    def accum(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i > 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    accum(grefs[2 * (n_layers - 1)], gW_L)
+    accum(grefs[2 * (n_layers - 1) + 1], gb_L)
+
+    # ---- reverse hidden layers ----
+    for l in reversed(range(Lh)):
+        z = z_s[l]
+        zk = [zk_s[l, d] for d in range(n_dirs)]
+        zkk = [zkk_s[l, d] for d in range(n_dirs)]
+        _, d1, d2, d3 = _act_all_derivs(activation, z)
+        gz = d1 * gh
+        gzk, gzkk = [], []
+        for d in range(n_dirs):
+            gz = gz + d2 * zk[d] * ghk[d] + (d3 * zk[d] * zk[d] + d2 * zkk[d]) * ghkk[d]
+            gzk.append(d1 * ghk[d] + 2.0 * d2 * zk[d] * ghkk[d])
+            gzkk.append(d1 * ghkk[d])
+
+        # layer inputs (recomputed from the previous layer's pre-activations)
+        if l == 0:
+            h_in = x_ref[:]
+            hk_in = [jnp.where(lane == k, 1.0, 0.0).astype(h_in.dtype) for k in range(n_dirs)]
+            hkk_in = None  # identically zero
+        else:
+            zp = z_s[l - 1]
+            _, p1, p2, _ = _act_all_derivs(activation, zp)
+            h_in = _act_all_derivs(activation, zp)[0]
+            hk_in = [p1 * zk_s[l - 1, d] for d in range(n_dirs)]
+            hkk_in = [
+                p2 * zk_s[l - 1, d] * zk_s[l - 1, d] + p1 * zkk_s[l - 1, d]
+                for d in range(n_dirs)
+            ]
+
+        W = wrefs[2 * l][:]
+        gW = dotT_lhs(h_in, gz)
+        for d in range(n_dirs):
+            gW = gW + dotT_lhs(hk_in[d], gzk[d])
+            if hkk_in is not None:
+                gW = gW + dotT_lhs(hkk_in[d], gzkk[d])
+        gb = jnp.sum(gz, axis=0, keepdims=True)
+        accum(grefs[2 * l], gW)
+        accum(grefs[2 * l + 1], gb)
+
+        gh = dotT_rhs(gz, W)
+        ghk = [dotT_rhs(t, W) for t in gzk]
+        ghkk = [dotT_rhs(t, W) for t in gzkk]
+
+    gx_ref[:] = gh  # tangent seeds are constants: no further X cotangent
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_dirs", "block_points"))
+def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int = 256):
+    # 512-point blocks keep the (1+2D)*Lh scratch stack + IO double buffers
+    # inside the 16 MB VMEM budget (2048 blew the scoped limit by ~3x).
+    """(gparams, gX) for cotangent g [P, n_fields] of _pallas_fields_flat
+    (second=True layout)."""
+    dtype = X.dtype
+    P, d = X.shape
+    n_fields = 1 + 2 * n_dirs
+    Pp = _round_up(P, block_points)
+    din_p = _round_up(d, 128)
+    Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
+    Gp = jnp.zeros((Pp, n_fields * 128), dtype=dtype)
+    for f in range(n_fields):
+        Gp = Gp.at[:P, f * 128].set(g[:, f])
+    padded = _pad_params(spec, params, dtype)
+
+    kernel = functools.partial(
+        _fields_bwd_kernel,
+        activation=spec.activation,
+        n_layers=spec.n_layers,
+        n_dirs=n_dirs,
+    )
+    grid = (Pp // block_points,)
+    in_specs = [
+        pl.BlockSpec((block_points, din_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_points, n_fields * 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [Xp, Gp]
+    for W, b in padded:
+        in_specs.append(pl.BlockSpec(W.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        operands += [W, b]
+
+    out_shape = [jax.ShapeDtypeStruct((Pp, din_p), dtype)]
+    out_specs = [pl.BlockSpec((block_points, din_p), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    for W, b in padded:
+        out_shape.append(jax.ShapeDtypeStruct(W.shape, dtype))
+        out_specs.append(pl.BlockSpec(W.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(b.shape, dtype))
+        out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+
+    Lh = spec.n_layers - 1
+    H = 128  # all propagated widths are lane-tile padded
+    scratch = [
+        pltpu.VMEM((max(Lh, 1), block_points, H), jnp.float32),
+        pltpu.VMEM((max(Lh, 1), n_dirs, block_points, H), jnp.float32),
+        pltpu.VMEM((max(Lh, 1), n_dirs, block_points, H), jnp.float32),
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=jax.default_backend() != "tpu",
+    )(*operands)
+
+    gX = outs[0][:P, :d]
+    gparams = []
+    for l, layer in enumerate(params):
+        gW = outs[1 + 2 * l][: layer["W"].shape[0], : layer["W"].shape[1]]
+        gb = outs[2 + 2 * l][0, : layer["b"].shape[0]]
+        gparams.append({"W": gW, "b": gb})
+    return gparams, gX

@@ -49,14 +49,18 @@ def test_pallas_1d_matches_taylor():
     np.testing.assert_allclose(np.asarray(uxx1), np.asarray(uxx0), rtol=2e-5, atol=1e-4)
 
 
-def test_custom_vjp_backward_is_xla_backward(setup):
+def test_custom_vjp_backward_matches_xla(setup):
+    """fields_flat's custom VJP (the fused Pallas backward kernel for
+    sin/tanh) agrees with the XLA backward to f32 roundoff."""
     spec, params, x, y = setup
     X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
     g = jax.random.normal(jax.random.key(2), (X.shape[0], 5), dtype=jnp.float32)
     gp = jax.grad(lambda p: (fields_flat(spec, p, X, 2, True) * g).sum())(params)
     gx = jax.grad(lambda p: (_xla_fields_flat(spec, p, X, 2, True) * g).sum())(params)
     jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
         gp,
         gx,
     )
@@ -80,3 +84,45 @@ def test_unsupported_activation_raises():
     x = jnp.zeros((1, 8), dtype=jnp.float32)
     with pytest.raises(ValueError, match="sin/tanh"):
         pallas_fields_1d(spec, params, x)
+
+
+def test_fused_backward_kernel_matches_xla_vjp(setup):
+    """The hand-written backward kernel (_pallas_fields_bwd) reproduces the
+    XLA VJP of the Taylor propagation (verified to ~1e-6 f32 on TPU hardware;
+    here in interpret mode)."""
+    from hpvpinns_tpu.ops.pallas_fields import _pallas_fields_bwd
+
+    spec, params, x, y = setup
+    X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    g = jax.random.normal(jax.random.key(7), (X.shape[0], 5), dtype=jnp.float32)
+    gp, gx = _pallas_fields_bwd(spec, params, X, g, 2, block_points=64)
+    _, vjp = jax.vjp(lambda p, xx: _xla_fields_flat(spec, p, xx, 2, True), params, X)
+    gp0, gx0 = vjp(g)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        gp,
+        gp0,
+    )
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx0), rtol=2e-4, atol=1e-5)
+
+
+def test_fused_backward_1d_sin(setup):
+    from hpvpinns_tpu.models.mlp import init_mlp
+    from hpvpinns_tpu.ops.pallas_fields import _pallas_fields_bwd
+
+    spec = MLP(layers=(1, 12, 12, 1), activation="sin")
+    params = init_mlp(spec, jax.random.key(3), dtype=jnp.float32)
+    X = jnp.linspace(-1, 1, 90, dtype=jnp.float32).reshape(-1, 1)
+    g = jax.random.normal(jax.random.key(8), (90, 3), dtype=jnp.float32)
+    gp, gx = _pallas_fields_bwd(spec, params, X, g, 1, block_points=32)
+    _, vjp = jax.vjp(lambda p, xx: _xla_fields_flat(spec, p, xx, 1, True), params, X)
+    gp0, gx0 = vjp(g)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        gp,
+        gp0,
+    )
