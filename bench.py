@@ -52,7 +52,16 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
     chunk = _build_chunk(prob.loss_fn, opt, chunk_len)
 
     data = prob.data
-    for _ in range(max(1, warmup // chunk_len)):
+    try:
+        params, opt_state, aux = chunk(params, opt_state, data)
+    except Exception:
+        # scan-of-steps compile crash on some XLA builds (MEASUREMENTS.md):
+        # fall back to pipelined single-step jit, like the trainer does.
+        from hpvpinns_tpu.training.trainer import _build_stepwise_chunk
+
+        chunk = _build_stepwise_chunk(prob.loss_fn, opt, chunk_len)
+        params, opt_state, aux = chunk(params, opt_state, data)
+    for _ in range(max(1, warmup // chunk_len - 1)):
         params, opt_state, aux = chunk(params, opt_state, data)
     loss = aux["loss"]
     jax.block_until_ready(loss)

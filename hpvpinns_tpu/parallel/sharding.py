@@ -109,7 +109,7 @@ def pad_points(elems, fast_basis, multiple: int):
     efields = {}
     for f in dataclasses.fields(elems):
         arr = getattr(elems, f.name)
-        if f.name in ("x", "y"):
+        if f.name in ("x", "y", "z"):
             efields[f.name] = _pad_trailing(arr, pad, zero=False)
         else:
             efields[f.name] = arr
@@ -149,7 +149,7 @@ def shard_problem(
     def elem_spec(name, arr):
         lead = (axis_name,) + (None,) * (arr.ndim - 1)
         spec = list(lead)
-        if point_axis is not None and name in ("x", "y"):
+        if point_axis is not None and name in ("x", "y", "z"):
             spec[-1] = point_axis
         return P(*spec)
 
