@@ -8,11 +8,11 @@ first/second derivatives along the requested input axes — in ONE Pallas
 launch: hidden states live in VMEM registers between layers, matmuls hit the
 MXU, activation-derivative chains run on the VPU with no materialization.
 
-Scope: forward evaluation (value + fields).  It is wrapped in jax.custom_vjp
-with the XLA Taylor path as the backward rule (hpvpinns recomputes, not
-stashes), so `pallas_fields_*` is a drop-in differentiable replacement for
-`taylor_fields_*`: training losses built on it produce identical gradients
-(the backward pass runs the XLA path).  Select with deriv_mode='pallas'.
+A hand-written backward kernel (_fields_bwd_kernel) completes the pair: the
+custom VJP of `fields_flat` replays the forward in-kernel and runs the exact
+reverse chain in one launch (sin/tanh; other activations fall back to the
+XLA VJP).  `pallas_fields_*` is therefore a drop-in differentiable
+replacement for `taylor_fields_*`; select with deriv_mode='pallas'.
 
 Measured first, per SURVEY.md §7: see benchmarks/MEASUREMENTS.md for the
 XLA-vs-Pallas numbers that motivated keeping the contraction in XLA.

@@ -196,7 +196,6 @@ def shard_map_loss(loss_fn, data: dict, mesh: Mesh, axis_name: str = AXIS):
         return jax.tree.map(lambda _: part, value)
 
     data_specs = {k: spec_like(k, v) for k, v in data.items()}
-    params_spec = None  # filled per call (params structure varies by problem)
 
     def wrapped(params, data):
         pspec = jax.tree.map(lambda _: P(), params)

@@ -33,6 +33,8 @@ def build_record(problem: Problem, result: TrainResult) -> dict:
         if hasattr(mesh, "axis_x"):  # tensor-product mesh
             rec["grid_x"] = mesh.axis_x.grid
             rec["grid_y"] = mesh.axis_y.grid
+            if hasattr(mesh, "axis_z"):
+                rec["grid_z"] = mesh.axis_z.grid
         else:
             rec["grid"] = mesh.grid
     return rec

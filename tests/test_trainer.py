@@ -109,3 +109,19 @@ def test_profiling_time_fn():
     f = jax.jit(lambda x: (x * 2).sum())
     stats = time_fn(f, jnp.ones(128), iters=10, warmup=2)
     assert stats["iters_per_sec"] > 0 and stats["best_s"] <= stats["mean_s"] * 1.01
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.utils.profiling import device_memory_stats, trace
+
+    with trace(str(tmp_path)):
+        jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones(64)))
+    import os
+
+    found = any(f for _, _, fs in os.walk(tmp_path) for f in fs)
+    assert found, "profiler trace produced no files"
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
