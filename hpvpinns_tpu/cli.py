@@ -156,14 +156,21 @@ def _enable_compile_cache():
             pass
 
 
-def cmd_run(args) -> int:
-    import jax
+def _maybe_enable_x64(dtype: str):
+    """float64 configs silently downcast to f32 unless x64 is enabled."""
+    if dtype == "float64":
+        import jax
 
+        jax.config.update("jax_enable_x64", True)
+
+
+def cmd_run(args) -> int:
     import hpvpinns_tpu as hv
 
     _enable_compile_cache()
 
     cfg = _config_from_args(args)
+    _maybe_enable_x64(cfg.dtype)
     prob = hv.build(cfg)
     mesh = None
     if args.mesh:
@@ -171,7 +178,7 @@ def cmd_run(args) -> int:
 
         mesh = element_mesh()
     res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
-    metrics = hv.evaluate_problem(prob, res.params)
+    metrics = hv.evaluate_problem(prob, res.eval_params)
     summary = {
         "problem": prob.name,
         "iterations": res.iterations_run,
@@ -215,6 +222,7 @@ def cmd_sweep(args) -> int:
     cfg = _PRESETS[args.problem]()
     over = {k: v for k, v in vars(args).items() if k in ("n_quad", "dtype") and v is not None}
     cfg = dataclasses.replace(cfg, **over)
+    _maybe_enable_x64(cfg.dtype)
     train_over = {
         k: v for k, v in vars(args).items() if k in ("iterations", "lbfgs_iterations") and v is not None
     }

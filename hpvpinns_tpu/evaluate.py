@@ -25,7 +25,12 @@ def predict(problem: Problem, params, X: Optional[np.ndarray] = None, batch_size
         X = problem.test_points
     X = np.asarray(X)
     dtype = problem.data["xb"].dtype
-    apply = jax.jit(lambda p, x: problem.apply(p, x))
+    # One jitted apply per Problem (cached in extras): repeat predict calls
+    # must not re-trace — compiles are expensive on the remote-compile path.
+    apply = problem.extras.get("_apply_jit")
+    if apply is None:
+        apply = jax.jit(lambda p, x: problem.apply(p, x))
+        problem.extras["_apply_jit"] = apply
     outs = []
     for i in range(0, X.shape[0], batch_size):
         xb = jnp.asarray(X[i : i + batch_size], dtype=dtype)

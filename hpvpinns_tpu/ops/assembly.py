@@ -140,11 +140,13 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
                      -jac_x * C(phi_r, phi'_k, u_y)                 (:98-105;
                  jac/jac_x = jac_y and vice versa)
     var_form 2:  U = jac * [C(phi''_r, phi_k, u) + C(phi_r, phi''_k, u)]
-                 (:108-115 — NOTE: reproduces the reference formula verbatim,
-                 which omits the 1/jac^2 reference-derivative scalings and the
-                 inter-element flux of an exact second integration by parts;
-                 exact only for single-element [-1,1]^2 decompositions. The
-                 configuration of record uses var_form=1.)
+                 (:108-115 — NOTE: reproduces the reference formula verbatim.
+                 It omits the 1/jac^2 reference-derivative scalings AND the
+                 [u dphi] boundary flux of an exact second integration by
+                 parts, so it is a consistent weak form only on a single
+                 [-1,1]^2 element AND for solutions vanishing on the domain
+                 boundary; prefer var_form 0/1 otherwise. The configuration
+                 of record uses var_form=1.)
 
     C(a, b, g) = sum_{qy,qx} w_x a(xi_qx) w_y b(eta_qy) g[qy, qx].
     """

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hpvpinns_tpu.models.mlp import MLP
-from hpvpinns_tpu.ops.taylor import mlp_fields
+from hpvpinns_tpu.ops.taylor import act_derivs, act_derivs3, mlp_fields
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -38,16 +38,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _act_val_d1_d2(name: str, z):
-    if name == "sin":
-        s, c = jnp.sin(z), jnp.cos(z)
-        return s, c, -s
-    if name == "tanh":
-        t = jnp.tanh(z)
-        d1 = 1.0 - t * t
-        return t, d1, -2.0 * t * d1
-    raise ValueError(
-        f"pallas fields kernel supports sin/tanh activations; got {name!r}"
-    )
+    if name not in ("sin", "tanh"):
+        raise ValueError(
+            f"pallas fields kernel supports sin/tanh activations; got {name!r}"
+        )
+    return act_derivs(name, z)
 
 
 def _fields_kernel(x_ref, *refs, activation, n_layers, n_dirs, second: bool):
@@ -92,15 +87,23 @@ def _fields_kernel(x_ref, *refs, activation, n_layers, n_dirs, second: bool):
     out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
+def _padded_width(spec: MLP) -> int:
+    """One uniform lane-tile-padded width for every non-input dimension, so
+    hidden states (and the backward kernel's scratch) share a single shape
+    regardless of per-layer widths."""
+    return _round_up(max(spec.layers[1:]), 128)
+
+
 def _pad_params(spec: MLP, params, dtype):
-    """Pad every layer's width to the f32 lane tile (128) so all kernel
-    matmuls are aligned; zero padding keeps the math exact."""
+    """Pad every layer to [din_p | Hp, Hp] (Hp = _padded_width); zero padding
+    keeps the math exact and all kernel matmuls lane-aligned."""
+    Hp = _padded_width(spec)
     padded = []
-    for layer in params:
+    for l, layer in enumerate(params):
         W, b = layer["W"], layer["b"]
-        pin, pout = _round_up(W.shape[0], 128), _round_up(W.shape[1], 128)
-        Wp = jnp.zeros((pin, pout), dtype=dtype).at[: W.shape[0], : W.shape[1]].set(W)
-        bp = jnp.zeros((1, pout), dtype=dtype).at[0, : b.shape[0]].set(b)
+        pin = _round_up(W.shape[0], 128) if l == 0 else Hp
+        Wp = jnp.zeros((pin, Hp), dtype=dtype).at[: W.shape[0], : W.shape[1]].set(W)
+        bp = jnp.zeros((1, Hp), dtype=dtype).at[0, : b.shape[0]].set(b)
         padded.append((Wp, bp))
     return padded
 
@@ -121,7 +124,8 @@ def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_p
     Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
     padded = _pad_params(spec, params, dtype)
 
-    Fp = n_fields * 128  # one (mostly-zero) lane tile per field column
+    Hp = _padded_width(spec)
+    Fp = n_fields * Hp  # one (mostly-zero) padded-width tile per field column
     kernel = functools.partial(
         _fields_kernel,
         activation=spec.activation,
@@ -147,8 +151,8 @@ def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_p
         out_shape=jax.ShapeDtypeStruct((Pp, Fp), dtype),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(*operands)
-    # Gather lane f*128 of each field tile into a dense [P, n_fields] array.
-    return out[:P, :: 128]
+    # Gather lane f*Hp of each field tile into a dense [P, n_fields] array.
+    return out[:P, ::Hp]
 
 
 def _xla_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool):
@@ -225,16 +229,8 @@ def pallas_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_
 
 
 def _act_all_derivs(name: str, z):
-    """(act, act', act'', act''') — third derivative needed by the backward
-    of the second-derivative propagation."""
-    if name == "sin":
-        s, c = jnp.sin(z), jnp.cos(z)
-        return s, c, -s, -c
-    if name == "tanh":
-        t = jnp.tanh(z)
-        d1 = 1.0 - t * t
-        return t, d1, -2.0 * t * d1, -2.0 * d1 * (1.0 - 3.0 * t * t)
-    raise ValueError(f"pallas fields kernel supports sin/tanh; got {name!r}")
+    """Third-derivative table shared with ops/taylor.py."""
+    return act_derivs3(name, z)
 
 
 def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
@@ -279,10 +275,11 @@ def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
 
     # ---- final (linear) layer ----
     W_L = wrefs[2 * (n_layers - 1)][:]
-    gu = g_ref[:, 0:128]
-    guk = [g_ref[:, (1 + d) * 128 : (2 + d) * 128] for d in range(n_dirs)]
+    Hp = W_L.shape[1]
+    gu = g_ref[:, 0:Hp]
+    guk = [g_ref[:, (1 + d) * Hp : (2 + d) * Hp] for d in range(n_dirs)]
     gukk = [
-        g_ref[:, (1 + n_dirs + d) * 128 : (2 + n_dirs + d) * 128]
+        g_ref[:, (1 + n_dirs + d) * Hp : (2 + n_dirs + d) * Hp]
         for d in range(n_dirs)
     ]
     gW_L = dotT_lhs(h, gu)
@@ -352,8 +349,8 @@ def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
 
 @functools.partial(jax.jit, static_argnames=("spec", "n_dirs", "block_points"))
 def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int = 256):
-    # 512-point blocks keep the (1+2D)*Lh scratch stack + IO double buffers
-    # inside the 16 MB VMEM budget (2048 blew the scoped limit by ~3x).
+    # 256-point blocks keep the (1+2D)*Lh scratch stack + IO double buffers
+    # inside the 16 MB VMEM budget at width-128 layers.
     """(gparams, gX) for cotangent g [P, n_fields] of _pallas_fields_flat
     (second=True layout)."""
     dtype = X.dtype
@@ -362,9 +359,10 @@ def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int =
     Pp = _round_up(P, block_points)
     din_p = _round_up(d, 128)
     Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
-    Gp = jnp.zeros((Pp, n_fields * 128), dtype=dtype)
+    Hp = _padded_width(spec)
+    Gp = jnp.zeros((Pp, n_fields * Hp), dtype=dtype)
     for f in range(n_fields):
-        Gp = Gp.at[:P, f * 128].set(g[:, f])
+        Gp = Gp.at[:P, f * Hp].set(g[:, f])
     padded = _pad_params(spec, params, dtype)
 
     kernel = functools.partial(
@@ -376,7 +374,7 @@ def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int =
     grid = (Pp // block_points,)
     in_specs = [
         pl.BlockSpec((block_points, din_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_points, n_fields * 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_points, n_fields * Hp), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [Xp, Gp]
     for W, b in padded:
@@ -393,7 +391,7 @@ def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int =
         out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
     Lh = spec.n_layers - 1
-    H = 128  # all propagated widths are lane-tile padded
+    H = _padded_width(spec)  # uniform padded width of every hidden state
     scratch = [
         pltpu.VMEM((max(Lh, 1), block_points, H), jnp.float32),
         pltpu.VMEM((max(Lh, 1), n_dirs, block_points, H), jnp.float32),

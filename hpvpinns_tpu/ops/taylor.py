@@ -34,7 +34,9 @@ from hpvpinns_tpu.models.mlp import MLP
 # Expressed in terms that reuse already-computed quantities where possible.
 
 
-def _act_derivs(name: str, z):
+def act_derivs(name: str, z):
+    """(act, act1, act2) first/second-derivative table — the single source of
+    truth for all derivative engines (taylor and the Pallas kernels)."""
     if name == "sin":
         s, c = jnp.sin(z), jnp.cos(z)
         return s, c, -s
@@ -54,6 +56,19 @@ def _act_derivs(name: str, z):
         d2 = s * (1.0 - s) * (2.0 + z * (1.0 - 2.0 * s))
         return a, d1, d2
     raise ValueError(f"no closed-form derivatives for activation {name!r}")
+
+
+def act_derivs3(name: str, z):
+    """(act, act1, act2, act3) including the third derivative — needed by the
+    backward of second-derivative propagation (sin/tanh only)."""
+    if name == "sin":
+        s, c = jnp.sin(z), jnp.cos(z)
+        return s, c, -s, -c
+    if name == "tanh":
+        t = jnp.tanh(z)
+        d1 = 1.0 - t * t
+        return t, d1, -2.0 * t * d1, -2.0 * d1 * (1.0 - 3.0 * t * t)
+    raise ValueError(f"no third-derivative table for activation {name!r}")
 
 
 def mlp_fields(spec: MLP, params, X, directions):
@@ -79,7 +94,7 @@ def mlp_fields(spec: MLP, params, X, directions):
         z = dot(h, W) + b
         zk = [dot(t, W) for t in hk]
         zkk = [dot(t, W) for t in hkk]
-        a, d1, d2 = _act_derivs(spec.activation, z)
+        a, d1, d2 = act_derivs(spec.activation, z)
         h = a
         hk = [d1 * t for t in zk]
         hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]

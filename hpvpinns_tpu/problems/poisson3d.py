@@ -99,6 +99,11 @@ def build(cfg: Poisson3DConfig, rng: np.random.Generator | None = None, u_fn=Non
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form, wb = cfg.var_form, cfg.lossb_weight
     mode = cfg.deriv_mode
+    if mode not in ("taylor", "jvp"):
+        raise NotImplementedError(
+            f"poisson3d supports deriv_mode 'taylor' or 'jvp'; got {mode!r} "
+            "(the Pallas field kernel is not wired for 3 directions yet)"
+        )
 
     def loss_fn(params, data, axis_name=None):
         u_fn_ = lambda X: mlp_apply(spec, params["net"], X)

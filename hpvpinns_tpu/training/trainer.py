@@ -41,6 +41,13 @@ class TrainResult:
     best_params: Optional[Any] = None
     final_aux: Dict[str, float] = field(default_factory=dict)
 
+    @property
+    def eval_params(self):
+        """Parameters to report: the best snapshot when one was kept (the
+        reference reports the best-loss prediction, AdvDiff.py:327-330),
+        otherwise the final parameters."""
+        return self.best_params if self.best_params is not None else self.params
+
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """Adam with TF1 defaults (Poisson-1D.py:103: lr from config, beta/eps
@@ -94,10 +101,13 @@ def _build_stepwise_chunk(loss_fn: Callable, opt, n_steps: int):
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, aux
 
+    aux_at = jax.jit(lambda params, data: loss_fn(params, data)[1])
+
     def chunk(params, opt_state, data):
         for _ in range(n_steps):
-            params, opt_state, aux = step(params, opt_state, data)
-        return params, opt_state, aux
+            params, opt_state, _ = step(params, opt_state, data)
+        # metrics at the UPDATED params, matching the scan chunk's contract
+        return params, opt_state, aux_at(params, data)
 
     return chunk
 
@@ -229,6 +239,9 @@ def train(
         lbfgs = optax.lbfgs()
         lbfgs_state = lbfgs.init(params)
         params, _ = run_phase(_build_lbfgs_chunk, lbfgs, params, lbfgs_state, cfg.lbfgs_iterations)
+        # The Adam opt_state is stale relative to the L-BFGS-moved params;
+        # a resume from the final checkpoint restarts Adam with fresh moments.
+        opt_state = opt.init(params)
 
     it = state["it"]
     aux_host = state["aux"]

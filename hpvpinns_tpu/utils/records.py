@@ -21,7 +21,7 @@ def build_record(problem: Problem, result: TrainResult) -> dict:
     rec = {
         "x_test": problem.test_points,
         "u_test": problem.test_values,
-        "u_pred": predict(problem, result.params),
+        "u_pred": predict(problem, result.eval_params),
         "total_time_train": np.asarray(result.wall_time_s),
         "iterations": result.history["iteration"],
     }

@@ -188,7 +188,7 @@ def plot_training_points(problem: Problem, outdir: str, fmt: str = "pdf"):
 def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
     """The full per-problem artifact set, dispatched on problem name."""
     paths = [plot_loss_history(result, outdir), plot_training_points(problem, outdir)]
-    params = result.params
+    params = result.eval_params
     if problem.name == "poisson1d":
         paths += plot_1d_solution(problem, params, outdir)
     elif problem.name == "poisson2d":

@@ -126,3 +126,55 @@ def test_fused_backward_1d_sin(setup):
         gp,
         gp0,
     )
+
+
+def test_wide_and_mixed_width_gradients():
+    """Widths > 128 and mixed widths pad to one uniform tile width; the
+    backward kernel's scratch must follow (regression for a hardcoded
+    H=128 that crashed MLP(2,256,1) gradients)."""
+    from hpvpinns_tpu.models.mlp import init_mlp
+
+    for layers, nd, nf in (((2, 256, 1), 2, 5), ((1, 200, 40, 1), 1, 3)):
+        spec = MLP(layers=layers, activation="tanh")
+        params = init_mlp(spec, jax.random.key(0), dtype=jnp.float32)
+        X = jax.random.uniform(jax.random.key(1), (64, layers[0]), dtype=jnp.float32)
+        g = jax.random.normal(jax.random.key(2), (64, nf), dtype=jnp.float32)
+        gp = jax.grad(lambda p: (fields_flat(spec, p, X, nd, True) * g).sum())(params)
+        gx = jax.grad(lambda p: (_xla_fields_flat(spec, p, X, nd, True) * g).sum())(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4
+            ),
+            gp,
+            gx,
+        )
+
+
+def test_poisson3d_rejects_pallas_mode():
+    import hpvpinns_tpu as hv
+
+    with pytest.raises(NotImplementedError, match="poisson3d"):
+        hv.build(hv.Poisson3DConfig(deriv_mode="pallas"))
+
+
+def test_stepwise_chunk_aux_is_post_update():
+    """Fallback chunk must report metrics at the UPDATED params, matching
+    the scan chunk's contract (threshold stop / best-snapshot correctness)."""
+    import optax
+
+    import hpvpinns_tpu as hv
+    from hpvpinns_tpu.training.trainer import (
+        _build_chunk,
+        _build_stepwise_chunk,
+        make_optimizer,
+    )
+
+    prob = hv.build(hv.Poisson1DConfig(dtype="float64", n_quad=8, n_test=4, layers=(1, 6, 1)))
+    opt = make_optimizer(hv.TrainConfig())
+    params = prob.init_params(jax.random.key(0))
+    st = opt.init(params)
+    p1, s1, aux1 = _build_chunk(prob.loss_fn, opt, 5)(params, st, prob.data)
+    params = prob.init_params(jax.random.key(0))
+    st = opt.init(params)
+    p2, s2, aux2 = _build_stepwise_chunk(prob.loss_fn, opt, 5)(params, st, prob.data)
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-10)
