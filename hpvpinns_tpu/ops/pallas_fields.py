@@ -415,3 +415,16 @@ def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int =
         gb = outs[2 + 2 * l][0, : layer["b"].shape[0]]
         gparams.append({"W": gW, "b": gb})
     return gparams, gX
+
+
+def pallas_fields_3d(spec: MLP, params, x, y, z, *, second: bool = True):
+    """Fused-kernel twin of taylor_fields_3d (the kernels are
+    direction-generic; n_dirs=3 gives 7 field columns)."""
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+    out = fields_flat(spec, params, X, 3, True)
+    r = lambda c: out[:, c].reshape(shape)
+    flds = {"u": r(0), "ux": r(1), "uy": r(2), "uz": r(3)}
+    if second:
+        flds.update({"uxx": r(4), "uyy": r(5), "uzz": r(6)})
+    return flds

@@ -99,17 +99,18 @@ def build(cfg: Poisson3DConfig, rng: np.random.Generator | None = None, u_fn=Non
     spec = MLP(layers=cfg.layers, activation=cfg.activation)
     var_form, wb = cfg.var_form, cfg.lossb_weight
     mode = cfg.deriv_mode
-    if mode not in ("taylor", "jvp"):
-        raise NotImplementedError(
-            f"poisson3d supports deriv_mode 'taylor' or 'jvp'; got {mode!r} "
-            "(the Pallas field kernel is not wired for 3 directions yet)"
-        )
+    if mode not in ("taylor", "jvp", "pallas"):
+        raise ValueError(f"unknown deriv_mode {mode!r}")
 
     def loss_fn(params, data, axis_name=None):
         u_fn_ = lambda X: mlp_apply(spec, params["net"], X)
         el = data["elements"]
         if mode == "taylor":
             fields_fn = lambda x, y, z, **kw: taylor_fields_3d(spec, params["net"], x, y, z, **kw)
+        elif mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_3d
+
+            fields_fn = lambda x, y, z, **kw: pallas_fields_3d(spec, params["net"], x, y, z, **kw)
         else:
             fields_fn = None
         res = poisson3d_residual(

@@ -150,11 +150,30 @@ def test_wide_and_mixed_width_gradients():
         )
 
 
-def test_poisson3d_rejects_pallas_mode():
+def test_poisson3d_pallas_mode_matches_taylor():
+    import dataclasses
+
     import hpvpinns_tpu as hv
 
-    with pytest.raises(NotImplementedError, match="poisson3d"):
-        hv.build(hv.Poisson3DConfig(deriv_mode="pallas"))
+    cfg = hv.Poisson3DConfig(n_quad=4, n_test_x=2, n_test_y=2, n_test_z=2, layers=(3, 8, 1))
+    pt = hv.build(dataclasses.replace(cfg, deriv_mode="taylor"))
+    pp = hv.build(dataclasses.replace(cfg, deriv_mode="pallas"))
+    params = pt.init_params(jax.random.key(0))
+    lt, _ = pt.loss_fn(params, pt.data)
+    lp, _ = pp.loss_fn(params, pp.data)
+    np.testing.assert_allclose(float(lt), float(lp), rtol=1e-5)
+    gt = jax.grad(lambda p: pt.loss_fn(p, pt.data)[0])(params)
+    gp = jax.grad(lambda p: pp.loss_fn(p, pp.data)[0])(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        ),
+        gp,
+        gt,
+    )
+
+    with pytest.raises(ValueError, match="deriv_mode"):
+        hv.build(hv.Poisson3DConfig(deriv_mode="bogus"))
 
 
 def test_stepwise_chunk_aux_is_post_update():
