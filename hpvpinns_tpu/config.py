@@ -40,6 +40,8 @@ class Poisson1DConfig:
 
     layers: Tuple[int, ...] = (1, 20, 20, 20, 20, 1)
     activation: str = "sin"  # Poisson-1D.py:134
+    adaptive_slope: bool = False  # trainable per-layer activation slope (the
+    # reference creates-but-never-uses this, Poisson-1D.py:117)
     var_form: int = 1  # 1 | 2 | 3 (zero/one/two integrations by parts)
     n_elements: int = 1
     grid: Optional[Tuple[float, ...]] = None  # non-uniform override
@@ -63,6 +65,8 @@ class Poisson2DConfig:
 
     layers: Tuple[int, ...] = (2, 5, 5, 5, 1)
     activation: str = "tanh"  # Poisson-2D.py:165
+    adaptive_slope: bool = False  # trainable per-layer activation slope (the
+    # reference creates-but-never-uses this, Poisson-1D.py:117)
     scheme: str = "VPINNs"  # 'VPINNs' | 'PINNs' (Poisson-2D.py:126-129)
     var_form: int = 1  # 0 | 1 | 2
     n_elements_x: int = 4
@@ -90,6 +94,8 @@ class Poisson3DConfig:
     layers: Tuple[int, ...] = (3, 20, 20, 20, 1)
     activation: str = "tanh"
     var_form: int = 1  # 0 | 1
+    adaptive_slope: bool = False  # trainable per-layer activation slope (the
+    # reference creates-but-never-uses this, Poisson-1D.py:117)
     n_elements_x: int = 2
     n_elements_y: int = 2
     n_elements_z: int = 2
@@ -115,6 +121,8 @@ class AdvDiffConfig:
 
     layers: Tuple[int, ...] = (2, 5, 5, 5, 1)
     activation: str = "tanh"  # AdvDiff.py:226
+    adaptive_slope: bool = False  # trainable per-layer activation slope (the
+    # reference creates-but-never-uses this, Poisson-1D.py:117)
     var_form: int = 0  # 0 | 1 (AdvDiff.py:38)
     n_elements_x: int = 1
     n_elements_t: int = 1

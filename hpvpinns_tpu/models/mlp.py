@@ -3,10 +3,13 @@
 Reproduces the reference network family (Poisson-1D.py:110-142): Xavier
 truncated-normal init with std = sqrt(2/(fan_in+fan_out)), zero biases,
 `sin` (1D Poisson) or `tanh` (2D Poisson / AdvDiff) hidden activation, and a
-linear output layer.  The reference's per-layer adaptive-activation slope
-`a=0.01` is created but never used (Poisson-1D.py:117,134) — we support it
-properly as an optional trainable slope (activation(a * 20 * z) family is NOT
-replicated since the reference never exercises it; slope defaults to fixed 1).
+linear output layer.  The reference creates a per-layer adaptive-activation
+slope `a=0.01` but never uses it (Poisson-1D.py:117,134); here the idea is
+implemented properly as an OPT-IN trainable per-layer slope s_l applied as
+activation(s_l * z) (Jagtap-et-al-style adaptive activation), enabled with
+`MLP(adaptive_slope=True)` — the slope leaves train under the same optimizer
+like every other parameter.  Default off, matching the reference's effective
+behavior.
 
 TPU notes: parameters are a flat list of (W, b) so the forward pass is a chain
 of batched matmuls; `mlp_apply` is written for [P, d_in] point batches so
@@ -37,6 +40,7 @@ class MLP:
     layers: tuple
     activation: str = "tanh"
     precision: str = "highest"  # matmul precision for f32 on TPU
+    adaptive_slope: bool = False  # trainable per-layer activation slope s_l
 
     def __post_init__(self):
         object.__setattr__(self, "layers", tuple(int(w) for w in self.layers))
@@ -64,7 +68,10 @@ def init_mlp(spec: MLP, key: jax.Array, dtype=jnp.float32):
             * std
         )
         b = jnp.zeros((fan_out,), dtype=dtype)
-        params.append({"W": W, "b": b})
+        layer = {"W": W, "b": b}
+        if spec.adaptive_slope and l < spec.n_layers - 1:
+            layer["s"] = jnp.asarray(1.0, dtype=dtype)  # activation(s * z)
+        params.append(layer)
     return params
 
 
@@ -74,6 +81,9 @@ def mlp_apply(spec: MLP, params, X):
     prec = jax.lax.Precision(spec.precision)
     H = X
     for layer in params[:-1]:
-        H = act(jnp.dot(H, layer["W"], precision=prec) + layer["b"])
+        z = jnp.dot(H, layer["W"], precision=prec) + layer["b"]
+        if "s" in layer:
+            z = layer["s"] * z
+        H = act(z)
     last = params[-1]
     return jnp.dot(H, last["W"], precision=prec) + last["b"]

@@ -97,6 +97,10 @@ def _padded_width(spec: MLP) -> int:
 def _pad_params(spec: MLP, params, dtype):
     """Pad every layer to [din_p | Hp, Hp] (Hp = _padded_width); zero padding
     keeps the math exact and all kernel matmuls lane-aligned."""
+    if spec.adaptive_slope:
+        raise ValueError(
+            "deriv_mode='pallas' does not support adaptive_slope; use 'taylor'"
+        )
     Hp = _padded_width(spec)
     padded = []
     for l, layer in enumerate(params):

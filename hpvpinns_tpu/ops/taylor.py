@@ -94,7 +94,13 @@ def mlp_fields(spec: MLP, params, X, directions):
         z = dot(h, W) + b
         zk = [dot(t, W) for t in hk]
         zkk = [dot(t, W) for t in hkk]
-        a, d1, d2 = act_derivs(spec.activation, z)
+        if "s" in layer:  # adaptive slope: act(s z) => chain rule gains s, s^2
+            slope = layer["s"]
+            a, d1, d2 = act_derivs(spec.activation, slope * z)
+            d2 = d2 * slope * slope
+            d1 = d1 * slope
+        else:
+            a, d1, d2 = act_derivs(spec.activation, z)
         h = a
         hk = [d1 * t for t in zk]
         hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]

@@ -115,7 +115,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
     var_form, wb, V = cfg.var_form, cfg.lossb_weight, cfg.velocity
     inverse = cfg.inverse
     mode = cfg.deriv_mode

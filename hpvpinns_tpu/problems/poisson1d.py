@@ -75,7 +75,7 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
     var_form = cfg.var_form
     lossb_weight = cfg.lossb_weight
     mode = cfg.deriv_mode

@@ -104,7 +104,7 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None, u_fn=Non
         "ff": jnp.asarray(ff, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
     var_form, scheme, wb = cfg.var_form, cfg.scheme, cfg.lossb_weight
     mode = cfg.deriv_mode
     if scheme not in ("VPINNs", "PINNs"):

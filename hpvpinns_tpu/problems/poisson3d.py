@@ -96,7 +96,7 @@ def build(cfg: Poisson3DConfig, rng: np.random.Generator | None = None, u_fn=Non
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
     var_form, wb = cfg.var_form, cfg.lossb_weight
     mode = cfg.deriv_mode
     if mode not in ("taylor", "jvp", "pallas"):

@@ -74,3 +74,41 @@ def test_losses_and_grads_mode_invariant(problem_cfg):
         gt,
         gj,
     )
+
+
+def test_adaptive_slope_taylor_matches_jvp():
+    """Opt-in trainable activation slope act(s*z): the fused-propagation
+    chain rule (s, s^2 factors) must match generic autodiff."""
+    spec = MLP(layers=(2, 10, 10, 1), activation="tanh", adaptive_slope=True)
+    params = init_mlp(spec, jax.random.key(0), dtype=jnp.float64)
+    params = [dict(l, s=l["s"] * 1.3) if "s" in l else l for l in params]
+    x = jnp.linspace(-1, 1, 12).reshape(1, 3, 4)
+    y = x[:, ::-1] * 0.5
+    u_fn = lambda X: mlp_apply(spec, params, X)
+    f0 = scalar_fields_2d(u_fn, x, y)
+    f1 = taylor_fields_2d(spec, params, x, y)
+    for key in ("u", "ux", "uy", "uxx", "uyy"):
+        np.testing.assert_allclose(
+            np.asarray(f1[key]), np.asarray(f0[key]), rtol=1e-10, atol=1e-12, err_msg=key
+        )
+
+
+def test_adaptive_slope_trains_and_pallas_rejects():
+    import hpvpinns_tpu as hv
+
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_quad=12, n_test=6, layers=(1, 8, 1), adaptive_slope=True,
+        train=hv.TrainConfig(iterations=100, check_every=50),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    slopes = [float(l["s"]) for l in res.params["net"] if "s" in l]
+    assert slopes and any(abs(s - 1.0) > 1e-4 for s in slopes)
+
+    import dataclasses
+
+    with pytest.raises(ValueError, match="adaptive_slope"):
+        bad = hv.build(dataclasses.replace(cfg, deriv_mode="pallas"))
+        import jax
+
+        bad.loss_fn(bad.init_params(jax.random.key(0)), bad.data)
