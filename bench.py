@@ -54,9 +54,11 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
     data = prob.data
     try:
         params, opt_state, aux = chunk(params, opt_state, data)
-    except Exception:
+    except Exception as err:
         # scan-of-steps compile crash on some XLA builds (MEASUREMENTS.md):
         # fall back to pipelined single-step jit, like the trainer does.
+        if "compile" not in str(err).lower():
+            raise
         from hpvpinns_tpu.training.trainer import _build_stepwise_chunk
 
         chunk = _build_stepwise_chunk(prob.loss_fn, opt, chunk_len)

@@ -188,7 +188,8 @@ def cmd_run(args) -> int:
         **metrics,
     }
     if "epsilon" in res.final_aux:
-        summary["epsilon"] = res.final_aux["epsilon"]
+        # report the coefficient belonging to the SAME params as the metrics
+        summary["epsilon"] = float(res.eval_params["pde"]["epsilon"])
         summary["epsilon_true"] = prob.extras["eps_true"]
     print(json.dumps(summary))
 

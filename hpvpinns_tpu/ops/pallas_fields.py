@@ -81,10 +81,11 @@ def _fields_kernel(x_ref, *refs, activation, n_layers, n_dirs, second: bool):
     if second:
         cols += [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hkk]
 
-    # Each col is [BP, 128] (padded output width; lanes >= 1 are exact zeros
-    # because the padding weights/biases are zero). Concatenate along lanes:
-    # field f lives at lane f * 128.
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+    # Each col is [BP, Hp] with the real scalar at lane 0 (padding weights
+    # and biases are zero).  Keep only the first lane tile of each so the
+    # output block stays [BP, n_fields*128] regardless of Hp: field f lives
+    # at lane f * 128.
+    out_ref[:] = jnp.concatenate([c[:, :128] for c in cols], axis=1)
 
 
 def _padded_width(spec: MLP) -> int:
@@ -128,8 +129,7 @@ def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_p
     Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
     padded = _pad_params(spec, params, dtype)
 
-    Hp = _padded_width(spec)
-    Fp = n_fields * Hp  # one (mostly-zero) padded-width tile per field column
+    Fp = n_fields * 128  # one (mostly-zero) lane tile per field column
     kernel = functools.partial(
         _fields_kernel,
         activation=spec.activation,
@@ -155,8 +155,8 @@ def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_p
         out_shape=jax.ShapeDtypeStruct((Pp, Fp), dtype),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(*operands)
-    # Gather lane f*Hp of each field tile into a dense [P, n_fields] array.
-    return out[:P, ::Hp]
+    # Gather lane f*128 of each field tile into a dense [P, n_fields] array.
+    return out[:P, ::128]
 
 
 def _xla_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool):
@@ -232,9 +232,7 @@ def pallas_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_
 #   gh = gz W^T;  ghk_d = gzk_d W^T;  ghkk_d = gzkk_d W^T
 
 
-def _act_all_derivs(name: str, z):
-    """Third-derivative table shared with ops/taylor.py."""
-    return act_derivs3(name, z)
+
 
 
 def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
@@ -272,7 +270,7 @@ def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
         for d in range(n_dirs):
             zk_s[l, d] = zk[d]
             zkk_s[l, d] = zkk[d]
-        a, d1, d2, _ = _act_all_derivs(activation, z)
+        a, d1, d2, _ = act_derivs3(activation, z)
         h = a
         hk = [d1 * t for t in zk]
         hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]
@@ -311,7 +309,7 @@ def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
         z = z_s[l]
         zk = [zk_s[l, d] for d in range(n_dirs)]
         zkk = [zkk_s[l, d] for d in range(n_dirs)]
-        _, d1, d2, d3 = _act_all_derivs(activation, z)
+        _, d1, d2, d3 = act_derivs3(activation, z)
         gz = d1 * gh
         gzk, gzkk = [], []
         for d in range(n_dirs):
@@ -326,8 +324,7 @@ def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
             hkk_in = None  # identically zero
         else:
             zp = z_s[l - 1]
-            _, p1, p2, _ = _act_all_derivs(activation, zp)
-            h_in = _act_all_derivs(activation, zp)[0]
+            h_in, p1, p2, _ = act_derivs3(activation, zp)
             hk_in = [p1 * zk_s[l - 1, d] for d in range(n_dirs)]
             hkk_in = [
                 p2 * zk_s[l - 1, d] * zk_s[l - 1, d] + p1 * zkk_s[l - 1, d]
@@ -426,7 +423,7 @@ def pallas_fields_3d(spec: MLP, params, x, y, z, *, second: bool = True):
     direction-generic; n_dirs=3 gives 7 field columns)."""
     shape = x.shape
     X = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
-    out = fields_flat(spec, params, X, 3, True)
+    out = fields_flat(spec, params, X, 3, second)
     r = lambda c: out[:, c].reshape(shape)
     flds = {"u": r(0), "ux": r(1), "uy": r(2), "uz": r(3)}
     if second:

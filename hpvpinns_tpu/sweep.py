@@ -28,7 +28,7 @@ def _with(cfg, **kw):
 def _run_point(cfg, train_cfg, mesh=None, verbose=False) -> dict:
     prob = hv.build(cfg)
     res = hv.train(prob, train_cfg, mesh=mesh, verbose=verbose)
-    metrics = hv.evaluate_problem(prob, res.params)
+    metrics = hv.evaluate_problem(prob, res.eval_params)
     return {
         "rel_l2": metrics["rel_l2"],
         "max_abs_err": metrics["max_abs_err"],

@@ -1,11 +1,12 @@
 """Driver entry points (__graft_entry__.py) on the virtual CPU mesh."""
 
+import os
 import sys
 
 import jax
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __graft_entry__ as graft  # noqa: E402
 
 
