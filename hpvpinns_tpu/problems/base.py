@@ -36,9 +36,13 @@ class Problem:
     test_points: Optional[np.ndarray] = None  # dense eval grid [P, d]
     test_values: Optional[np.ndarray] = None  # exact u at test_points [P, 1]
     extras: Dict[str, Any] = field(default_factory=dict)
+    apply_override: Optional[Callable] = None  # (params, X) -> u, for
+    # composite ansatzes (e.g. hard-BC lifting u = g + D * N)
 
     def apply(self, params, X):
-        """Network forward on points X: [P, d_in] -> [P, 1]."""
+        """Solution ansatz at points X: [P, d_in] -> [P, 1]."""
+        if self.apply_override is not None:
+            return self.apply_override(params, X)
         return mlp_apply(self.spec, params["net"], X)
 
 

@@ -61,10 +61,33 @@ def boundary_points(cfg: Poisson2DConfig, rng: np.random.Generator, u_ex=u_exact
     return Xb, ub
 
 
-def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None, u_fn=None, f_fn=None) -> Problem:
-    """Build the problem; `u_fn`/`f_fn` override the exact solution and
-    forcing (numpy-vectorized (x, y) -> value; f = Delta u convention,
-    Poisson-2D.py:307-310)."""
+def default_lift(X):
+    """Boundary interpolant g for the benchmark solution: g = x tanh(10)
+    sin(2 pi y) matches u_exact on all four edges (u vanishes at y = +-1)."""
+    return X[:, 0:1] * np.tanh(R1) * jnp.sin(OMEGA_Y * X[:, 1:2])
+
+
+def default_envelope(X):
+    """D(x, y) = (1 - x^2)(1 - y^2): vanishes on the boundary of [-1,1]^2."""
+    return (1.0 - X[:, 0:1] ** 2) * (1.0 - X[:, 1:2] ** 2)
+
+
+def build(
+    cfg: Poisson2DConfig,
+    rng: np.random.Generator | None = None,
+    u_fn=None,
+    f_fn=None,
+    lift_fn=None,
+    envelope_fn=None,
+) -> Problem:
+    """`lift_fn`/`envelope_fn` (jnp-traceable [P,2] -> [P,1]) switch on the
+    hard-BC ansatz u = lift + envelope * N: the boundary condition is exact
+    by construction, the boundary loss vanishes, and all network capacity
+    goes to the PDE (default_lift/default_envelope fit the shipped benchmark
+    solution).  Derivative fields then come from the generic JVP engine (the composite is no longer a bare MLP).
+
+    `u_fn`/`f_fn` override the exact solution and forcing (numpy-vectorized
+    (x, y) -> value; f = Delta u convention, Poisson-2D.py:307-310)."""
     u_ex = u_fn or u_exact
     f_rh = f_fn or f_rhs
     dtype = jnp.dtype(cfg.dtype)
@@ -109,9 +132,19 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None, u_fn=Non
     mode = cfg.deriv_mode
     if scheme not in ("VPINNs", "PINNs"):
         raise ValueError(f"scheme must be 'VPINNs' or 'PINNs'; got {scheme!r}")
+    hard_bc = lift_fn is not None or envelope_fn is not None
+    if hard_bc:
+        lift = lift_fn or default_lift
+        envelope = envelope_fn or default_envelope
+        mode = "jvp"  # composite ansatz: generic autodiff engine
+
+    def make_u_fn(params):
+        if hard_bc:
+            return lambda X: lift(X) + envelope(X) * mlp_apply(spec, params["net"], X)
+        return lambda X: mlp_apply(spec, params["net"], X)
 
     def loss_fn(params, data, axis_name=None):
-        u_fn = lambda X: mlp_apply(spec, params["net"], X)
+        u_fn = make_u_fn(params)
         el = data["elements"]
         ub_pred = u_fn(data["xb"])
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
@@ -158,6 +191,7 @@ def build(cfg: Poisson2DConfig, rng: np.random.Generator | None = None, u_fn=Non
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, dtype=dtype),
+        apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
         exact=u_ex,
         test_points=test_points,
         test_values=test_values,

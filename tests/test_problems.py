@@ -191,3 +191,31 @@ def test_advdiff_inverse_lbfgs_recovers_epsilon():
     res = hv.train(prob, verbose=False)
     eps_true = prob.extras["eps_true"]
     assert abs(res.final_aux["epsilon"] - eps_true) / eps_true < 0.2
+
+
+def test_hard_bc_ansatz():
+    """Boundary lifting u = g + D*N: BC exact by construction (lossb ~ 0 at
+    any params), predict() uses the composite, training improves the PDE
+    residual. On-chip quality run reached rel-L2 3.1e-4 (MEASUREMENTS.md)."""
+    import jax
+
+    from hpvpinns_tpu.problems import poisson2d
+
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", n_quad=6, layers=(2, 8, 1),
+        train=hv.TrainConfig(iterations=60, check_every=20),
+    )
+    prob = poisson2d.build(
+        cfg, lift_fn=poisson2d.default_lift, envelope_fn=poisson2d.default_envelope
+    )
+    params = prob.init_params(jax.random.key(0))
+    _, aux = prob.loss_fn(params, prob.data)
+    assert float(aux["lossb"]) < 1e-10  # exact BC before any training
+    res = hv.train(prob, verbose=False)
+    assert res.history["lossv"][-1] < res.history["lossv"][0]
+    # predict() must evaluate the composite ansatz, not the bare MLP
+    Xb = np.array([[1.0, 0.25], [-1.0, -0.5]])
+    u_pred = hv.predict(prob, res.params, Xb)
+    np.testing.assert_allclose(
+        u_pred, poisson2d.u_exact(Xb[:, 0:1], Xb[:, 1:2]), atol=1e-9
+    )
