@@ -133,6 +133,18 @@ def main():
         )
     )
 
+    # 10. Poisson-3D (beyond reference): volumetric hp-VPINN.
+    records.append(
+        run(
+            "poisson3d",
+            hv.Poisson3DConfig(
+                train=hv.TrainConfig(
+                    iterations=3000 // q, lbfgs_iterations=2000 // q, check_every=500
+                ),
+            ),
+        )
+    )
+
     with open(args.out, "w") as f:
         json.dump(records, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr)
