@@ -1,0 +1,69 @@
+"""Spectral-element direct solver (galerkin.py): spectral convergence and the
+VPINN-gap analysis."""
+
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.galerkin import solve_poisson1d, vpinn_gap_1d
+from hpvpinns_tpu.geometry.mesh import Interval1D
+from hpvpinns_tpu.problems import poisson1d
+
+
+def _rel(u, v):
+    return np.linalg.norm(u - v) / np.linalg.norm(v)
+
+
+def test_spectral_convergence_smooth():
+    """u = sin(pi x): error drops spectrally in p, to machine precision."""
+    mesh = Interval1D.uniform(-1, 1, 3)
+    f = lambda x: np.pi**2 * np.sin(np.pi * x)
+    x = np.linspace(-1, 1, 801)
+    errs = []
+    for p in (4, 8, 16):
+        u = solve_poisson1d(mesh, p, f, (np.sin(-np.pi), np.sin(np.pi)))
+        errs.append(_rel(u(x), np.sin(np.pi * x)))
+    assert errs[0] < 1e-3 and errs[1] < 1e-7 and errs[2] < 1e-12
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_steep_benchmark_direct_solve():
+    """The reference's steep problem on its hp3 grid: p=60 reaches 1.3e-6."""
+    mesh = Interval1D(grid=np.array([-1.0, -0.1, 0.1, 1.0]))
+    u = solve_poisson1d(
+        mesh, 60, poisson1d.f_rhs,
+        (float(poisson1d.u_exact(-1.0)), float(poisson1d.u_exact(1.0))),
+    )
+    x = np.linspace(-1, 1, 1501)
+    assert _rel(u(x), poisson1d.u_exact(x)) < 5e-6
+
+
+def test_nonzero_dirichlet_and_hats_only():
+    """p=1 (hats only) reduces to linear FEM; nonzero BC handled."""
+    mesh = Interval1D.uniform(0, 1, 50)
+    f = lambda x: np.zeros_like(x)  # -u''=0, u(0)=2, u(1)=5 -> u = 2+3x
+    u = solve_poisson1d(mesh, 1, f, (2.0, 5.0))
+    x = np.linspace(0, 1, 101)
+    np.testing.assert_allclose(u(x), 2 + 3 * x, rtol=1e-12)
+
+
+def test_invalid_degree_raises():
+    with pytest.raises(ValueError, match="degree"):
+        solve_poisson1d(Interval1D.uniform(0, 1, 2), 0, lambda x: x, (0, 0))
+
+
+@pytest.mark.slow
+def test_vpinn_gap_analysis():
+    """The gap report separates discretization error (direct solve, ~1e-6)
+    from the network's optimization/representation error (~1e-2)."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", grid=(-1.0, -0.1, 0.1, 1.0), n_quad=60, n_test=40,
+        train=hv.TrainConfig(iterations=1500, lbfgs_iterations=1000, check_every=200),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    gap = vpinn_gap_1d(prob, res.params, p=60)
+    assert gap["rel_l2_galerkin_vs_exact"] < 1e-5
+    assert gap["rel_l2_net_vs_exact"] < 0.05
+    # the network's error dominates: net-vs-galerkin ~ net-vs-exact
+    assert abs(gap["rel_l2_net_vs_galerkin"] - gap["rel_l2_net_vs_exact"]) < 0.3 * gap["rel_l2_net_vs_exact"]
