@@ -134,6 +134,9 @@ class AdvDiffConfig:
     velocity: float = 1.0  # V (AdvDiff.py:43)
     gamma: float = 0.1  # true eps = gamma / pi (AdvDiff.py:41-42)
     epsilon_init: float = 1.0  # trainable start (AdvDiff.py:63)
+    epsilon_model: str = "scalar"  # "scalar" (reference parity) | "quadratic"
+    # (space-dependent eps(x) = c0 + c1 x + c2 x^2, identified jointly;
+    # beyond the reference)
     inverse: bool = True  # eps trainable; False freezes it at the true value
     n_sensors_per_station: int = 5  # interior data for identifiability
     sensor_stations: Tuple[float, ...] = (-0.5, 0.0, 0.5)  # AdvDiff.py:464-479

@@ -177,7 +177,11 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
 
     The slow axis of Elements2D is time here (meshgrid convention
     AdvDiff.py:397-400).  `epsilon` may be a traced scalar — the trainable
-    diffusion coefficient of the inverse problem (AdvDiff.py:63,165,173).
+    diffusion coefficient of the inverse problem (AdvDiff.py:63,165,173) —
+    or a field broadcastable to [E, Qt, Qx] (space-dependent coefficient
+    identification; beyond the reference): it multiplies the integrand
+    inside the quadrature sum, which reduces to the reference's formula for
+    constant epsilon.
 
     var_form 0:  U = jac * C(phi_r, phi_k, u_t + V u_x - eps u_xx)   (:161-167)
     var_form 1:  U = jac * C(phi_r, phi_k, u_t + V u_x)
@@ -194,7 +198,7 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
         U = jac * contract_2d(bx.wphi, bt.wphi, integrand)
     elif var_form == 1:
         U = jac * contract_2d(bx.wphi, bt.wphi, ut + velocity * ux)
-        U = U + epsilon * elems.jac_y[:, None, None] * contract_2d(bx.wdphi, bt.wphi, ux)
+        U = U + elems.jac_y[:, None, None] * contract_2d(bx.wdphi, bt.wphi, epsilon * ux)
     else:
         raise ValueError(f"AdvDiff var_form must be 0 or 1; got {var_form}")
     return U - elems.f_proj

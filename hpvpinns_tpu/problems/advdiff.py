@@ -120,15 +120,30 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
     inverse = cfg.inverse
     mode = cfg.deriv_mode
 
+    eps_model = cfg.epsilon_model
+    if eps_model not in ("scalar", "quadratic"):
+        raise ValueError(f"epsilon_model must be 'scalar' or 'quadratic'; got {eps_model!r}")
+
     def pde_init():
-        if inverse:
-            return {"epsilon": jnp.asarray(cfg.epsilon_init, dtype=dtype)}
-        return {}
+        if not inverse:
+            return {}
+        if eps_model == "quadratic":
+            return {"eps_coef": jnp.asarray([cfg.epsilon_init, 0.0, 0.0], dtype=dtype)}
+        return {"epsilon": jnp.asarray(cfg.epsilon_init, dtype=dtype)}
+
+    def eps_of(params, x):
+        """Scalar or field eps(x) from the trainable PDE leaves."""
+        if not inverse:
+            return eps_true
+        if eps_model == "quadratic":
+            c = params["pde"]["eps_coef"]
+            return c[0] + c[1] * x + c[2] * x * x
+        return params["pde"]["epsilon"]
 
     def loss_fn(params, data, axis_name=None):
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
         el = data["elements"]
-        eps = params["pde"]["epsilon"] if inverse else eps_true
+        eps = eps_of(params, el.x)
         if mode == "taylor":
             fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
         elif mode == "pallas":
@@ -148,7 +163,10 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         loss = wb * lossb + lossv
         aux = {"loss": loss, "lossb": lossb, "lossv": lossv}
         if inverse:
-            aux["epsilon"] = eps
+            aux["epsilon"] = jnp.mean(eps)  # domain-mean for field models
+            if eps_model == "quadratic":
+                aux["eps_c1"] = params["pde"]["eps_coef"][1]
+                aux["eps_c2"] = params["pde"]["eps_coef"][2]
         return loss, aux
 
     # Dense space-time test grid: 256 x-points, time step 0.01 (AdvDiff.py:448-450).
@@ -170,5 +188,10 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         exact=lambda x, t: u_exact(x, t, eps_true, cfg.velocity, cfg.fourier_terms),
         test_points=test_points,
         test_values=test_values,
-        extras={"mesh": mesh, "eps_true": eps_true, "test_grid_shape": (len(tt), len(xt))},
+        extras={
+            "mesh": mesh,
+            "eps_true": eps_true,
+            "eps_of": eps_of,
+            "test_grid_shape": (len(tt), len(xt)),
+        },
     )
