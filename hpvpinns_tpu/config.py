@@ -102,6 +102,9 @@ class Poisson3DConfig:
     n_test_x: int = 5
     n_test_y: int = 5
     n_test_z: int = 5
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    n_test_y_per_elem: Optional[Tuple[int, ...]] = None
+    n_test_z_per_elem: Optional[Tuple[int, ...]] = None
     n_quad: int = 8  # per axis per element
     n_bound: int = 100  # boundary points per face (6 faces)
     lossb_weight: float = 10.0

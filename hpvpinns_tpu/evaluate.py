@@ -88,7 +88,8 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         return np.asarray(f_pred - f_true)
     if problem.name == "advdiff":
         cfg = problem.config
-        eps = params["pde"].get("epsilon", problem.extras["eps_true"]) if params.get("pde") else problem.extras["eps_true"]
+        eps_of = problem.extras.get("eps_of")
+        eps = eps_of(params, X[:, 0:1]) if eps_of else problem.extras["eps_true"]
         flds = taylor_fields_2d(
             problem.spec, net, X[:, 0:1], X[:, 1:2], first_y_only=True
         )

@@ -136,23 +136,31 @@ def build_elements_3d(
     xq: np.ndarray,
     wq: np.ndarray,
     f_fn,
-    n_test_x: int,
-    n_test_y: int,
-    n_test_z: int,
+    n_test_x,
+    n_test_y,
+    n_test_z,
     dtype,
 ):
     """3D element batch with RHS projections (volumetric generalization of
     build_elements_2d; same quadrature rule on every axis).
 
     F[e, m, k, r] = jac_e * sum_q wx wy wz f(x,y,z) phi_r(xi) phi_k(eta) phi_m(zeta)
+
+    n_test_* may be ints (uniform) or per-axis-element arrays
+    (p-nonuniformity, masked exactly like the 1D/2D builders).
     """
     from hpvpinns_tpu.ops.assembly import Elements3D
 
     xq = np.asarray(xq, dtype=np.float64).reshape(-1)
     wq = np.asarray(wq, dtype=np.float64).reshape(-1)
-    tbx = make_test_basis(n_test_x, xq)
-    tby = make_test_basis(n_test_y, xq)
-    tbz = make_test_basis(n_test_z, xq)
+    Ex, Ey, Ez = mesh.shape
+    ntx = np.broadcast_to(np.asarray(n_test_x, dtype=np.int64), (Ex,))
+    nty = np.broadcast_to(np.asarray(n_test_y, dtype=np.int64), (Ey,))
+    ntz = np.broadcast_to(np.asarray(n_test_z, dtype=np.int64), (Ez,))
+    n_max_x, n_max_y, n_max_z = int(ntx.max()), int(nty.max()), int(ntz.max())
+    tbx = make_test_basis(n_max_x, xq)
+    tby = make_test_basis(n_max_y, xq)
+    tbz = make_test_basis(n_max_z, xq)
 
     X, Y, Z = mesh.map_points(xq, xq, xq)  # [E, Qz, Qy, Qx]
     jx, jy, jz = mesh.jacobians()
@@ -160,7 +168,7 @@ def build_elements_3d(
 
     w = wq[None, :]
     if f_fn is None:
-        f_proj = np.zeros((E, n_test_z, n_test_y, n_test_x))
+        f_proj = np.zeros((E, n_max_z, n_max_y, n_max_x))
     else:
         f_vals = f_fn(X, Y, Z)
         t = np.einsum("rx,ezyx->ezyr", tbx.phi * w, f_vals)
@@ -168,8 +176,13 @@ def build_elements_3d(
         f_proj = (jx * jy * jz)[:, None, None, None] * np.einsum(
             "mz,ezkr->emkr", tbz.phi * w, t
         )
-    mask = np.ones_like(f_proj)
-    n_test = np.full(E, float(n_test_x * n_test_y * n_test_z))
+    # mask[e, m, k, r] over flat element order e = (ex*Ey + ey)*Ez + ez
+    mx = (np.arange(n_max_x)[None, :] < ntx[:, None]).astype(np.float64)  # [Ex, R]
+    my = (np.arange(n_max_y)[None, :] < nty[:, None]).astype(np.float64)  # [Ey, K]
+    mz = (np.arange(n_max_z)[None, :] < ntz[:, None]).astype(np.float64)  # [Ez, M]
+    mask = np.einsum("cm,bk,ar->abcmkr", mz, my, mx).reshape(E, n_max_z, n_max_y, n_max_x)
+    n_test = (ntx[:, None, None] * nty[None, :, None] * ntz[None, None, :]).reshape(E).astype(np.float64)
+    f_proj = f_proj * mask
 
     import jax.numpy as jnp
 

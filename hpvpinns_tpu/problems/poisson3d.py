@@ -79,12 +79,13 @@ def build(cfg: Poisson3DConfig, rng: np.random.Generator | None = None, u_fn=Non
     )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
-    bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
-    by = make_weighted_basis(cfg.n_test_y, xq, wq, dtype)
-    bz = make_weighted_basis(cfg.n_test_z, xq, wq, dtype)
-    elems = build_elements_3d(
-        mesh, xq, wq, f_rh, cfg.n_test_x, cfg.n_test_y, cfg.n_test_z, dtype
-    )
+    ntx = cfg.n_test_x_per_elem if cfg.n_test_x_per_elem is not None else cfg.n_test_x
+    nty = cfg.n_test_y_per_elem if cfg.n_test_y_per_elem is not None else cfg.n_test_y
+    ntz = cfg.n_test_z_per_elem if cfg.n_test_z_per_elem is not None else cfg.n_test_z
+    bx = make_weighted_basis(int(np.max(ntx)), xq, wq, dtype)
+    by = make_weighted_basis(int(np.max(nty)), xq, wq, dtype)
+    bz = make_weighted_basis(int(np.max(ntz)), xq, wq, dtype)
+    elems = build_elements_3d(mesh, xq, wq, f_rh, ntx, nty, ntz, dtype)
 
     Xb, ub = boundary_points(cfg, rng, u_ex)
     data = {

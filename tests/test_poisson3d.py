@@ -102,3 +102,19 @@ def test_3d_trains_toward_solution():
     m = hv.evaluate_problem(prob, res.params)
     assert m["rel_l2"] < 0.35, m
     assert res.history["loss"][-1] < 0.05 * res.history["loss"][0]
+
+
+def test_3d_p_nonuniformity():
+    """Ragged per-axis test counts mask correctly (parity with 1D/2D)."""
+    cfg = hv.Poisson3DConfig(
+        dtype="float64", n_quad=4, n_elements_x=2,
+        n_test_x_per_elem=(2, 3), n_test_y=2, n_test_z=2,
+        layers=(3, 6, 1), train=hv.TrainConfig(iterations=10, check_every=10),
+    )
+    prob = hv.build(cfg)
+    m = np.asarray(prob.data["elements"].mask)
+    assert m.shape == (8, 2, 2, 3)
+    np.testing.assert_array_equal(np.asarray(prob.data["elements"].n_test)[:4], 8.0)
+    np.testing.assert_array_equal(np.asarray(prob.data["elements"].n_test)[4:], 12.0)
+    res = hv.train(prob, verbose=False)
+    assert np.isfinite(res.final_aux["loss"])
