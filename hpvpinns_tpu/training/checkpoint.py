@@ -16,11 +16,15 @@ import orbax.checkpoint as ocp
 
 
 class Checkpointer:
-    """Thin Orbax wrapper: save/restore {params, opt_state} keyed by step."""
+    """Thin Orbax wrapper: save/restore {params, opt_state} keyed by step.
 
-    def __init__(self, directory: str):
+    `keep_last` bounds disk usage: older step directories are deleted after
+    each save (0 = keep everything)."""
+
+    def __init__(self, directory: str, keep_last: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.keep_last = keep_last
         self._ckptr = ocp.PyTreeCheckpointer()
 
     def _path(self, step: int) -> str:
@@ -29,14 +33,25 @@ class Checkpointer:
     def save(self, step: int, params: Any, opt_state: Any) -> None:
         tree = {"params": params, "opt_state": opt_state}
         self._ckptr.save(self._path(step), tree, force=True)
+        if self.keep_last:
+            self._prune()
 
-    def latest_step(self) -> Optional[int]:
-        steps = [
+    def _steps(self):
+        return sorted(
             int(name.split("_")[1])
             for name in os.listdir(self.directory)
             if name.startswith("step_")
-        ]
-        return max(steps) if steps else None
+        )
+
+    def _prune(self) -> None:
+        import shutil
+
+        for step in self._steps()[: -self.keep_last]:
+            shutil.rmtree(self._path(step), ignore_errors=True)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self._steps()
+        return steps[-1] if steps else None
 
     def restore(self, step: Optional[int] = None, like: Any = None):
         """Restore (step, {params, opt_state}). `like` provides the target

@@ -125,3 +125,21 @@ def test_profiler_trace_writes(tmp_path):
     assert found, "profiler trace produced no files"
     stats = device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_checkpoint_retention(tmp_path):
+    from hpvpinns_tpu.training.checkpoint import Checkpointer
+
+    prob = _tiny_problem()
+    import jax
+
+    params = prob.init_params(jax.random.key(0))
+    ck = Checkpointer(str(tmp_path), keep_last=2)
+    for step in (10, 20, 30, 40):
+        ck.save(step, params, {"t": step})
+    assert ck._steps() == [30, 40]
+    assert ck.latest_step() == 40
+    ck_all = Checkpointer(str(tmp_path / "all"), keep_last=0)
+    for step in (1, 2, 3, 4):
+        ck_all.save(step, params, {})
+    assert ck_all._steps() == [1, 2, 3, 4]
