@@ -32,6 +32,7 @@ class TrainConfig:
     # params over the final 10% of iterations (AdvDiff.py:327-330): set 0.9.
     checkpoint_dir: Optional[str] = None
     checkpoint_every: Optional[int] = None
+    checkpoint_keep_last: int = 3  # retained checkpoints (0 = keep all)
 
 
 @dataclass(frozen=True)

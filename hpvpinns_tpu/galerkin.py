@@ -102,7 +102,7 @@ def solve_poisson1d(
     # Dirichlet elimination at the two end nodes.
     ua, ub = bc
     fixed = {0: float(ua), E: float(ub)}
-    free = np.asarray([i for i in range(n_dof) if i not in fixed])
+    free = np.asarray([i for i in range(n_dof) if i not in fixed], dtype=np.int64)
     F_free = F[free] - K[np.ix_(free, list(fixed))] @ np.asarray(list(fixed.values()))
     u_free = np.linalg.solve(K[np.ix_(free, free)], F_free)
 
@@ -126,11 +126,13 @@ def vpinn_gap_1d(problem, params, p: int = 40, n_points: int = 2001) -> dict:
     mesh = problem.extras["mesh"]
     if not isinstance(mesh, Interval1D):
         raise TypeError("vpinn_gap_1d supports 1D problems")
-    from hpvpinns_tpu.problems.poisson1d import f_rhs
+    f_fn = problem.extras.get("f_rhs")
+    if f_fn is None:
+        raise ValueError("problem.extras['f_rhs'] missing — vpinn_gap_1d needs the problem's forcing")
 
     cfg = problem.config
     u_dir = solve_poisson1d(
-        mesh, p, f_rhs, (float(problem.exact(np.array(cfg.domain[0]))), float(problem.exact(np.array(cfg.domain[1]))))
+        mesh, p, f_fn, (float(problem.exact(np.array(cfg.domain[0]))), float(problem.exact(np.array(cfg.domain[1]))))
     )
     x = np.linspace(cfg.domain[0], cfg.domain[1], n_points)[:, None]
     u_net = predict(problem, params, x).reshape(-1)

@@ -171,7 +171,7 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
     return U - elems.f_proj
 
 
-def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, velocity, epsilon, fields_fn=None):
+def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, velocity, epsilon, fields_fn=None, epsilon_x=0.0):
     """Res[e, k, r] for u_t + V u_x - eps u_xx = 0 in space-time elements
     (AdvDiff.py:161-180; F = 0, the weak residual itself is minimized :180).
 
@@ -184,9 +184,13 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
     constant epsilon.
 
     var_form 0:  U = jac * C(phi_r, phi_k, u_t + V u_x - eps u_xx)   (:161-167)
-    var_form 1:  U = jac * C(phi_r, phi_k, u_t + V u_x)
-                     + eps * jac_t * C(phi'_r, phi_k, u_x)           (:169-174;
-                 jac/jac_x = jac_t)
+    var_form 1:  U = jac * C(phi_r, phi_k, u_t + V u_x + eps_x u_x)
+                     + jac_t * C(phi'_r, phi_k, eps u_x)             (:169-174;
+                 jac/jac_x = jac_t).  For variable eps(x) the integration by
+                 parts of -eps u_xx produces BOTH terms (∫(eps phi)_x u_x =
+                 ∫ eps_x phi u_x + ∫ eps phi' u_x); `epsilon_x` is the
+                 analytic d(eps)/dx (0 for the reference's constant eps,
+                 which recovers the reference formula exactly).
     """
     with jax.named_scope("vpinn_fields_2d"):
         f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
@@ -197,7 +201,7 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
         integrand = ut + velocity * ux - epsilon * flds["uxx"]
         U = jac * contract_2d(bx.wphi, bt.wphi, integrand)
     elif var_form == 1:
-        U = jac * contract_2d(bx.wphi, bt.wphi, ut + velocity * ux)
+        U = jac * contract_2d(bx.wphi, bt.wphi, ut + velocity * ux + epsilon_x * ux)
         U = U + elems.jac_y[:, None, None] * contract_2d(bx.wdphi, bt.wphi, epsilon * ux)
     else:
         raise ValueError(f"AdvDiff var_form must be 0 or 1; got {var_form}")

@@ -140,6 +140,27 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
             return c[0] + c[1] * x + c[2] * x * x
         return params["pde"]["epsilon"]
 
+    def eps_x_of(params, x):
+        """Analytic d(eps)/dx — the extra IBP term for variable eps."""
+        if inverse and eps_model == "quadratic":
+            c = params["pde"]["eps_coef"]
+            return c[1] + 2.0 * c[2] * x
+        return 0.0
+
+    a_dom, b_dom = cfg.domain_x
+    _mx = 0.5 * (a_dom + b_dom)
+    _mx2 = (a_dom * a_dom + a_dom * b_dom + b_dom * b_dom) / 3.0
+
+    def eps_domain_mean(params):
+        """Exact domain average of eps(x) (not a quadrature-point mean —
+        GLJ points cluster at edges and would bias the report)."""
+        if not inverse:
+            return eps_true
+        if eps_model == "quadratic":
+            c = params["pde"]["eps_coef"]
+            return c[0] + c[1] * _mx + c[2] * _mx2
+        return params["pde"]["epsilon"]
+
     def loss_fn(params, data, axis_name=None):
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
         el = data["elements"]
@@ -153,7 +174,8 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         else:
             fields_fn = None
         res = advdiff_residual(
-            u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps, fields_fn=fields_fn
+            u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps,
+            fields_fn=fields_fn, epsilon_x=eps_x_of(params, el.x),
         )
         lossv = variational_loss(res, el.mask, el.n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
@@ -163,7 +185,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         loss = wb * lossb + lossv
         aux = {"loss": loss, "lossb": lossb, "lossv": lossv}
         if inverse:
-            aux["epsilon"] = jnp.mean(eps)  # domain-mean for field models
+            aux["epsilon"] = eps_domain_mean(params)
             if eps_model == "quadratic":
                 aux["eps_c1"] = params["pde"]["eps_coef"][1]
                 aux["eps_c2"] = params["pde"]["eps_coef"][2]

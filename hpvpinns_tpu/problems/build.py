@@ -149,7 +149,7 @@ def build_elements_3d(
     n_test_* may be ints (uniform) or per-axis-element arrays
     (p-nonuniformity, masked exactly like the 1D/2D builders).
     """
-    from hpvpinns_tpu.ops.assembly import Elements3D
+    from hpvpinns_tpu.ops.assembly import Elements3D  # avoids a cycle at import time
 
     xq = np.asarray(xq, dtype=np.float64).reshape(-1)
     wq = np.asarray(wq, dtype=np.float64).reshape(-1)
@@ -183,8 +183,6 @@ def build_elements_3d(
     mask = np.einsum("cm,bk,ar->abcmkr", mz, my, mx).reshape(E, n_max_z, n_max_y, n_max_x)
     n_test = (ntx[:, None, None] * nty[None, :, None] * ntz[None, None, :]).reshape(E).astype(np.float64)
     f_proj = f_proj * mask
-
-    import jax.numpy as jnp
 
     return Elements3D(
         x=jnp.asarray(X, dtype=dtype),

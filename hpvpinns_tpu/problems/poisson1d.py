@@ -110,5 +110,5 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
         exact=u_ex,
         test_points=xt,
         test_values=u_ex(xt),
-        extras={"mesh": mesh},
+        extras={"mesh": mesh, "f_rhs": f_rh},
     )

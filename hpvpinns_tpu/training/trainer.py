@@ -168,7 +168,7 @@ def train(
     if cfg.checkpoint_dir is not None:
         from hpvpinns_tpu.training.checkpoint import Checkpointer
 
-        checkpointer = Checkpointer(cfg.checkpoint_dir)
+        checkpointer = Checkpointer(cfg.checkpoint_dir, keep_last=cfg.checkpoint_keep_last)
 
     records: List[Dict[str, float]] = []
     stopped = False

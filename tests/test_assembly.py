@@ -146,3 +146,19 @@ def test_1d_invalid_var_form_raises(bad):
     elems, basis = _setup_1d(n_elem=1, n_quad=5, n_test=2)
     with pytest.raises(ValueError):
         poisson1d_residual(lambda X: X, elems, basis, bad)
+
+
+def test_advdiff_variable_eps_forms_agree():
+    """For a space-dependent eps(x), var_form 1 needs the eps_x u_x IBP term;
+    with it both forms test the SAME operator -eps(x) u_xx (agree to 1e-15)."""
+    mesh = TensorMesh2D.uniform(-1.0, 1.0, 2, 0.0, 1.0, 2)
+    xq, wq = gauss_lobatto_jacobi(24, 0.0, 0.0)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, [6, 6], [6, 6], F64)
+    basis = make_weighted_basis(6, xq, wq, F64)
+    u_fn = lambda X: jnp.sin(X[:, 0:1]) * jnp.exp(-0.3 * X[:, 1:2])
+    c0, c1, c2 = 0.05, 0.02, 0.03
+    eps = c0 + c1 * elems.x + c2 * elems.x**2
+    eps_x = c1 + 2 * c2 * elems.x
+    r0 = advdiff_residual(u_fn, elems, basis, basis, 0, 1.0, eps)
+    r1 = advdiff_residual(u_fn, elems, basis, basis, 1, 1.0, eps, epsilon_x=eps_x)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), rtol=1e-9, atol=1e-12)
