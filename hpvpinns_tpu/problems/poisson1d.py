@@ -45,7 +45,28 @@ def make_mesh(cfg: Poisson1DConfig) -> Interval1D:
     return Interval1D.uniform(cfg.domain[0], cfg.domain[1], cfg.n_elements)
 
 
-def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
+def default_lift_1d(domain, u_ex):
+    """Linear interpolant of the Dirichlet data over the domain."""
+    a, b = domain
+    ua, ub = float(u_ex(np.array(a))), float(u_ex(np.array(b)))
+
+    def lift(X):
+        return ua + (ub - ua) * (X - a) / (b - a)
+
+    return lift
+
+
+def default_envelope_1d(domain):
+    """D(x) = (x - a)(b - x), vanishing at both endpoints."""
+    a, b = domain
+
+    def envelope(X):
+        return (X - a) * (b - X)
+
+    return envelope
+
+
+def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool = False) -> Problem:
     """Build the problem; `u_fn`/`f_fn` override the exact solution and
     forcing (custom manufactured solutions — the reference requires editing
     the driver script, Poisson-1D.py:251-257).  Both must be numpy-vectorized;
@@ -54,6 +75,8 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
     f_rh = f_fn or f_rhs
     dtype = jnp.dtype(cfg.dtype)
     mesh = make_mesh(cfg)
+    lift = default_lift_1d(cfg.domain, u_ex) if hard_bc else None
+    envelope = default_envelope_1d(cfg.domain) if hard_bc else None
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
     n_per_elem = (
@@ -78,10 +101,15 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
     spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
     var_form = cfg.var_form
     lossb_weight = cfg.lossb_weight
-    mode = cfg.deriv_mode
+    mode = "jvp" if hard_bc else cfg.deriv_mode  # composite ansatz: generic AD
+
+    def make_u_fn(params):
+        if hard_bc:
+            return lambda X: lift(X) + envelope(X) * mlp_apply(spec, params["net"], X)
+        return lambda X: mlp_apply(spec, params["net"], X)
 
     def loss_fn(params, data, axis_name=None):
-        u_fn = lambda X: mlp_apply(spec, params["net"], X)
+        u_fn = make_u_fn(params)
         if mode == "taylor":
             fields_fn = lambda x: taylor_fields_1d(spec, params["net"], x)
         elif mode == "pallas":
@@ -107,6 +135,7 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None) -> Problem:
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, dtype=dtype),
+        apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
         exact=u_ex,
         test_points=xt,
         test_values=u_ex(xt),

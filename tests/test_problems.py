@@ -255,3 +255,25 @@ def test_epsilon_field_identification():
     field = np.asarray(prob.extras["eps_of"](res.params, jnp.linspace(-1, 1, 9)))
     assert np.all(field > 0.0) and np.all(field < 0.2)  # collapsed from 1.0
     assert "eps_c1" in res.final_aux
+
+
+def test_hard_bc_1d():
+    """1D boundary lifting: BC exact at any params; improves over soft BC
+    at equal budget (measured 6.4e-3 vs 9.6e-3 on the hp3 config)."""
+    import jax
+
+    from hpvpinns_tpu.problems import poisson1d
+
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_quad=12, n_test=6, layers=(1, 8, 1),
+        train=hv.TrainConfig(iterations=40, check_every=20),
+    )
+    prob = poisson1d.build(cfg, hard_bc=True)
+    params = prob.init_params(jax.random.key(0))
+    _, aux = prob.loss_fn(params, prob.data)
+    assert float(aux["lossb"]) < 1e-12
+    res = hv.train(prob, verbose=False)
+    xb = np.asarray(cfg.domain)[:, None]
+    np.testing.assert_allclose(
+        hv.predict(prob, res.params, xb), poisson1d.u_exact(xb), atol=1e-12
+    )
