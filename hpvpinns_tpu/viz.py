@@ -193,9 +193,41 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
         paths += plot_1d_solution(problem, params, outdir)
     elif problem.name == "poisson2d":
         paths += plot_2d_solution(problem, params, outdir)
+    elif problem.name == "poisson3d":
+        paths += plot_3d_slices(problem, params, outdir)
     elif problem.name == "advdiff":
         paths += plot_2d_solution(problem, params, outdir)
         paths.append(plot_advdiff_slices(problem, params, outdir))
         if "epsilon" in result.history:
             paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
+    return paths
+
+
+def plot_3d_slices(problem: Problem, params, outdir: str, z_values=(-0.5, 0.0, 0.5), fmt: str = "png"):
+    """Contour slices of the 3D prediction and pointwise error at fixed z."""
+    plt = _plt()
+    nx = 81
+    xs = np.linspace(*problem.config.domain_x, nx)
+    ys = np.linspace(*problem.config.domain_y, nx)
+    XG, YG = np.meshgrid(xs, ys)
+    paths = []
+    fig, axes = plt.subplots(2, len(z_values), figsize=(4.6 * len(z_values), 8))
+    for j, zv in enumerate(z_values):
+        pts = np.stack([XG.reshape(-1), YG.reshape(-1), np.full(XG.size, zv)], axis=-1)
+        u_pred = predict(problem, params, pts).reshape(nx, nx)
+        u_true = np.asarray(
+            problem.exact(pts[:, 0:1], pts[:, 1:2], pts[:, 2:3])
+        ).reshape(nx, nx)
+        cs = axes[0, j].contourf(XG, YG, u_pred, levels=60, cmap="jet")
+        fig.colorbar(cs, ax=axes[0, j])
+        axes[0, j].set_title(f"prediction, z = {zv:.2f}")
+        cs = axes[1, j].contourf(XG, YG, np.abs(u_true - u_pred), levels=60, cmap="jet")
+        fig.colorbar(cs, ax=axes[1, j])
+        axes[1, j].set_title(f"|error|, z = {zv:.2f}")
+        for ax in (axes[0, j], axes[1, j]):
+            ax.set_xlabel("$x$")
+            ax.set_ylabel("$y$")
+    path = _save(fig, outdir, "z_slices", fmt)
+    plt.close(fig)
+    paths.append(path)
     return paths

@@ -79,3 +79,15 @@ def test_standard_report_2d(tmp_path):
     paths = viz.standard_report(prob, res, str(tmp_path))
     names = {p.split("/")[-1] for p in paths}
     assert {"prediction.png", "exact.png", "pointwise_error.png"} <= names
+
+
+def test_standard_report_3d(tmp_path):
+    cfg = hv.Poisson3DConfig(
+        dtype="float64", n_quad=4, n_test_x=2, n_test_y=2, n_test_z=2,
+        layers=(3, 6, 1), train=hv.TrainConfig(iterations=10, check_every=10),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    paths = viz.standard_report(prob, res, str(tmp_path))
+    names = {p.split("/")[-1] for p in paths}
+    assert "z_slices.png" in names
