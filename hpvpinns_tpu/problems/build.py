@@ -5,7 +5,7 @@ This preserves the reference's single most important structural fact: test
 functions, quadrature rules and RHS projections are numpy constants computed
 once before training (Poisson-1D.py:261-294, Poisson-2D.py:358-414); only the
 network forward + derivatives is live compute.  Everything returned here is a
-device-ready pytree (Elements1D/2D, Basis1D) in the training dtype, assembled
+device-ready pytree (Elements1D/2D/3D, Basis1D) in the training dtype, assembled
 in float64 for accuracy regardless of the on-device dtype.
 """
 
