@@ -52,6 +52,7 @@ class Poisson1DConfig:
     n_test_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
     n_quad: int = 80
     lossb_weight: float = 1.0  # Poisson-1D.py:240,100
+    hard_bc: bool = False  # lifted ansatz u = g + (x-a)(b-x) N: BC exact
     domain: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"
     deriv_mode: str = "taylor"  # "taylor" (fused one-pass propagation) | "jvp"
@@ -80,6 +81,8 @@ class Poisson2DConfig:
     n_bound: int = 80  # boundary points per edge (Poisson-2D.py:313-347)
     n_residual: int = 100  # PINN-mode collocation points (Poisson-2D.py:350-356)
     lossb_weight: float = 10.0  # Poisson-2D.py:127
+    hard_bc: bool = False  # lifted ansatz with the shipped default
+    # lift/envelope (benchmark solution); custom lifts via build(lift_fn=...)
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     domain_y: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"

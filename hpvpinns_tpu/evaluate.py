@@ -63,24 +63,24 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
     f_pred = u_xx + u_yy; AdvDiff.py:247-253: u_t + V u_x - eps u_xx).
 
     For the Poisson problems the residual is f_pred - f(X); for AdvDiff it is
-    the homogeneous operator value itself (F = 0).  Computed with the fused
-    Taylor propagation on the problem's test grid by default."""
-    from hpvpinns_tpu.ops.taylor import taylor_fields_1d, taylor_fields_2d
+    the homogeneous operator value itself (F = 0).  Uses the generic JVP
+    derivative engine on the FULL ansatz (problem.apply) so composite
+    hard-BC ansatzes are differentiated correctly."""
+    from hpvpinns_tpu.ops.fields import scalar_fields_1d, scalar_fields_2d
 
     if X is None:
         X = problem.test_points
     dtype = problem.data["xb"].dtype
     X = jnp.asarray(np.asarray(X), dtype=dtype)
-    net = params["net"]
+    u_fn = lambda Z: problem.apply(params, Z)
     if problem.name == "poisson1d":
-        from hpvpinns_tpu.problems.poisson1d import f_rhs
-
-        _, _, uxx = taylor_fields_1d(problem.spec, net, X[:, 0:1])
-        return np.asarray(-uxx - jnp.asarray(f_rhs(np.asarray(X)), dtype=dtype))
+        f_fn = problem.extras["f_rhs"]
+        _, _, uxx = scalar_fields_1d(u_fn, X[:, 0:1])
+        return np.asarray(-uxx - jnp.asarray(f_fn(np.asarray(X)), dtype=dtype))
     if problem.name == "poisson2d":
         from hpvpinns_tpu.problems.poisson2d import f_rhs
 
-        flds = taylor_fields_2d(problem.spec, net, X[:, 0:1], X[:, 1:2])
+        flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2])
         f_pred = flds["uxx"] + flds["uyy"]
         f_true = jnp.asarray(
             f_rhs(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
@@ -90,9 +90,7 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         cfg = problem.config
         eps_of = problem.extras.get("eps_of")
         eps = eps_of(params, X[:, 0:1]) if eps_of else problem.extras["eps_true"]
-        flds = taylor_fields_2d(
-            problem.spec, net, X[:, 0:1], X[:, 1:2], first_y_only=True
-        )
+        flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
         return np.asarray(flds["uy"] + cfg.velocity * flds["ux"] - eps * flds["uxx"])
     raise ValueError(f"no strong form registered for problem {problem.name!r}")
 

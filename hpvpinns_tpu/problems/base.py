@@ -46,6 +46,18 @@ class Problem:
         return mlp_apply(self.spec, params["net"], X)
 
 
+def make_composite_apply(spec: MLP, lift: Callable, envelope: Callable):
+    """Hard-BC ansatz factory: u(params, X) = lift(X) + envelope(X) * N(X).
+
+    The envelope vanishes on the boundary and the lift interpolates the
+    Dirichlet data there, so the BC holds exactly for any parameters."""
+
+    def u_of(params):
+        return lambda X: lift(X) + envelope(X) * mlp_apply(spec, params["net"], X)
+
+    return u_of
+
+
 def make_net_init(spec: MLP, pde_init: Optional[Callable] = None, dtype=None):
     """Standard init_params factory: Xavier net + optional PDE coefficients."""
 

@@ -66,7 +66,7 @@ def default_envelope_1d(domain):
     return envelope
 
 
-def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool = False) -> Problem:
+def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool | None = None) -> Problem:
     """Build the problem; `u_fn`/`f_fn` override the exact solution and
     forcing (custom manufactured solutions — the reference requires editing
     the driver script, Poisson-1D.py:251-257).  Both must be numpy-vectorized;
@@ -75,6 +75,7 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool = False) -> 
     f_rh = f_fn or f_rhs
     dtype = jnp.dtype(cfg.dtype)
     mesh = make_mesh(cfg)
+    hard_bc = cfg.hard_bc if hard_bc is None else hard_bc
     lift = default_lift_1d(cfg.domain, u_ex) if hard_bc else None
     envelope = default_envelope_1d(cfg.domain) if hard_bc else None
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
@@ -103,9 +104,14 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool = False) -> 
     lossb_weight = cfg.lossb_weight
     mode = "jvp" if hard_bc else cfg.deriv_mode  # composite ansatz: generic AD
 
+    if hard_bc:
+        from hpvpinns_tpu.problems.base import make_composite_apply
+
+        composite = make_composite_apply(spec, lift, envelope)
+
     def make_u_fn(params):
         if hard_bc:
-            return lambda X: lift(X) + envelope(X) * mlp_apply(spec, params["net"], X)
+            return composite(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
     def loss_fn(params, data, axis_name=None):

@@ -132,15 +132,18 @@ def build(
     mode = cfg.deriv_mode
     if scheme not in ("VPINNs", "PINNs"):
         raise ValueError(f"scheme must be 'VPINNs' or 'PINNs'; got {scheme!r}")
-    hard_bc = lift_fn is not None or envelope_fn is not None
+    hard_bc = cfg.hard_bc or lift_fn is not None or envelope_fn is not None
     if hard_bc:
+        from hpvpinns_tpu.problems.base import make_composite_apply
+
         lift = lift_fn or default_lift
         envelope = envelope_fn or default_envelope
         mode = "jvp"  # composite ansatz: generic autodiff engine
+        composite = make_composite_apply(spec, lift, envelope)
 
     def make_u_fn(params):
         if hard_bc:
-            return lambda X: lift(X) + envelope(X) * mlp_apply(spec, params["net"], X)
+            return composite(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
     def loss_fn(params, data, axis_name=None):

@@ -203,9 +203,13 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
     return paths
 
 
-def plot_3d_slices(problem: Problem, params, outdir: str, z_values=(-0.5, 0.0, 0.5), fmt: str = "png"):
-    """Contour slices of the 3D prediction and pointwise error at fixed z."""
+def plot_3d_slices(problem: Problem, params, outdir: str, z_values=None, fmt: str = "png"):
+    """Contour slices of the 3D prediction and pointwise error at fixed z
+    (defaults: the domain_z quartiles, so slices stay inside the domain)."""
     plt = _plt()
+    if z_values is None:
+        zl, zu = problem.config.domain_z
+        z_values = tuple(zl + f * (zu - zl) for f in (0.25, 0.5, 0.75))
     nx = 81
     xs = np.linspace(*problem.config.domain_x, nx)
     ys = np.linspace(*problem.config.domain_y, nx)
