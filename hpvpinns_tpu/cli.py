@@ -57,11 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p1.add_argument("--grid", type=str, help="comma-separated element boundaries")
     p1.add_argument("--n-test", type=int, dest="n_test")
     p1.add_argument("--lossb-weight", type=float, dest="lossb_weight")
+    p1.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc", help="lifted ansatz: boundary exact by construction")
     p1.add_argument("--activation")
     _add_common_flags(p1)
 
     p2 = runsub.add_parser("poisson2d", help="2D Poisson hp-VPINN / PINN (main/Poisson-2D)")
     p2.add_argument("--scheme", choices=["VPINNs", "PINNs"])
+    p2.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc", help="lifted ansatz: boundary exact by construction")
     p2.add_argument("--n-elements-x", type=int, dest="n_elements_x")
     p2.add_argument("--n-elements-y", type=int, dest="n_elements_y")
     p2.add_argument("--n-test-x", type=int, dest="n_test_x")
