@@ -32,8 +32,13 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint-every", type=int)
 
 
+def _var_form_arg(s: str):
+    """int forms plus the corrected twice-IBP 2D form '2c'."""
+    return s if s == "2c" else int(s)
+
+
 def _add_common_flags(p: argparse.ArgumentParser):
-    p.add_argument("--var-form", type=int, dest="var_form")
+    p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
     p.add_argument("--layers", type=str, help="comma-separated widths, e.g. 1,20,20,1")
     p.add_argument("--n-quad", type=int, dest="n_quad")
@@ -89,6 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
     p3.add_argument("--velocity", type=float)
     p3.add_argument("--gamma", type=float)
     p3.add_argument("--epsilon-init", type=float, dest="epsilon_init")
+    p3.add_argument("--epsilon-model", choices=["scalar", "quadratic"], dest="epsilon_model",
+                    help="scalar eps (reference parity) or quadratic eps(x) field")
     p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
     _add_common_flags(p3)
 
@@ -192,8 +199,10 @@ def cmd_run(args) -> int:
         **metrics,
     }
     if "epsilon" in res.final_aux:
-        # report the coefficient belonging to the SAME params as the metrics
-        summary["epsilon"] = float(res.eval_params["pde"]["epsilon"])
+        # Report the coefficient belonging to the SAME params as the metrics.
+        # eps_domain_mean handles every epsilon_model (the pde pytree holds
+        # "eps_coef", not "epsilon", for the quadratic field).
+        summary["epsilon"] = float(prob.extras["eps_domain_mean"](res.eval_params))
         summary["epsilon_true"] = prob.extras["eps_true"]
     print(json.dumps(summary))
 

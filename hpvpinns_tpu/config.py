@@ -70,7 +70,8 @@ class Poisson2DConfig:
     adaptive_slope: bool = False  # trainable per-layer activation slope (the
     # reference creates-but-never-uses this, Poisson-1D.py:117)
     scheme: str = "VPINNs"  # 'VPINNs' | 'PINNs' (Poisson-2D.py:126-129)
-    var_form: int = 1  # 0 | 1 | 2
+    var_form: object = 1  # 0 | 1 | 2 (reference-verbatim) | "2c" (corrected
+    # exact twice-IBP form with 1/jac^2 scalings + boundary flux)
     n_elements_x: int = 4
     n_elements_y: int = 4
     n_test_x: int = 5
@@ -130,7 +131,8 @@ class AdvDiffConfig:
     activation: str = "tanh"  # AdvDiff.py:226
     adaptive_slope: bool = False  # trainable per-layer activation slope (the
     # reference creates-but-never-uses this, Poisson-1D.py:117)
-    var_form: int = 0  # 0 | 1 (AdvDiff.py:38)
+    var_form: int = 0  # 0 | 1 (AdvDiff.py:38) | 2 (twice-IBP diffusion with
+    # live boundary flux — the machinery AdvDiff.py:132-154 sketches; scalar eps)
     n_elements_x: int = 1
     n_elements_t: int = 1
     n_test_x: int = 5

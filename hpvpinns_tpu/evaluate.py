@@ -78,12 +78,12 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         _, _, uxx = scalar_fields_1d(u_fn, X[:, 0:1])
         return np.asarray(-uxx - jnp.asarray(f_fn(np.asarray(X)), dtype=dtype))
     if problem.name == "poisson2d":
-        from hpvpinns_tpu.problems.poisson2d import f_rhs
-
+        f_fn = problem.extras["f_rhs"]  # the problem's OWN forcing (custom
+        # manufactured solutions override it via build(f_fn=...))
         flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2])
         f_pred = flds["uxx"] + flds["uyy"]
         f_true = jnp.asarray(
-            f_rhs(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
+            f_fn(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
         )
         return np.asarray(f_pred - f_true)
     if problem.name == "advdiff":

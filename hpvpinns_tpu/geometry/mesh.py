@@ -105,6 +105,16 @@ class TensorMesh2D:
         jy = np.tile(self.axis_y.jacobians, self.axis_x.n_elem)
         return jx, jy
 
+    def element_bounds(self):
+        """Per-axis physical bounds for every flat element: ([E, 2], [E, 2]).
+
+        Needed by weak forms with live element-boundary flux terms (the exact
+        twice-IBP form '2c'; the reference sketches the analogous boundary
+        tensors at AdvDiff.py:132-154 but never uses them)."""
+        bx = np.repeat(self.axis_x.element_bounds(), self.axis_y.n_elem, axis=0)
+        by = np.tile(self.axis_y.element_bounds(), (self.axis_x.n_elem, 1))
+        return bx, by
+
     def map_points(self, xi: np.ndarray, eta: np.ndarray):
         """Map reference tensor grid (xi [Qx], eta [Qy]) into every element.
 

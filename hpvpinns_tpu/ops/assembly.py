@@ -81,6 +81,9 @@ class Elements2D:
 
     x, y:   [E, Qy, Qx] physical quadrature points (y = slow axis, matching
             the reference's meshgrid flattening, Poisson-2D.py:362-364).
+    bounds_x, bounds_y: [E, 2] physical per-axis element bounds (needed by
+            weak forms with live element-boundary flux terms — the machinery
+            the reference builds-but-never-uses at AdvDiff.py:132-154).
     jac_x, jac_y: [E] per-axis jacobians; full jacobian = jac_x * jac_y.
     f_proj: [E, K, R] RHS projections F[e, k, r] (zeros for AdvDiff,
             AdvDiff.py:180).
@@ -90,6 +93,8 @@ class Elements2D:
 
     x: jax.Array
     y: jax.Array
+    bounds_x: jax.Array
+    bounds_y: jax.Array
     jac_x: jax.Array
     jac_y: jax.Array
     f_proj: jax.Array
@@ -131,7 +136,48 @@ def poisson1d_residual(u_fn, elems: Elements1D, basis: Basis1D, var_form: int, f
     return U - elems.f_proj
 
 
-def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form: int, fields_fn=None):
+def _edge_values_2d(u_fn, elems: Elements2D):
+    """Ansatz values on the four element edges, at the quadrature nodes of
+    the tangential axis.
+
+    Returns (u_left, u_right) each [E, Qy] — u at (x = bounds_x, y_qy) — and
+    (u_bottom, u_top) each [E, Qx] — u at (x_qx, y = bounds_y).  This is the
+    live version of the boundary-quadrature tensors the reference constructs
+    but never uses (AdvDiff.py:132-154).
+    """
+    import jax.numpy as jnp
+
+    y_edge = elems.y[:, :, 0]  # [E, Qy] (y constant along qx)
+    x_edge = elems.x[:, 0, :]  # [E, Qx] (x constant along qy)
+
+    def eval_at(a, b):  # a, b: [E, P] -> u [E, P]
+        pts = jnp.stack([a, b], axis=-1).reshape(-1, 2)
+        return u_fn(pts).reshape(a.shape)
+
+    xl = jnp.broadcast_to(elems.bounds_x[:, 0:1], y_edge.shape)
+    xr = jnp.broadcast_to(elems.bounds_x[:, 1:2], y_edge.shape)
+    yb = jnp.broadcast_to(elems.bounds_y[:, 0:1], x_edge.shape)
+    yt = jnp.broadcast_to(elems.bounds_y[:, 1:2], x_edge.shape)
+    return eval_at(xl, y_edge), eval_at(xr, y_edge), eval_at(x_edge, yb), eval_at(x_edge, yt)
+
+
+def _flux_2d(u_lo, u_hi, wphi_tan, dphi_b):
+    """Boundary-flux tensor [u dphi]_lo^hi integrated along the tangential
+    axis:  Flux[e, k] outer dphi_b[r] -> [E, K, R]-compatible pieces.
+
+    u_lo/u_hi: [E, Qtan] edge values; wphi_tan: [K, Qtan] weighted tangential
+    basis; dphi_b: [R, 2] UNweighted normal-basis derivative at xi = -1, +1.
+    Returns [E, K, R]: sum_q wphi_tan[k,q] (u_hi[e,q] dphi_b[r,1]
+                                            - u_lo[e,q] dphi_b[r,0]).
+    """
+    import jax.numpy as jnp
+
+    t_hi = jnp.einsum("kq,eq->ek", wphi_tan, u_hi, precision=jax.lax.Precision.HIGHEST)
+    t_lo = jnp.einsum("kq,eq->ek", wphi_tan, u_lo, precision=jax.lax.Precision.HIGHEST)
+    return t_hi[:, :, None] * dphi_b[None, None, :, 1] - t_lo[:, :, None] * dphi_b[None, None, :, 0]
+
+
+def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form, fields_fn=None):
     """Res[e, k, r] for Delta u = f on tensor-product elements
     (Poisson-2D.py:91-118; integrand convention f = Delta u, :307-310).
 
@@ -145,8 +191,16 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
                  [u dphi] boundary flux of an exact second integration by
                  parts, so it is a consistent weak form only on a single
                  [-1,1]^2 element AND for solutions vanishing on the domain
-                 boundary; prefer var_form 0/1 otherwise. The configuration
-                 of record uses var_form=1.)
+                 boundary; prefer var_form '2c' or 0/1 otherwise. The
+                 configuration of record uses var_form=1.)
+    var_form '2c' (this framework; the corrected exact twice-IBP form):
+                 U = (jac_y/jac_x) [C(phi''_r, phi_k, u) - FluxX]
+                   + (jac_x/jac_y) [C(phi_r, phi''_k, u) - FluxY]
+                 FluxX[e,k,r] = sum_qy w phi_k(eta) [u phi'_r]_{x_l}^{x_r},
+                 FluxY analogous — since phi(+-1) = 0, one boundary term of
+                 each double integration by parts survives; with the proper
+                 1/jac^2 derivative scalings this agrees with forms 0/1 on
+                 ANY mesh to quadrature accuracy.
 
     C(a, b, g) = sum_{qy,qx} w_x a(xi_qx) w_y b(eta_qy) g[qy, qx].
     """
@@ -166,8 +220,18 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
             contract_2d(bx.wd2phi, by.wphi, flds["u"])
             + contract_2d(bx.wphi, by.wd2phi, flds["u"])
         )
+    elif var_form == "2c":
+        u_l, u_r, u_b, u_t = _edge_values_2d(u_fn, elems)
+        flux_x = _flux_2d(u_l, u_r, by.wphi, bx.dphi_b)
+        flux_y_er = _flux_2d(u_b, u_t, bx.wphi, by.dphi_b)  # [E, R, K]
+        flux_y = flux_y_er.transpose(0, 2, 1)
+        U = (elems.jac_y / elems.jac_x)[:, None, None] * (
+            contract_2d(bx.wd2phi, by.wphi, flds["u"]) - flux_x
+        ) + (elems.jac_x / elems.jac_y)[:, None, None] * (
+            contract_2d(bx.wphi, by.wd2phi, flds["u"]) - flux_y
+        )
     else:
-        raise ValueError(f"Poisson-2D var_form must be 0, 1 or 2; got {var_form}")
+        raise ValueError(f"Poisson-2D var_form must be 0, 1, 2 or '2c'; got {var_form}")
     return U - elems.f_proj
 
 
@@ -191,6 +255,13 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
                  ∫ eps_x phi u_x + ∫ eps phi' u_x); `epsilon_x` is the
                  analytic d(eps)/dx (0 for the reference's constant eps,
                  which recovers the reference formula exactly).
+    var_form 2 (this framework; scalar eps only):  the diffusion term twice
+                 integrated by parts, with the surviving [u phi'] boundary
+                 flux LIVE — the space-time use of the boundary-quadrature
+                 tensors the reference constructs but never exercises
+                 (AdvDiff.py:132-154):
+                 U = jac * C(phi_r, phi_k, u_t + V u_x)
+                     - eps (jac_t/jac_x) [C(phi''_r, phi_k, u) - FluxX].
     """
     with jax.named_scope("vpinn_fields_2d"):
         f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
@@ -203,8 +274,17 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
     elif var_form == 1:
         U = jac * contract_2d(bx.wphi, bt.wphi, ut + velocity * ux + epsilon_x * ux)
         U = U + elems.jac_y[:, None, None] * contract_2d(bx.wdphi, bt.wphi, epsilon * ux)
+    elif var_form == 2:
+        if not (isinstance(epsilon_x, (int, float)) and epsilon_x == 0.0):
+            raise ValueError("AdvDiff var_form=2 supports scalar epsilon only")
+        u_l, u_r, _, _ = _edge_values_2d(u_fn, elems)
+        flux_x = _flux_2d(u_l, u_r, bt.wphi, bx.dphi_b)
+        U = jac * contract_2d(bx.wphi, bt.wphi, ut + velocity * ux)
+        U = U - epsilon * (elems.jac_y / elems.jac_x)[:, None, None] * (
+            contract_2d(bx.wd2phi, bt.wphi, flds["u"]) - flux_x
+        )
     else:
-        raise ValueError(f"AdvDiff var_form must be 0 or 1; got {var_form}")
+        raise ValueError(f"AdvDiff var_form must be 0, 1 or 2; got {var_form}")
     return U - elems.f_proj
 
 

@@ -214,6 +214,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
             "mesh": mesh,
             "eps_true": eps_true,
             "eps_of": eps_of,
+            "eps_domain_mean": eps_domain_mean,
             "test_grid_shape": (len(tt), len(xt)),
         },
     )

@@ -120,9 +120,12 @@ def build_elements_2d(
     n_test = (ntx[:, None] * nty[None, :]).reshape(E).astype(np.float64)
     f_proj = f_proj * mask
 
+    bounds_x, bounds_y = mesh.element_bounds()
     return Elements2D(
         x=jnp.asarray(X, dtype=dtype),
         y=jnp.asarray(Y, dtype=dtype),
+        bounds_x=jnp.asarray(bounds_x, dtype=dtype),
+        bounds_y=jnp.asarray(bounds_y, dtype=dtype),
         jac_x=jnp.asarray(jx, dtype=dtype),
         jac_y=jnp.asarray(jy, dtype=dtype),
         f_proj=jnp.asarray(f_proj, dtype=dtype),

@@ -132,6 +132,26 @@ def build(
     mode = cfg.deriv_mode
     if scheme not in ("VPINNs", "PINNs"):
         raise ValueError(f"scheme must be 'VPINNs' or 'PINNs'; got {scheme!r}")
+    if scheme == "VPINNs" and var_form == 2:
+        # The verbatim reference form 2 (Poisson-2D.py:108-115) is only a
+        # consistent weak form on a single [-1,1]^2 element (missing 1/jac^2
+        # scalings and the boundary flux) — warn when that precondition fails.
+        on_ref_elem = (
+            cfg.n_elements_x == 1
+            and cfg.n_elements_y == 1
+            and cfg.domain_x == (-1.0, 1.0)
+            and cfg.domain_y == (-1.0, 1.0)
+        )
+        if not on_ref_elem:
+            import warnings
+
+            warnings.warn(
+                "Poisson-2D var_form=2 replicates the reference's inconsistent "
+                "twice-integrated form (Poisson-2D.py:108-115): it is only a "
+                "valid weak form on a single [-1,1]^2 element. Use var_form "
+                "'2c' for the mathematically correct twice-IBP form, or 0/1.",
+                stacklevel=2,
+            )
     hard_bc = cfg.hard_bc or lift_fn is not None or envelope_fn is not None
     if hard_bc:
         from hpvpinns_tpu.problems.base import make_composite_apply
@@ -198,5 +218,5 @@ def build(
         exact=u_ex,
         test_points=test_points,
         test_values=test_values,
-        extras={"mesh": mesh, "test_grid_shape": (len(yt), len(xt))},
+        extras={"mesh": mesh, "f_rhs": f_rh, "test_grid_shape": (len(yt), len(xt))},
     )

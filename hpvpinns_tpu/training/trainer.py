@@ -86,6 +86,47 @@ def _build_lbfgs_chunk(loss_fn: Callable, opt, n_steps: int):
     return jax.jit(chunk)
 
 
+def _build_lbfgs_stepwise_chunk(loss_fn: Callable, opt, n_steps: int):
+    """Fallback L-BFGS chunk: n_steps single-update jit dispatches (no scan),
+    for XLA builds that crash compiling the scan-of-updates graph."""
+
+    def loss_only(params, data):
+        return loss_fn(params, data)[0]
+
+    @jax.jit
+    def step(params, opt_state, data):
+        value_and_grad = optax.value_and_grad_from_state(lambda p: loss_only(p, data))
+        value, grad = value_and_grad(params, state=opt_state)
+        updates, opt_state = opt.update(
+            grad, opt_state, params, value=value, grad=grad,
+            value_fn=lambda q: loss_only(q, data),
+        )
+        return optax.apply_updates(params, updates), opt_state
+
+    aux_at = jax.jit(lambda params, data: loss_fn(params, data)[1])
+
+    def chunk(params, opt_state, data):
+        for _ in range(n_steps):
+            params, opt_state = step(params, opt_state, data)
+        return params, opt_state, aux_at(params, data)
+
+    return chunk
+
+
+def _is_compile_crash(err: Exception) -> bool:
+    """True for the XLA scan-of-steps compile failure modes worth a fallback:
+    an XlaRuntimeError of any flavor, or any exception mentioning compilation.
+    (The documented SIGILL variant kills the process and is uncatchable —
+    CLAUDE.md — but its recoverable sibling surfaces as XlaRuntimeError.)"""
+    if "compile" in str(err).lower():
+        return True
+    try:
+        from jax.errors import JaxRuntimeError  # XlaRuntimeError alias
+    except ImportError:
+        return False
+    return isinstance(err, JaxRuntimeError)
+
+
 def _build_stepwise_chunk(loss_fn: Callable, opt, n_steps: int):
     """Fallback chunk: n_steps single-step jit dispatches (no lax.scan).
 
@@ -182,28 +223,32 @@ def train(
     )
 
     t0 = time.perf_counter()
-    state = {"t_log": t0, "t_warm": None, "it_warm": 0, "it": 0, "aux": {}}
+    state = {"t_log": t0, "t_warm": None, "it_warm": 0, "it": 0, "it_saved": 0, "aux": {}}
 
-    def run_phase(build_chunk, opt, params, opt_state, n_iters):
+    def run_phase(build_chunk, build_fallback, opt, params, opt_state, n_iters):
         nonlocal stopped, best_params, min_loss
         chunk_fn = build_chunk(loss_fn, opt, check)
         end = state["it"] + n_iters
-        first_call = True
+        compiled = set()  # chunk lengths whose scan graph compiled OK
         while state["it"] < end:
             n = min(check, end - state["it"])
             if n != check:
                 chunk_fn = build_chunk(loss_fn, opt, n)
             try:
                 params, opt_state, aux = chunk_fn(params, opt_state, data)
-            except Exception as err:  # XLA scan-compile crash fallback
-                if not (first_call and build_chunk is _build_chunk and "compile" in str(err).lower()):
+            except Exception as err:  # XLA scan-compile crash fallback.
+                # Fires on the FIRST compile of any chunk length in this
+                # phase (including the rebuilt final partial chunk), for any
+                # XlaRuntimeError-class failure — not just the first chunk.
+                fresh = build_fallback is not None and n not in compiled
+                if not (fresh and _is_compile_crash(err)):
                     raise
                 if verbose:
                     print(f"scan-chunk compile failed ({str(err)[:80]}); falling back to per-step jit")
-                build_chunk = _build_stepwise_chunk
+                build_chunk, build_fallback = build_fallback, None
                 chunk_fn = build_chunk(loss_fn, opt, n)
                 params, opt_state, aux = chunk_fn(params, opt_state, data)
-            first_call = False
+            compiled.add(n)
             it = state["it"] = state["it"] + n
 
             aux_host = {k: float(v) for k, v in aux.items()}  # device sync
@@ -216,8 +261,13 @@ def train(
             if snap_after is not None and it > snap_after and loss_value < min_loss:
                 min_loss = loss_value
                 best_params = jax.tree.map(lambda a: np.asarray(a), params)
-            if checkpointer is not None and cfg.checkpoint_every and it % cfg.checkpoint_every < check:
+            if (
+                checkpointer is not None
+                and cfg.checkpoint_every
+                and it - state["it_saved"] >= cfg.checkpoint_every
+            ):
                 checkpointer.save(it, params, opt_state)
+                state["it_saved"] = it
 
             if cfg.threshold is not None and loss_value < cfg.threshold:
                 if verbose:
@@ -231,14 +281,18 @@ def train(
                 state["t_log"] = now
         return params, opt_state
 
-    params, opt_state = run_phase(_build_chunk, opt, params, opt_state, cfg.iterations)
+    params, opt_state = run_phase(
+        _build_chunk, _build_stepwise_chunk, opt, params, opt_state, cfg.iterations
+    )
 
     if cfg.lbfgs_iterations > 0 and not stopped:
         # Second-phase full-batch L-BFGS with zoom linesearch: the standard
         # accelerator once Adam has found the basin.
         lbfgs = optax.lbfgs()
         lbfgs_state = lbfgs.init(params)
-        params, _ = run_phase(_build_lbfgs_chunk, lbfgs, params, lbfgs_state, cfg.lbfgs_iterations)
+        params, _ = run_phase(
+            _build_lbfgs_chunk, _build_lbfgs_stepwise_chunk, lbfgs, params, lbfgs_state, cfg.lbfgs_iterations
+        )
         # The Adam opt_state is stale relative to the L-BFGS-moved params;
         # a resume from the final checkpoint restarts Adam with fresh moments.
         opt_state = opt.init(params)

@@ -114,6 +114,61 @@ def test_2d_form_2_agrees_on_single_unit_element():
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r2), rtol=1e-8, atol=1e-9)
 
 
+def test_2d_form_2c_agrees_on_multielement_nonunit_mesh():
+    """The corrected twice-IBP form '2c' (1/jac^2 scalings + live [u dphi]
+    boundary flux) must agree with forms 0/1 on ANY mesh and for u NOT
+    vanishing on the boundary — exactly where the reference-verbatim form 2 is
+    inconsistent (Poisson-2D.py:108-115)."""
+    mesh = TensorMesh2D.uniform(-1.0, 1.0, 2, 0.0, 2.0, 3)  # jac_x != jac_y
+    xq, wq = gauss_lobatto_jacobi(30, 0.0, 0.0)
+    f_fn = lambda x, y: 0.0 * x * y
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, f_fn, [7, 7], [7, 7, 7], F64)
+    basis = make_weighted_basis(7, xq, wq, F64)
+    # generic smooth u, nonzero on element boundaries
+    u_fn = lambda X: jnp.sin(1.3 * X[:, 0:1]) * jnp.cos(0.7 * X[:, 1:2]) + 0.2 * X[:, 0:1]
+    r0 = poisson2d_residual(u_fn, elems, basis, basis, 0)
+    r2c = poisson2d_residual(u_fn, elems, basis, basis, "2c")
+    np.testing.assert_allclose(np.asarray(r2c), np.asarray(r0), rtol=1e-8, atol=1e-9)
+    # and the verbatim form 2 does NOT agree here (the bug is real)
+    r2 = poisson2d_residual(u_fn, elems, basis, basis, 2)
+    assert np.max(np.abs(np.asarray(r2) - np.asarray(r0))) > 1e-3
+
+
+def test_advdiff_form_2_flux_agrees_on_multielement_mesh():
+    """Twice-IBP diffusion with the live [u dphi] space-time boundary flux
+    (the machinery AdvDiff.py:132-154 sketches) must match forms 0/1 for
+    scalar eps on a multi-element mesh."""
+    mesh = TensorMesh2D.uniform(-1.0, 1.0, 2, 0.0, 1.0, 2)
+    xq, wq = gauss_lobatto_jacobi(26, 0.0, 0.0)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, [6, 6], [6, 6], F64)
+    basis = make_weighted_basis(6, xq, wq, F64)
+    u_fn = lambda X: jnp.sin(X[:, 0:1]) * jnp.exp(-0.3 * X[:, 1:2]) + 0.1
+    r0 = advdiff_residual(u_fn, elems, basis, basis, 0, 1.0, 0.05)
+    r2 = advdiff_residual(u_fn, elems, basis, basis, 2, 1.0, 0.05)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r0), rtol=1e-8, atol=1e-10)
+
+    def loss_of_eps(eps):
+        r = advdiff_residual(u_fn, elems, basis, basis, 2, 1.0, eps)
+        return variational_loss(r, elems.mask, elems.n_test)
+
+    g = jax.grad(loss_of_eps)(0.05)
+    e = 1e-6
+    fd = (loss_of_eps(0.05 + e) - loss_of_eps(0.05 - e)) / (2 * e)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+
+def test_advdiff_form_2_rejects_variable_eps():
+    mesh = TensorMesh2D.uniform(-1.0, 1.0, 1, 0.0, 1.0, 1)
+    xq, wq = gauss_lobatto_jacobi(8, 0.0, 0.0)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, [3], [3], F64)
+    basis = make_weighted_basis(3, xq, wq, F64)
+    with pytest.raises(ValueError, match="scalar epsilon"):
+        advdiff_residual(
+            lambda X: X[:, 0:1], elems, basis, basis, 2, 1.0,
+            0.05 + 0.01 * elems.x, epsilon_x=0.01 + 0.0 * elems.x,
+        )
+
+
 def test_2d_exact_solution_zero_residual_form0():
     elems, basis = _setup_2d()
     u_fn = lambda X: jnp.sin(jnp.pi * X[:, 0:1]) * jnp.sin(jnp.pi * X[:, 1:2])

@@ -50,6 +50,25 @@ def test_run_end_to_end(capsys, tmp_path):
     assert (tmp_path / "rec.npz").exists()
 
 
+def test_advdiff_quadratic_epsilon_run(capsys):
+    """Regression: the summary's epsilon report must not KeyError when the pde
+    pytree holds 'eps_coef' instead of 'epsilon' (quadratic epsilon_model)."""
+    rc = main(
+        "run advdiff --epsilon-model quadratic --iterations 20 --n-quad 6 "
+        "--n-test-x 3 --n-test-t 3 --layers 2,6,1 --quiet".split()
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert np.isfinite(summary["epsilon"])
+    assert summary["epsilon_true"] == pytest.approx(0.1 / np.pi)
+
+
+def test_var_form_2c_parses():
+    args = parse("run poisson2d --var-form 2c --iterations 5".split())
+    cfg = _config_from_args(args)
+    assert cfg.var_form == "2c"
+
+
 def test_presets_command(capsys):
     assert main(["presets"]) == 0
     out = capsys.readouterr().out

@@ -45,6 +45,57 @@ def test_strong_residual_all_problems_shapes():
         assert r.shape[0] == 50 and np.all(np.isfinite(r))
 
 
+def test_strong_residual_2d_uses_problem_forcing():
+    """Regression: the 2D strong residual must use the problem's OWN f_fn
+    (build(f_fn=...)), not the module-level benchmark forcing — for the
+    manufactured solution u = x^2 + y^2 (f = 4) an exact ansatz has zero
+    residual only against its own forcing."""
+    import jax
+
+    from hpvpinns_tpu.problems import poisson2d
+
+    cfg = hv.Poisson2DConfig(dtype="float64", n_quad=4, layers=(2, 6, 1))
+    u_fn = lambda x, y: x**2 + y**2
+    f_fn = lambda x, y: 4.0 + 0.0 * x * y
+    prob = poisson2d.build(cfg, u_fn=u_fn, f_fn=f_fn)
+    params = prob.init_params(jax.random.key(0))
+    # override the ansatz with the exact solution: residual must be ~0
+    prob.apply_override = lambda p, X: X[:, 0:1] ** 2 + X[:, 1:2] ** 2
+    X = prob.test_points[:64]
+    r = strong_residual(prob, params, X)
+    np.testing.assert_allclose(r, 0.0, atol=1e-8)
+
+
+def test_poisson2d_var_form_2_warns_on_multielement():
+    import warnings
+
+    from hpvpinns_tpu.problems import poisson2d
+
+    cfg = hv.Poisson2DConfig(dtype="float64", var_form=2, n_quad=4, layers=(2, 6, 1))
+    with pytest.warns(UserWarning, match="var_form=2"):
+        poisson2d.build(cfg)
+    # single unit element: no warning
+    cfg1 = hv.Poisson2DConfig(
+        dtype="float64", var_form=2, n_elements_x=1, n_elements_y=1, n_quad=4, layers=(2, 6, 1)
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        poisson2d.build(cfg1)
+
+
+def test_poisson2d_var_form_2c_trains():
+    """The corrected form is trainable end to end."""
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", var_form="2c", n_elements_x=2, n_elements_y=2,
+        n_quad=6, n_test_x=3, n_test_y=3, layers=(2, 8, 1),
+        train=hv.TrainConfig(iterations=30, check_every=10),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+    assert np.isfinite(res.history["loss"][-1])
+
+
 @pytest.mark.slow
 def test_h_sweep_converges_1d():
     """More elements -> lower error on the steep problem (h-refinement)."""

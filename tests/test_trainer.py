@@ -127,6 +127,23 @@ def test_profiler_trace_writes(tmp_path):
     assert isinstance(stats, dict)
 
 
+def test_checkpoint_cadence_non_multiple(tmp_path):
+    """checkpoint_every=25 with check_every=10 must save on a regular >=25-iter
+    cadence (30, 60, 90) — not the irregular 30, 55, 80 the old modulo trigger
+    produced — plus the final save."""
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(
+        iterations=90, check_every=10,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=25, checkpoint_keep_last=0,
+    )
+    hv.train(prob, cfg, verbose=False)
+
+    from hpvpinns_tpu.training.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ck"), keep_last=0)
+    assert ck._steps() == [30, 60, 90]
+
+
 def test_checkpoint_retention(tmp_path):
     from hpvpinns_tpu.training.checkpoint import Checkpointer
 
