@@ -45,9 +45,78 @@ def run(name, cfg, extra=()):
     return rec
 
 
+def parity_records(q: int):
+    """float64 CPU parity rows: the three configs-of-record exactly as the
+    reference runs them (float64 throughout, Poisson-1D.py:46-51,116; CPU
+    pinned, :105), plus f64 extended rows that show what the same framework
+    delivers with an L-BFGS phase at reference-class budgets.
+
+    These are the rows BASELINE.md's 'first measurement step' promises: the
+    numbers a reference user gets at the reference's own precision."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+
+    records = []
+    # Poisson-1D config of record, f64 (Poisson-1D.py:231-240).
+    cfg = replace(hv.poisson1d_of_record(), dtype="float64")
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q))
+    records.append(run("poisson1d_of_record_f64cpu", cfg))
+
+    # Poisson-2D config of record, f64 (Poisson-2D.py:279-288, 10001 iters).
+    cfg = replace(hv.poisson2d_of_record(), dtype="float64")
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q, check_every=50))
+    records.append(run("poisson2d_of_record_f64cpu", cfg))
+
+    # AdvDiff inverse config of record, f64 (AdvDiff.py:35-53).
+    cfg = replace(hv.advdiff_of_record(), dtype="float64")
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q))
+    records.append(run("advdiff_of_record_f64cpu", cfg))
+
+    # Extended f64 rows: same problems, quality budgets (MEASUREMENTS.md).
+    cfg = replace(
+        hv.poisson1d_quality(),
+        dtype="float64",
+        train=hv.TrainConfig(iterations=3000 // q, lbfgs_iterations=2000 // q, check_every=100),
+    )
+    records.append(run("poisson1d_quality_f64cpu", cfg))
+
+    cfg = replace(
+        hv.advdiff_of_record(),
+        dtype="float64",
+        train=hv.TrainConfig(
+            iterations=5000 // q, lbfgs_iterations=10000 // q, check_every=500,
+        ),
+    )
+    records.append(run("advdiff_lbfgs_f64cpu", cfg))
+    return records
+
+
+def merge_into(out_path: str, records):
+    """Merge rows into ACCURACY.json by config name (parity rows coexist
+    with the f32 TPU rows)."""
+    existing = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    by_name = {r["config"]: r for r in existing}
+    for r in records:
+        by_name[r["config"]] = r
+    merged = list(by_name.values())
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    return merged
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="1/10 iteration budgets")
+    ap.add_argument(
+        "--parity", action="store_true",
+        help="run ONLY the float64-CPU configs-of-record parity set and merge "
+        "the rows into ACCURACY.json",
+    )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
     args = ap.parse_args()
     q = 10 if args.quick else 1
@@ -55,6 +124,12 @@ def main():
     from hpvpinns_tpu.cli import _enable_compile_cache
 
     _enable_compile_cache()
+
+    if args.parity:
+        records = parity_records(q)
+        merge_into(args.out, records)
+        print(f"merged {len(records)} parity rows into {args.out}", file=sys.stderr)
+        return
 
     records = []
     # 1. Poisson-1D config of record (Poisson-1D.py:231-240).
@@ -145,8 +220,7 @@ def main():
         )
     )
 
-    with open(args.out, "w") as f:
-        json.dump(records, f, indent=1)
+    merge_into(args.out, records)
     print(f"wrote {args.out}", file=sys.stderr)
 
 

@@ -31,9 +31,13 @@ from hpvpinns_tpu.config import (
     Poisson3DConfig,
     TrainConfig,
     advdiff_of_record,
+    advdiff_quality,
     poisson1d_of_record,
+    poisson1d_quality,
     poisson2d_of_record,
+    poisson2d_quality,
     poisson2d_scaled,
+    poisson3d_quality,
 )
 from hpvpinns_tpu.evaluate import evaluate as evaluate_problem
 from hpvpinns_tpu.evaluate import predict, rel_l2

@@ -38,6 +38,11 @@ def _var_form_arg(s: str):
 
 
 def _add_common_flags(p: argparse.ArgumentParser):
+    p.add_argument(
+        "--preset", choices=["record", "quality"], default="record",
+        help="'record' = the reference configuration of record; 'quality' = "
+        "the measured best time-to-accuracy configuration (MEASUREMENTS.md)",
+    )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
     p.add_argument("--layers", type=str, help="comma-separated widths, e.g. 1,20,20,1")
@@ -121,6 +126,13 @@ _PRESETS = {
     "advdiff": cfgmod.advdiff_of_record,
 }
 
+_QUALITY_PRESETS = {
+    "poisson1d": cfgmod.poisson1d_quality,
+    "poisson2d": cfgmod.poisson2d_quality,
+    "poisson3d": cfgmod.poisson3d_quality,
+    "advdiff": cfgmod.advdiff_quality,
+}
+
 _TRAIN_KEYS = (
     "iterations", "lbfgs_iterations", "learning_rate", "threshold", "seed",
     "checkpoint_dir", "checkpoint_every",
@@ -128,7 +140,13 @@ _TRAIN_KEYS = (
 
 
 def _config_from_args(args) -> object:
-    cfg = _PRESETS[args.problem]()
+    table = _QUALITY_PRESETS if getattr(args, "preset", "record") == "quality" else _PRESETS
+    cfg = table[args.problem]()
+    if getattr(args, "preset", "record") == "quality" and getattr(args, "hard_bc", None):
+        # the hard-BC quality point of record extends the L-BFGS budget
+        # (MEASUREMENTS.md: 3.1e-4 at Adam10k+LBFGS20k)
+        if args.problem == "poisson2d":
+            cfg = cfgmod.poisson2d_quality(hard_bc=True)
     cfg_overrides = {}
     names = {f.name for f in dataclasses.fields(cfg)}
     for key, val in vars(args).items():
@@ -168,11 +186,18 @@ def _enable_compile_cache():
 
 
 def _maybe_enable_x64(dtype: str):
-    """float64 configs silently downcast to f32 unless x64 is enabled."""
+    """float64 configs silently downcast to f32 unless x64 is enabled; the
+    TPU (axon) backend rejects x64 programs, so f64 runs are pinned to CPU
+    (matching the reference's float64-CPU execution, Poisson-1D.py:46-51,105).
+    """
     if dtype == "float64":
         import jax
 
         jax.config.update("jax_enable_x64", True)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
 
 def cmd_run(args) -> int:
@@ -222,7 +247,10 @@ def cmd_run(args) -> int:
 
 def cmd_presets() -> int:
     for name, factory in _PRESETS.items():
-        print(f"== {name} ==")
+        print(f"== {name} (record) ==")
+        print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
+    for name, factory in _QUALITY_PRESETS.items():
+        print(f"== {name} (quality) ==")
         print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
     return 0
 

@@ -176,6 +176,69 @@ def advdiff_of_record() -> AdvDiffConfig:
     return AdvDiffConfig()
 
 
+def poisson1d_quality() -> Poisson1DConfig:
+    """Measured winner of the h-sweep (benchmarks/MEASUREMENTS.md): 4-element
+    h-refinement at p=15 with an L-BFGS phase — rel-L2 3.4e-3 on one chip
+    (f32), an order of magnitude below the single-element config of record
+    (which is representation-limited on the tanh(80x) layer)."""
+    return Poisson1DConfig(
+        n_elements=4,
+        n_test=15,
+        train=TrainConfig(iterations=3000, lbfgs_iterations=2000, check_every=100),
+    )
+
+
+def poisson2d_quality(hard_bc: bool = False) -> Poisson2DConfig:
+    """Measured time-to-accuracy Pareto winner (benchmarks/MEASUREMENTS.md):
+    (2,48x4,1) tanh net, 10x10 test fns, 16-pt quadrature, Adam10k+LBFGS5k —
+    rel-L2 8.7e-4 in ~21 s warm-cache on one v5e chip (beats the <1e-3/<60s
+    north star).  hard_bc=True lifts the ansatz (boundary exact by
+    construction) and extends the L-BFGS budget: measured 3.1e-4."""
+    return Poisson2DConfig(
+        layers=(2, 48, 48, 48, 48, 1),
+        n_test_x=10,
+        n_test_y=10,
+        n_quad=16,
+        hard_bc=hard_bc,
+        train=TrainConfig(
+            iterations=10000,
+            lbfgs_iterations=20000 if hard_bc else 5000,
+            check_every=1000,
+        ),
+    )
+
+
+def advdiff_quality() -> AdvDiffConfig:
+    """Measured optimizer-study winner for coefficient identification
+    (benchmarks/MEASUREMENTS.md): float64 Adam5k + L-BFGS10k — epsilon to
+    2.4% of truth (0.03259 vs 0.03183).  float64 runs on CPU (the axon TPU
+    backend rejects x64 programs); the f32 on-chip path plateaus around 10%
+    from single-precision loss conditioning."""
+    return AdvDiffConfig(
+        dtype="float64",
+        train=TrainConfig(
+            iterations=5000,
+            lbfgs_iterations=10000,
+            check_every=500,
+            best_snapshot_fraction=0.9,
+        ),
+    )
+
+
+def poisson3d_quality() -> Poisson3DConfig:
+    """Measured 3D quality point (benchmarks/MEASUREMENTS.md): (3,48,48,48,1)
+    net, 6^3 test fns, 10^3 quadrature points, 8 elements, Adam10k+LBFGS10k —
+    rel-L2 1.34e-2 in 48 s on one chip."""
+    return Poisson3DConfig(
+        layers=(3, 48, 48, 48, 1),
+        n_test_x=6,
+        n_test_y=6,
+        n_test_z=6,
+        n_quad=10,
+        train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
+    )
+
+
 def poisson2d_scaled(n_elem_axis: int = 8, n_quad: int = 16, n_test: int = 10) -> Poisson2DConfig:
     """The scaled multi-chip benchmark config (BASELINE.json config 5):
     n_elem_axis^2 elements, higher quadrature/test order."""
@@ -199,6 +262,10 @@ __all__ = [
     "poisson1d_of_record",
     "poisson2d_of_record",
     "advdiff_of_record",
+    "poisson1d_quality",
+    "poisson2d_quality",
+    "advdiff_quality",
+    "poisson3d_quality",
     "poisson2d_scaled",
     "replace",
 ]

@@ -63,6 +63,40 @@ def test_advdiff_quadratic_epsilon_run(capsys):
     assert summary["epsilon_true"] == pytest.approx(0.1 / np.pi)
 
 
+def test_quality_presets():
+    """The measured winners (MEASUREMENTS.md) are one flag away."""
+    cfg = _config_from_args(parse("run poisson2d --preset quality".split()))
+    assert cfg.layers == (2, 48, 48, 48, 48, 1)
+    assert cfg.n_test_x == 10 and cfg.n_quad == 16
+    assert cfg.train.iterations == 10000 and cfg.train.lbfgs_iterations == 5000
+
+    cfg = _config_from_args(parse("run poisson2d --preset quality --hard-bc".split()))
+    assert cfg.hard_bc is True and cfg.train.lbfgs_iterations == 20000
+
+    cfg = _config_from_args(parse("run poisson1d --preset quality".split()))
+    assert cfg.n_elements == 4 and cfg.train.lbfgs_iterations == 2000
+
+    cfg = _config_from_args(parse("run advdiff --preset quality".split()))
+    assert cfg.dtype == "float64" and cfg.train.lbfgs_iterations == 10000
+
+    cfg = _config_from_args(parse("run poisson3d --preset quality".split()))
+    assert cfg.layers == (3, 48, 48, 48, 1) and cfg.n_test_x == 6
+
+    # overrides still apply on top of a quality preset
+    cfg = _config_from_args(parse("run poisson2d --preset quality --iterations 7".split()))
+    assert cfg.train.iterations == 7 and cfg.layers == (2, 48, 48, 48, 48, 1)
+
+
+def test_quality_preset_runs_end_to_end(capsys):
+    rc = main(
+        "run poisson2d --preset quality --iterations 20 --lbfgs-iterations 0 "
+        "--n-quad 4 --layers 2,6,1 --quiet".split()
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert summary["problem"] == "poisson2d" and np.isfinite(summary["rel_l2"])
+
+
 def test_var_form_2c_parses():
     args = parse("run poisson2d --var-form 2c --iterations 5".split())
     cfg = _config_from_args(args)
