@@ -95,17 +95,34 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
     raise ValueError(f"no strong form registered for problem {problem.name!r}")
 
 
-def per_element_rel_l2(problem: Problem, params, n_points: int = 500) -> np.ndarray:
+def per_element_rel_l2(problem: Problem, params, n_points: Optional[int] = None) -> np.ndarray:
     """Per-subdomain rel-L2 on a fresh per-element grid (the working version
-    of the reference's dead predict_subdomain, Poisson-1D.py:185-195).
-    1D problems only."""
+    of the reference's dead predict_subdomain, Poisson-1D.py:185-195),
+    generalized to tensor-product 2D/3D meshes.
+
+    Returns [E] in the mesh's flat element order (x-major; reshape with
+    `problem.extras["mesh"].shape` for a per-element error map).
+    n_points is per axis (defaults: 500 / 40 / 16 for 1D / 2D / 3D)."""
     mesh = problem.extras["mesh"]
     if not hasattr(mesh, "map_points"):
-        raise TypeError("per_element_rel_l2 supports 1D interval meshes")
-    xi = np.linspace(-1.0, 1.0, n_points)
-    x_elem = mesh.map_points(xi)  # [E, P]
-    u_true = problem.exact(x_elem)
-    u_pred = predict(problem, params, x_elem.reshape(-1, 1)).reshape(x_elem.shape)
-    num = np.linalg.norm(u_true - u_pred, axis=1)
-    den = np.linalg.norm(u_true, axis=1)
+        raise TypeError("per_element_rel_l2 needs a mesh with map_points")
+    dim = problem.test_points.shape[1]
+    n = n_points or {1: 500, 2: 40, 3: 16}[dim]
+    xi = np.linspace(-1.0, 1.0, n)
+    if dim == 1:
+        coords = (mesh.map_points(xi),)  # [E, P]
+    elif dim == 2:
+        coords = mesh.map_points(xi, xi)  # ([E, P, P],) x 2
+    elif dim == 3:
+        coords = mesh.map_points(xi, xi, xi)
+    else:
+        raise ValueError(f"unsupported dimension {dim}")
+    u_true = np.asarray(problem.exact(*coords))
+    pts = np.stack([c.reshape(-1) for c in coords], axis=-1)
+    shape = coords[0].shape
+    u_pred = predict(problem, params, pts).reshape(shape)
+    u_true = u_true.reshape(shape)
+    axes = tuple(range(1, u_true.ndim))
+    num = np.sqrt(((u_true - u_pred) ** 2).sum(axis=axes))
+    den = np.sqrt((u_true**2).sum(axis=axes))
     return num / den

@@ -26,6 +26,8 @@ def _with(cfg, **kw):
 
 
 def _run_point(cfg, train_cfg, mesh=None, verbose=False) -> dict:
+    from hpvpinns_tpu.evaluate import per_element_rel_l2
+
     prob = hv.build(cfg)
     res = hv.train(prob, train_cfg, mesh=mesh, verbose=verbose)
     metrics = hv.evaluate_problem(prob, res.eval_params)
@@ -35,6 +37,9 @@ def _run_point(cfg, train_cfg, mesh=None, verbose=False) -> dict:
         "final_loss": res.final_aux.get("loss"),
         "steps_per_sec": res.steps_per_sec,
         "iterations": res.iterations_run,
+        # the hp story per point: where in the mesh the error lives
+        # (reference intent: predict_subdomain, Poisson-1D.py:185-195)
+        "per_element_rel_l2": [float(v) for v in per_element_rel_l2(prob, res.eval_params)],
     }
 
 

@@ -185,6 +185,57 @@ def plot_training_points(problem: Problem, outdir: str, fmt: str = "pdf"):
     return path
 
 
+def plot_per_element_error(problem: Problem, params, outdir: str, fmt: str = "png"):
+    """Per-element rel-L2 error map over the hp-decomposition — the working,
+    every-dimension version of the reference's intended subdomain errors
+    (dead predict_subdomain, Poisson-1D.py:185-195).
+
+    1D: bar chart per element; 2D: Ex x Ey heatmap; 3D: one heatmap per
+    z-layer.  Values annotated in scientific notation."""
+    from hpvpinns_tpu.evaluate import per_element_rel_l2
+
+    plt = _plt()
+    errs = np.asarray(per_element_rel_l2(problem, params))
+    mesh = problem.extras["mesh"]
+
+    def _annotate(ax, grid):  # grid: [nx, ny] imshow-oriented values
+        for (i, j), v in np.ndenumerate(grid):
+            ax.text(j, i, f"{v:.1e}", ha="center", va="center", fontsize=7, color="w")
+
+    if not hasattr(mesh, "shape"):  # Interval1D
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.bar(np.arange(len(errs)), errs)
+        ax.set_yscale("log")
+        ax.set_xlabel("element")
+        ax.set_ylabel("relative $L_2$ error")
+    elif len(mesh.shape) == 2:
+        Ex, Ey = mesh.shape
+        grid = errs.reshape(Ex, Ey).T  # rows = y (imshow origin lower)
+        fig, ax = plt.subplots(figsize=(1.1 * Ex + 2.5, 1.1 * Ey + 2))
+        im = ax.imshow(grid, origin="lower", cmap="viridis")
+        fig.colorbar(im)
+        _annotate(ax, grid)
+        ax.set_xlabel("element index (x)")
+        ax.set_ylabel("element index (y)")
+    else:
+        Ex, Ey, Ez = mesh.shape
+        cube = errs.reshape(Ex, Ey, Ez)
+        fig, axes = plt.subplots(1, Ez, figsize=(1.1 * Ex * Ez + 3, 1.1 * Ey + 2))
+        for ez, ax in enumerate(np.atleast_1d(axes)):
+            grid = cube[:, :, ez].T
+            im = ax.imshow(grid, origin="lower", cmap="viridis")
+            _annotate(ax, grid)
+            ax.set_title(f"z-layer {ez}")
+            ax.set_xlabel("element index (x)")
+        np.atleast_1d(axes)[0].set_ylabel("element index (y)")
+        fig.colorbar(im, ax=list(np.atleast_1d(axes)))
+    ax0 = fig.axes[0]
+    ax0.set_title("per-element relative $L_2$ error")
+    path = _save(fig, outdir, "per_element_error", fmt)
+    plt.close(fig)
+    return path
+
+
 def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
     """The full per-problem artifact set, dispatched on problem name."""
     paths = [plot_loss_history(result, outdir), plot_training_points(problem, outdir)]
@@ -200,6 +251,7 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
         paths.append(plot_advdiff_slices(problem, params, outdir))
         if "epsilon" in result.history:
             paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
+    paths.append(plot_per_element_error(problem, params, outdir))
     return paths
 
 

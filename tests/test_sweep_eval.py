@@ -83,6 +83,69 @@ def test_poisson2d_var_form_2_warns_on_multielement():
         poisson2d.build(cfg1)
 
 
+def test_per_element_rel_l2_2d_and_3d():
+    """Per-element error maps on tensor-product meshes (the 2D/3D
+    generalization of the reference's intended predict_subdomain)."""
+    import jax
+
+    from hpvpinns_tpu.evaluate import per_element_rel_l2
+
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", n_elements_x=4, n_elements_y=3, n_quad=4, layers=(2, 6, 1)
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    # exact ansatz (jnp-traceable) -> per-element error ~ 0 everywhere
+    import jax.numpy as jnp
+
+    prob.apply_override = lambda p, X: (
+        0.1 * jnp.sin(2 * jnp.pi * X[:, 0:1]) + jnp.tanh(10.0 * X[:, 0:1])
+    ) * jnp.sin(2 * jnp.pi * X[:, 1:2])
+    errs = per_element_rel_l2(prob, params)
+    assert errs.shape == (12,)
+    np.testing.assert_allclose(errs, 0.0, atol=1e-12)
+    # zero ansatz -> rel error exactly 1 per element
+    prob.extras.pop("_apply_jit", None)
+    prob.apply_override = lambda p, X: 0.0 * X[:, 0:1]
+    errs = per_element_rel_l2(prob, params)
+    np.testing.assert_allclose(errs, 1.0, atol=1e-12)
+
+    cfg3 = hv.Poisson3DConfig(
+        dtype="float64", n_elements_x=2, n_elements_y=2, n_elements_z=2,
+        n_quad=3, n_test_x=2, n_test_y=2, n_test_z=2, layers=(3, 6, 1),
+    )
+    prob3 = hv.build(cfg3)
+    params3 = prob3.init_params(jax.random.key(0))
+    errs3 = per_element_rel_l2(prob3, params3, n_points=6)
+    assert errs3.shape == (8,) and np.all(np.isfinite(errs3))
+
+
+def test_sweep_records_carry_per_element_errors():
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_quad=8, n_test=4, layers=(1, 6, 1),
+        train=hv.TrainConfig(iterations=20, check_every=10),
+    )
+    recs = sweep.h_sweep(cfg, [2, 3], cfg.train)
+    assert len(recs[0]["per_element_rel_l2"]) == 2
+    assert len(recs[1]["per_element_rel_l2"]) == 3
+
+
+def test_per_element_error_plot(tmp_path):
+    import jax
+
+    from hpvpinns_tpu import viz
+
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", n_elements_x=2, n_elements_y=2, n_quad=4, layers=(2, 6, 1)
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    path = viz.plot_per_element_error(prob, params, str(tmp_path))
+    import os
+
+    assert os.path.exists(path)
+
+
 def test_poisson2d_var_form_2c_trains():
     """The corrected form is trainable end to end."""
     cfg = hv.Poisson2DConfig(
