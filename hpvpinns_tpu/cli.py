@@ -98,6 +98,8 @@ def build_parser() -> argparse.ArgumentParser:
     p3.add_argument("--n-test-t", type=int, dest="n_test_t")
     p3.add_argument("--velocity", type=float)
     p3.add_argument("--gamma", type=float)
+    p3.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc", help="lifted space-time ansatz: IC/BC exact by construction")
     p3.add_argument("--epsilon-init", type=float, dest="epsilon_init")
     p3.add_argument("--epsilon-model", choices=["scalar", "quadratic"], dest="epsilon_model",
                     help="scalar eps (reference parity) or quadratic eps(x) field")

@@ -147,6 +147,8 @@ class AdvDiffConfig:
     # (space-dependent eps(x) = c0 + c1 x + c2 x^2, identified jointly;
     # beyond the reference)
     inverse: bool = True  # eps trainable; False freezes it at the true value
+    hard_bc: bool = False  # lifted space-time ansatz u = g + D(x,t) N: the
+    # IC and BC hold exactly (data loss reduces to the interior sensors)
     n_sensors_per_station: int = 5  # interior data for identifiability
     sensor_stations: Tuple[float, ...] = (-0.5, 0.0, 0.5)  # AdvDiff.py:464-479
     t_final: float = 1.0

@@ -66,6 +66,26 @@ def u_exact(x, t, epsilon, velocity, trunc=800):
     return np.where(t == 0, u_initial(x), c)
 
 
+def default_lift(X):
+    """Space-time lift g(x, t) = -sin(pi x) for the benchmark problem: exact
+    on BOTH data boundaries (u(+-1, t) = 0 since sin(+-pi) = 0, and
+    u(x, 0) = -sin(pi x), AdvDiff.py:351-353)."""
+    return -jnp.sin(jnp.pi * X[:, 0:1])
+
+
+def make_default_envelope(cfg: AdvDiffConfig):
+    """D(x, t) = (x - a)(b - x)/((b-a)/2)^2 * (t / T): vanishes on x = a, b
+    and on t = 0 — the hard-BC ansatz u = g + D * N then satisfies the BC and
+    the IC exactly for any parameters."""
+    a, b = cfg.domain_x
+    scale = ((b - a) / 2.0) ** 2
+
+    def envelope(X):
+        return (X[:, 0:1] - a) * (b - X[:, 0:1]) / scale * (X[:, 1:2] / cfg.t_final)
+
+    return envelope
+
+
 def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
     """Boundary + initial + interior-sensor data (AdvDiff.py:357-384,464-483)."""
     T, (xl, xr) = cfg.t_final, cfg.domain_x
@@ -91,7 +111,18 @@ def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
     return np.concatenate(pts), np.concatenate(vals)
 
 
-def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem:
+def build(
+    cfg: AdvDiffConfig,
+    rng: np.random.Generator | None = None,
+    lift_fn=None,
+    envelope_fn=None,
+) -> Problem:
+    """`cfg.hard_bc` (or explicit lift_fn/envelope_fn, jnp-traceable
+    [P,2] -> [P,1]) switches on the lifted ansatz u = g + D * N: the IC and BC
+    hold exactly by construction, so the data loss reduces to the interior
+    sensors and all remaining capacity goes to the PDE + identification.
+    Defaults fit the benchmark problem (default_lift / make_default_envelope).
+    """
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
     eps_true = cfg.gamma / np.pi
@@ -119,6 +150,19 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
     var_form, wb, V = cfg.var_form, cfg.lossb_weight, cfg.velocity
     inverse = cfg.inverse
     mode = cfg.deriv_mode
+    hard_bc = getattr(cfg, "hard_bc", False) or lift_fn is not None or envelope_fn is not None
+    if hard_bc:
+        from hpvpinns_tpu.problems.base import make_composite_apply
+
+        lift = lift_fn or default_lift
+        envelope = envelope_fn or make_default_envelope(cfg)
+        mode = "jvp"  # composite ansatz: generic autodiff engine
+        composite = make_composite_apply(spec, lift, envelope)
+
+    def make_u_fn(params):
+        if hard_bc:
+            return composite(params)
+        return lambda X: mlp_apply(spec, params["net"], X)
 
     eps_model = cfg.epsilon_model
     if eps_model not in ("scalar", "quadratic"):
@@ -162,7 +206,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         return params["pde"]["epsilon"]
 
     def loss_fn(params, data, axis_name=None):
-        u_fn = lambda X: mlp_apply(spec, params["net"], X)
+        u_fn = make_u_fn(params)
         el = data["elements"]
         eps = eps_of(params, el.x)
         if mode == "taylor":
@@ -207,6 +251,7 @@ def build(cfg: AdvDiffConfig, rng: np.random.Generator | None = None) -> Problem
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, pde_init=pde_init, dtype=dtype),
+        apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
         exact=lambda x, t: u_exact(x, t, eps_true, cfg.velocity, cfg.fourier_terms),
         test_points=test_points,
         test_values=test_values,

@@ -117,6 +117,30 @@ def test_advdiff_inverse_epsilon_moves_toward_truth():
     assert res.final_aux["epsilon"] < 0.15  # well on the way from 1.0 to 0.0318
 
 
+def test_advdiff_hard_bc_ansatz_exact_on_ic_and_bc():
+    """Lifted space-time ansatz: u(x, 0) = -sin(pi x) and u(+-1, t) = 0 hold
+    to machine precision for RANDOM parameters."""
+    import jax
+
+    cfg = hv.AdvDiffConfig(dtype="float64", hard_bc=True, layers=(2, 8, 1))
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(7))
+    t = np.linspace(0.0, 1.0, 33)[:, None]
+    for xv in (-1.0, 1.0):
+        Xb = np.hstack([np.full_like(t, xv), t])
+        np.testing.assert_allclose(np.asarray(prob.apply(params, Xb)), 0.0, atol=1e-14)
+    x = np.linspace(-1.0, 1.0, 65)[:, None]
+    X0 = np.hstack([x, np.zeros_like(x)])
+    np.testing.assert_allclose(
+        np.asarray(prob.apply(params, X0)), -np.sin(np.pi * x), atol=1e-13
+    )
+    # boundary/IC part of the data loss is ~0 by construction (sensors remain)
+    loss, aux = prob.loss_fn(params, prob.data)
+    res = hv.train(prob, hv.TrainConfig(iterations=40, check_every=20), verbose=False)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+    assert "epsilon" in res.final_aux
+
+
 def test_advdiff_forward_mode_has_no_pde_params():
     cfg = hv.AdvDiffConfig(inverse=False, train=hv.TrainConfig(iterations=1))
     prob = hv.build(cfg)

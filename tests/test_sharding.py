@@ -145,3 +145,16 @@ def test_pad_points_inert():
     l0, _ = prob.loss_fn(params, prob.data)
     l1, _ = prob.loss_fn(params, padded)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-12)
+
+
+def test_distributed_initialize_single_process():
+    """Single-process bring-up is a no-op that reports the topology (the
+    multi-host path calls jax.distributed.initialize with the same surface)."""
+    from hpvpinns_tpu.parallel.distributed import initialize
+
+    info = initialize()
+    assert info["process_count"] == 1
+    assert info["process_index"] == 0
+    assert info["global_devices"] == len(jax.devices())
+    # idempotent
+    assert initialize() == info
