@@ -9,7 +9,10 @@ contraction at one quadrature point of one element).
 The reference publishes no numbers (BASELINE.md); the baseline is this same
 workload measured with matched hyperparameters on one CPU host
 (benchmarks/baseline_cpu.json, the stand-in for the TF1-CPU original, which
-predates installable TF).  `vs_baseline` is the speedup ratio.
+predates installable TF).  `vs_baseline` is the speedup ratio against the
+float64 CPU row — the reference runs float64 on a CPU-pinned session
+(Poisson-1D.py:46-51,105,116), so that is the apples-to-apples denominator;
+the stricter float32-CPU cross-ratio is reported on stderr.
 
 Prints exactly one JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -104,9 +107,14 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-        base = baseline.get("residual_evals_per_sec")
+        # float64 row = the reference's own numerics (see module docstring);
+        # legacy flat layout supported for older snapshots.
+        base = (baseline.get("float64") or baseline).get("residual_evals_per_sec")
         if base:
             vs_baseline = result["residual_evals_per_sec"] / base
+        base32 = (baseline.get("float32") or {}).get("residual_evals_per_sec")
+        if base32:
+            result["vs_float32_cpu"] = result["residual_evals_per_sec"] / base32
 
     print(
         json.dumps(

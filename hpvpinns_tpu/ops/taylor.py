@@ -78,6 +78,13 @@ def mlp_fields(spec: MLP, params, X, directions):
     (0,) for u_x/u_xx only, (0, 1) for both axes.
     Returns (u [P, out], firsts, seconds) where firsts/seconds are tuples of
     [P, out] arrays ordered like `directions`.
+
+    Layout note (measured, benchmarks/MEASUREMENTS.md): propagating the
+    1 + 2*len(directions) streams as SEPARATE per-stream matmuls is ~25%
+    faster end-to-end than stacking them into one [S*P, H] matmul per layer —
+    the stack/concat materialization (and its transpose in the backward)
+    costs more HBM traffic than the extra dispatches cost in launches; XLA
+    already fuses the elementwise chains between the small matmuls.
     """
     prec = jax.lax.Precision(spec.precision)
     dot = lambda A, W: jnp.dot(A, W, precision=prec)
