@@ -73,15 +73,22 @@ def default_lift(X):
     return -jnp.sin(jnp.pi * X[:, 0:1])
 
 
-def make_default_envelope(cfg: AdvDiffConfig):
-    """D(x, t) = (x - a)(b - x)/((b-a)/2)^2 * (t / T): vanishes on x = a, b
-    and on t = 0 — the hard-BC ansatz u = g + D * N then satisfies the BC and
-    the IC exactly for any parameters."""
+def make_default_envelope(cfg: AdvDiffConfig, rate: float = 4.0):
+    """D(x, t) = (x - a)(b - x)/((b-a)/2)^2 * (1 - exp(-rate t / T)):
+    vanishes on x = a, b and on t = 0 — the hard-BC ansatz u = g + D * N then
+    satisfies the BC and the IC exactly for any parameters.
+
+    The SATURATING time factor matters (measured, MEASUREMENTS.md): a linear
+    t/T factor keeps suppressing the network for all t and wrecks coefficient
+    identification (eps err 612% f32); 1 - exp(-4 t/T) saturates by t ~ T/2
+    and reaches eps err 4.5% f32 on chip — 2.4x better than the soft-BC
+    plateau (10.8%)."""
     a, b = cfg.domain_x
     scale = ((b - a) / 2.0) ** 2
 
     def envelope(X):
-        return (X[:, 0:1] - a) * (b - X[:, 0:1]) / scale * (X[:, 1:2] / cfg.t_final)
+        tfac = 1.0 - jnp.exp(-rate * X[:, 1:2] / cfg.t_final)
+        return (X[:, 0:1] - a) * (b - X[:, 0:1]) / scale * tfac
 
     return envelope
 

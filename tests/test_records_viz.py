@@ -55,7 +55,11 @@ def test_record_contains_grids(trained_adv):
 def test_standard_report_1d(tmp_path, trained_1d):
     prob, res = trained_1d
     paths = viz.standard_report(prob, res, str(tmp_path))
-    assert len(paths) == 4
+    names = {p.split("/")[-1] for p in paths}
+    assert {
+        "loss.pdf", "train_quad_points.pdf", "prediction.pdf", "error.pdf",
+        "per_element_error.png",
+    } <= names
     import os
 
     assert all(os.path.getsize(p) > 0 for p in paths)
