@@ -26,6 +26,8 @@ TPU-first design decisions (vs. the reference's per-element Python graph loop):
 from hpvpinns_tpu import config, evaluate, problems
 from hpvpinns_tpu.config import (
     AdvDiffConfig,
+    BurgersConfig,
+    burgers_quality,
     Poisson1DConfig,
     Poisson2DConfig,
     Poisson3DConfig,

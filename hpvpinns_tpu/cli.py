@@ -106,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
     p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
     _add_common_flags(p3)
 
+    pb = runsub.add_parser("burgers", help="viscous Burgers space-time hp-VPINN (nonlinear; beyond reference)")
+    pb.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    pb.add_argument("--n-elements-t", type=int, dest="n_elements_t")
+    pb.add_argument("--n-test-x", type=int, dest="n_test_x")
+    pb.add_argument("--n-test-t", type=int, dest="n_test_t")
+    pb.add_argument("--nu", type=float)
+    pb.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc", help="lifted space-time ansatz: IC/BC exact by construction")
+    _add_common_flags(pb)
+
     sub.add_parser("presets", help="print the shipped configurations of record")
 
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
@@ -126,6 +136,7 @@ _PRESETS = {
     "poisson2d": cfgmod.poisson2d_of_record,
     "poisson3d": cfgmod.Poisson3DConfig,
     "advdiff": cfgmod.advdiff_of_record,
+    "burgers": cfgmod.BurgersConfig,
 }
 
 _QUALITY_PRESETS = {
@@ -133,6 +144,7 @@ _QUALITY_PRESETS = {
     "poisson2d": cfgmod.poisson2d_quality,
     "poisson3d": cfgmod.poisson3d_quality,
     "advdiff": cfgmod.advdiff_quality,
+    "burgers": cfgmod.burgers_quality,
 }
 
 _TRAIN_KEYS = (

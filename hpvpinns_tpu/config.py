@@ -163,6 +163,46 @@ class AdvDiffConfig:
     )
 
 
+@dataclass(frozen=True)
+class BurgersConfig:
+    """Viscous Burgers u_t + u u_x = nu u_xx on [-1, 1] x [0, T],
+    u(x, 0) = -sin(pi x), u(+-1, t) = 0 — the framework's nonlinear
+    space-time family (no reference analog; canonical PINN benchmark,
+    nu = 0.01/pi develops a steep interior front at x = 0)."""
+
+    layers: Tuple[int, ...] = (2, 20, 20, 20, 20, 1)
+    activation: str = "tanh"
+    adaptive_slope: bool = False
+    var_form: int = 1  # 0 | 1 (conservation-form convection IBP)
+    n_elements_x: int = 4
+    n_elements_t: int = 2
+    grid_x: Optional[Tuple[float, ...]] = None  # non-uniform x-element
+    # boundaries (cluster elements at the x = 0 front; overrides n_elements_x)
+    n_test_x: int = 8
+    n_test_t: int = 8
+    n_quad: int = 16
+    n_bound: int = 80  # per side/initial edge (LHS, matching AdvDiff's layout)
+    lossb_weight: float = 10.0
+    nu: float = 0.01 / 3.141592653589793
+    hard_bc: bool = False  # lifted ansatz: IC/BC exact by construction
+    t_final: float = 1.0
+    domain_x: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "float32"
+    deriv_mode: str = "taylor"
+    train: TrainConfig = field(
+        default_factory=lambda: TrainConfig(iterations=5000, check_every=100)
+    )
+
+
+def burgers_quality() -> BurgersConfig:
+    """Quality point: hard-BC lifted ansatz + L-BFGS phase (measured in
+    benchmarks/MEASUREMENTS.md)."""
+    return BurgersConfig(
+        hard_bc=True,
+        train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=500),
+    )
+
+
 def poisson1d_of_record() -> Poisson1DConfig:
     """Poisson-1D.py:231-240."""
     return Poisson1DConfig()
@@ -261,6 +301,8 @@ __all__ = [
     "Poisson2DConfig",
     "Poisson3DConfig",
     "AdvDiffConfig",
+    "BurgersConfig",
+    "burgers_quality",
     "poisson1d_of_record",
     "poisson2d_of_record",
     "advdiff_of_record",

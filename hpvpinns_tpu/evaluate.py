@@ -92,6 +92,11 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         eps = eps_of(params, X[:, 0:1]) if eps_of else problem.extras["eps_true"]
         flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
         return np.asarray(flds["uy"] + cfg.velocity * flds["ux"] - eps * flds["uxx"])
+    if problem.name == "burgers":
+        flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
+        return np.asarray(
+            flds["uy"] + flds["u"] * flds["ux"] - problem.config.nu * flds["uxx"]
+        )
     raise ValueError(f"no strong form registered for problem {problem.name!r}")
 
 

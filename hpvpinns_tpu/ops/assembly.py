@@ -288,6 +288,39 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
     return U - elems.f_proj
 
 
+def burgers_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, nu, fields_fn=None):
+    """Res[e, k, r] for the viscous Burgers equation
+    u_t + u u_x = nu u_xx in space-time elements (F = 0).
+
+    No reference analog — the framework's first NONLINEAR weak form; the
+    convection term enters in conservation form (u u_x = (u^2/2)_x), so its
+    integration by parts is exact and the quadrature sees the smoother u^2.
+
+    var_form 0:  U = jac * C(phi_r, phi_k, u_t + u u_x - nu u_xx)
+    var_form 1:  U = jac * C(phi_r, phi_k, u_t)
+                     - (1/2) jac_t * C(phi'_r, phi_k, u^2)
+                     + nu jac_t * C(phi'_r, phi_k, u_x)
+                 [both x-IBPs drop their fluxes: phi_r(+-1) = 0]
+    """
+    with jax.named_scope("vpinn_fields_2d"):
+        f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
+        flds = f2d(elems.x, elems.y, first_y_only=True)
+    u, ut, ux = flds["u"], flds["uy"], flds["ux"]
+    jac = (elems.jac_x * elems.jac_y)[:, None, None]
+    jt = elems.jac_y[:, None, None]
+    if var_form == 0:
+        U = jac * contract_2d(bx.wphi, bt.wphi, ut + u * ux - nu * flds["uxx"])
+    elif var_form == 1:
+        U = (
+            jac * contract_2d(bx.wphi, bt.wphi, ut)
+            - 0.5 * jt * contract_2d(bx.wdphi, bt.wphi, u * u)
+            + nu * jt * contract_2d(bx.wdphi, bt.wphi, ux)
+        )
+    else:
+        raise ValueError(f"Burgers var_form must be 0 or 1; got {var_form}")
+    return U - elems.f_proj
+
+
 def variational_loss(res: jax.Array, mask: jax.Array, n_test: jax.Array) -> jax.Array:
     """loss_v = sum_e mean_n Res[e, n]^2 (Poisson-1D.py:95-96) with per-element
     test counts handled by masking (inactive test indices contribute zero)."""

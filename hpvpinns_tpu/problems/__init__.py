@@ -1,4 +1,4 @@
-from hpvpinns_tpu.problems import advdiff, poisson1d, poisson2d, poisson3d
+from hpvpinns_tpu.problems import advdiff, burgers, poisson1d, poisson2d, poisson3d
 from hpvpinns_tpu.problems.base import Problem
 
 _BUILDERS = {
@@ -6,13 +6,15 @@ _BUILDERS = {
     "poisson2d": poisson2d.build,
     "poisson3d": poisson3d.build,
     "advdiff": advdiff.build,
+    "burgers": burgers.build,
 }
 
 
 def build(config) -> Problem:
-    """Dispatch on config type (Poisson1DConfig / Poisson2DConfig / AdvDiffConfig)."""
+    """Dispatch on config type (Poisson1DConfig / ... / BurgersConfig)."""
     from hpvpinns_tpu.config import (
         AdvDiffConfig,
+        BurgersConfig,
         Poisson1DConfig,
         Poisson2DConfig,
         Poisson3DConfig,
@@ -26,4 +28,6 @@ def build(config) -> Problem:
         return poisson3d.build(config)
     if isinstance(config, AdvDiffConfig):
         return advdiff.build(config)
+    if isinstance(config, BurgersConfig):
+        return burgers.build(config)
     raise TypeError(f"unknown problem config type: {type(config).__name__}")

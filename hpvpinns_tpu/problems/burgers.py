@@ -1,0 +1,199 @@
+"""Viscous Burgers equation — the framework's nonlinear space-time family.
+
+    u_t + u u_x = nu u_xx   on (x, t) in [-1, 1] x [0, T]
+    u(x, 0) = -sin(pi x),  u(+-1, t) = 0
+
+No reference analog (ehsankharazmi/hp-VPINNs is linear-PDE only); this is the
+canonical nonlinear PINN benchmark (nu = 0.01/pi develops a steep interior
+front at x = 0 by t ~ 0.5), included to exercise the variational assembly on
+a NONLINEAR weak form: the convection term is assembled in conservation form
+(u u_x = (u^2/2)_x, ops/assembly.py::burgers_residual), which the linear
+reference machinery cannot express.
+
+Exact solution via the Cole-Hopf transformation, evaluated with Gauss-Hermite
+quadrature (Basdevant et al. 1986 form):
+
+    u(x, t) = -2 nu d/dx log phi,   phi = heat-kernel convolution of
+    exp(-(1 - cos(pi x)) / (2 pi nu))  [the transformed initial condition]
+
+which reduces to a ratio of two Hermite-quadrature integrals after the
+substitution eta = x - 2 sqrt(nu t) z.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from hpvpinns_tpu.config import BurgersConfig
+from hpvpinns_tpu.geometry.mesh import TensorMesh2D
+from hpvpinns_tpu.models.mlp import MLP, mlp_apply
+from hpvpinns_tpu.ops.assembly import burgers_residual, variational_loss
+from hpvpinns_tpu.ops.taylor import taylor_fields_2d
+from hpvpinns_tpu.problems.base import Problem, make_net_init
+from hpvpinns_tpu.problems.build import build_elements_2d, make_weighted_basis
+from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+from hpvpinns_tpu.utils.sampling import lhs_interval
+
+
+def u_initial(x):
+    return -np.sin(np.pi * x)
+
+
+def u_exact(x, t, nu, n_hermite: int = 128):
+    """Cole-Hopf solution by Gauss-Hermite quadrature (float64 host math).
+
+    x, t: broadcastable arrays; exact -sin(pi x) at t = 0.  The integrand's
+    exponent is offset by its per-point maximum before exponentiation, so the
+    ratio is stable even for nu = 0.01/pi where exp(-1/(pi nu)) underflows.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    x, t = np.broadcast_arrays(x, t)
+    z, w = np.polynomial.hermite.hermgauss(n_hermite)  # int e^{-z^2} f(z) dz
+
+    xc = x.reshape(-1, 1)
+    tc = np.maximum(t.reshape(-1, 1), 1e-30)  # t=0 rows replaced below
+    eta = xc - 2.0 * np.sqrt(nu * tc) * z[None, :]
+    # log of the transformed IC (constant factor cancels in the ratio):
+    # phi0(eta) = exp((1 - cos(pi eta)) / (2 pi nu)) ∝ exp(-cos(pi eta)/(2 pi nu))
+    log_f = -np.cos(np.pi * eta) / (2.0 * np.pi * nu)
+    log_f = log_f - log_f.max(axis=1, keepdims=True)  # stabilize the ratio
+    f = np.exp(log_f)
+    num = np.sum(w[None, :] * np.sin(np.pi * eta) * f, axis=1)
+    den = np.sum(w[None, :] * f, axis=1)
+    u = (-num / den).reshape(x.shape)
+    return np.where(t == 0, u_initial(x), u)
+
+
+def default_lift(X):
+    """g(x, t) = -sin(pi x): exact on the IC and on both walls."""
+    return -jnp.sin(jnp.pi * X[:, 0:1])
+
+
+def make_default_envelope(cfg: BurgersConfig, rate: float = 4.0):
+    """(x-a)(b-x)/((b-a)/2)^2 * (1 - exp(-rate t/T)) — the saturating time
+    factor measured best for space-time hard-BC ansatzes (MEASUREMENTS.md)."""
+    a, b = cfg.domain_x
+    scale = ((b - a) / 2.0) ** 2
+
+    def envelope(X):
+        tfac = 1.0 - jnp.exp(-rate * X[:, 1:2] / cfg.t_final)
+        return (X[:, 0:1] - a) * (b - X[:, 0:1]) / scale * tfac
+
+    return envelope
+
+
+def training_data(cfg: BurgersConfig, rng: np.random.Generator):
+    """Boundary walls + initial edge, LHS-sampled (AdvDiff's layout without
+    the interior sensors — this is a forward problem)."""
+    T, (xl, xr) = cfg.t_final, cfg.domain_x
+    n = cfg.n_bound
+    t_up = T * lhs_interval(0, 1, n, rng)
+    t_lo = T * lhs_interval(0, 1, n, rng)
+    x_in = lhs_interval(xl, xr, n, rng)
+    pts = [
+        np.hstack([np.full_like(t_up, xr), t_up]),
+        np.hstack([np.full_like(t_lo, xl), t_lo]),
+        np.hstack([x_in, np.zeros_like(x_in)]),
+    ]
+    vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
+    return np.concatenate(pts), np.concatenate(vals)
+
+
+def build(
+    cfg: BurgersConfig,
+    rng: np.random.Generator | None = None,
+    lift_fn=None,
+    envelope_fn=None,
+) -> Problem:
+    dtype = jnp.dtype(cfg.dtype)
+    rng = rng or np.random.default_rng(cfg.train.seed)
+    if cfg.grid_x is not None:
+        from hpvpinns_tpu.geometry.mesh import Interval1D
+
+        mesh = TensorMesh2D(
+            axis_x=Interval1D(np.asarray(cfg.grid_x, dtype=np.float64)),
+            axis_y=Interval1D.uniform(0.0, cfg.t_final, cfg.n_elements_t),
+        )
+    else:
+        mesh = TensorMesh2D.uniform(
+            *cfg.domain_x, cfg.n_elements_x, 0.0, cfg.t_final, cfg.n_elements_t
+        )
+    xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
+
+    ntx = np.full(mesh.axis_x.n_elem, cfg.n_test_x)
+    ntt = np.full(cfg.n_elements_t, cfg.n_test_t)
+    bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
+    bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, ntx, ntt, dtype)
+
+    Xb, ub = training_data(cfg, rng)
+    data = {
+        "elements": elems,
+        "basis_x": bx,
+        "basis_t": bt,
+        "xb": jnp.asarray(Xb, dtype=dtype),
+        "ub": jnp.asarray(ub, dtype=dtype),
+    }
+
+    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
+    var_form, wb, nu = cfg.var_form, cfg.lossb_weight, cfg.nu
+    mode = cfg.deriv_mode
+    hard_bc = cfg.hard_bc or lift_fn is not None or envelope_fn is not None
+    if hard_bc:
+        from hpvpinns_tpu.problems.base import make_composite_apply
+
+        lift = lift_fn or default_lift
+        envelope = envelope_fn or make_default_envelope(cfg)
+        mode = "jvp"  # composite ansatz: generic autodiff engine
+        composite = make_composite_apply(spec, lift, envelope)
+
+    def make_u_fn(params):
+        if hard_bc:
+            return composite(params)
+        return lambda X: mlp_apply(spec, params["net"], X)
+
+    def loss_fn(params, data, axis_name=None):
+        u_fn = make_u_fn(params)
+        el = data["elements"]
+        if mode == "taylor":
+            fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
+        elif mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
+
+            fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
+        else:
+            fields_fn = None
+        res = burgers_residual(
+            u_fn, el, data["basis_x"], data["basis_t"], var_form, nu, fields_fn=fields_fn
+        )
+        lossv = variational_loss(res, el.mask, el.n_test)
+        if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
+            lossv = jax.lax.psum(lossv, axis_name)
+        ub_pred = u_fn(data["xb"])
+        lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
+        loss = wb * lossb + lossv
+        return loss, {"loss": loss, "lossb": lossb, "lossv": lossv}
+
+    # Dense space-time test grid, matching the AdvDiff layout.
+    xt = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 256)
+    tt = np.arange(0, cfg.t_final + 0.01, 0.01)
+    XT, TT = np.meshgrid(xt, tt)
+    test_points = np.stack([XT.reshape(-1), TT.reshape(-1)], axis=-1)
+    test_values = u_exact(test_points[:, 0:1], test_points[:, 1:2], nu)
+
+    return Problem(
+        name="burgers",
+        config=cfg,
+        spec=spec,
+        data=data,
+        loss_fn=loss_fn,
+        init_params=make_net_init(spec, dtype=dtype),
+        apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
+        exact=lambda x, t: u_exact(x, t, nu),
+        test_points=test_points,
+        test_values=test_values,
+        extras={"mesh": mesh, "test_grid_shape": (len(tt), len(xt))},
+    )

@@ -251,6 +251,9 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
         paths.append(plot_advdiff_slices(problem, params, outdir))
         if "epsilon" in result.history:
             paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
+    elif problem.name == "burgers":
+        paths += plot_2d_solution(problem, params, outdir)
+        paths.append(plot_advdiff_slices(problem, params, outdir))
     paths.append(plot_per_element_error(problem, params, outdir))
     return paths
 

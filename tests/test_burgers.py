@@ -1,0 +1,105 @@
+"""Viscous Burgers family: Cole-Hopf exact solution, nonlinear weak forms,
+end-to-end training (no reference analog — framework extension)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.geometry.mesh import TensorMesh2D
+from hpvpinns_tpu.ops.assembly import burgers_residual, variational_loss
+from hpvpinns_tpu.problems import burgers
+from hpvpinns_tpu.problems.build import build_elements_2d, make_weighted_basis
+from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+
+F64 = jnp.float64
+NU = 0.1  # smooth regime for FD verification; the config default is 0.01/pi
+
+
+def test_exact_solution_satisfies_pde_ic_bc():
+    """Cole-Hopf quadrature solution: u_t + u u_x - nu u_xx = 0 by central
+    finite differences, exact IC at t = 0, walls at machine zero."""
+    x = np.linspace(-0.9, 0.9, 13)[:, None]
+    t = np.full_like(x, 0.4)
+    h = 1e-5
+    u = lambda X, T: burgers.u_exact(X, T, NU)
+    ut = (u(x, t + h) - u(x, t - h)) / (2 * h)
+    ux = (u(x + h, t) - u(x - h, t)) / (2 * h)
+    uxx = (u(x + h, t) - 2 * u(x, t) + u(x - h, t)) / h**2
+    res = ut + u(x, t) * ux - NU * uxx
+    np.testing.assert_allclose(res, 0.0, atol=5e-5)
+    # IC exact
+    x0 = np.linspace(-1, 1, 41)[:, None]
+    np.testing.assert_allclose(u(x0, np.zeros_like(x0)), -np.sin(np.pi * x0), atol=0)
+    # BC ~ 0 (Cole-Hopf preserves the odd symmetry; quadrature-level zero)
+    tb = np.linspace(0.05, 1.0, 7)[:, None]
+    for xv in (-1.0, 1.0):
+        np.testing.assert_allclose(u(np.full_like(tb, xv), tb), 0.0, atol=1e-10)
+
+
+def _setup(n_ex=2, n_et=2, n_quad=24, n_test=6):
+    mesh = TensorMesh2D.uniform(-1.0, 1.0, n_ex, 0.0, 1.0, n_et)
+    xq, wq = gauss_lobatto_jacobi(n_quad, 0.0, 0.0)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, [n_test] * n_ex, [n_test] * n_et, F64)
+    basis = make_weighted_basis(n_test, xq, wq, F64)
+    return elems, basis
+
+
+def test_burgers_forms_agree_on_multielement_mesh():
+    """Conservation-form IBP (form 1) matches the direct form 0 for a generic
+    smooth ansatz — the nonlinear analog of the linear IBP identities."""
+    elems, basis = _setup()
+    u_fn = lambda X: jnp.sin(1.7 * X[:, 0:1]) * jnp.exp(-0.4 * X[:, 1:2]) + 0.05
+    r0 = burgers_residual(u_fn, elems, basis, basis, 0, NU)
+    r1 = burgers_residual(u_fn, elems, basis, basis, 1, NU)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), rtol=1e-8, atol=1e-10)
+
+
+def test_burgers_trains_and_reduces_strong_residual():
+    cfg = hv.BurgersConfig(
+        dtype="float64", nu=NU, n_elements_x=2, n_elements_t=1,
+        n_test_x=5, n_test_t=5, n_quad=10, layers=(2, 10, 10, 1),
+        train=hv.TrainConfig(iterations=2000, lbfgs_iterations=500, check_every=250),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert res.history["loss"][-1] < 0.02 * res.history["loss"][0]
+    m = hv.evaluate_problem(prob, res.params)
+    # measured 7.8% at this budget/seed; 2x margin
+    assert m["rel_l2"] < 0.16
+
+    from hpvpinns_tpu.evaluate import strong_residual
+
+    X = prob.test_points[::500]
+    r1 = strong_residual(prob, res.params, X)
+    assert r1.shape[0] == X.shape[0] and np.all(np.isfinite(r1))
+
+
+def test_burgers_hard_bc_exact_on_ic_and_walls():
+    cfg = hv.BurgersConfig(dtype="float64", hard_bc=True, layers=(2, 8, 1))
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(3))
+    t = np.linspace(0.0, 1.0, 17)[:, None]
+    for xv in (-1.0, 1.0):
+        Xb = np.hstack([np.full_like(t, xv), t])
+        np.testing.assert_allclose(np.asarray(prob.apply(params, Xb)), 0.0, atol=1e-14)
+    x = np.linspace(-1.0, 1.0, 33)[:, None]
+    X0 = np.hstack([x, np.zeros_like(x)])
+    np.testing.assert_allclose(
+        np.asarray(prob.apply(params, X0)), -np.sin(np.pi * x), atol=1e-13
+    )
+
+
+def test_burgers_cli_and_dispatch():
+    from hpvpinns_tpu.cli import _config_from_args, build_parser
+
+    args = build_parser().parse_args(
+        "run burgers --nu 0.05 --iterations 7 --n-quad 6".split()
+    )
+    cfg = _config_from_args(args)
+    assert isinstance(cfg, hv.BurgersConfig)
+    assert cfg.nu == 0.05 and cfg.train.iterations == 7
+    assert hv.build(hv.BurgersConfig(n_quad=5, layers=(2, 6, 1))).name == "burgers"
+    q = _config_from_args(build_parser().parse_args("run burgers --preset quality".split()))
+    assert q.hard_bc is True and q.train.lbfgs_iterations == 10000

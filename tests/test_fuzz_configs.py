@@ -106,3 +106,24 @@ def test_fuzz_poisson3d(trial):
     prob = hv.build(cfg)
     res = hv.train(prob, verbose=False)
     assert np.isfinite(res.final_aux["loss"])
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fuzz_burgers(trial):
+    RNG = _rng("burg", trial)
+    cfg = hv.BurgersConfig(
+        dtype="float64",
+        var_form=int(RNG.choice([0, 1])),
+        hard_bc=bool(RNG.integers(0, 2)),
+        n_elements_x=int(RNG.integers(1, 3)),
+        n_elements_t=int(RNG.integers(1, 3)),
+        n_test_x=int(RNG.integers(2, 6)),
+        n_test_t=int(RNG.integers(2, 6)),
+        n_quad=int(RNG.integers(4, 10)),
+        nu=float(RNG.uniform(0.02, 0.3)),
+        layers=(2, int(RNG.integers(3, 10)), 1),
+        train=_tc(RNG),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert np.isfinite(res.final_aux["loss"])
