@@ -1,0 +1,163 @@
+"""Adaptive h-refinement driven by a-posteriori weak-residual indicators.
+
+The reference's hp story is static: element grids are hyperparameters edited
+by hand (Poisson-1D.py:264-273), and its per-subdomain error reporting (the
+dead `predict_subdomain`, Poisson-1D.py:185-195) was never wired to anything.
+This module closes that loop the way hp methods are meant to work:
+
+    solve -> estimate (per-element weak-residual indicator)
+          -> mark (Dörfler bulk criterion)
+          -> refine (bisect marked elements)  -> solve again, warm-started.
+
+Two framework properties make this nearly free here:
+  * the per-element variational residual Res[e, n] is already computed by the
+    loss (problems expose it as extras["residual_fn"]), so the indicator
+    eta_e = mean_n Res[e, n]^2 costs one forward pass and needs NO exact
+    solution;
+  * the MLP ansatz is mesh-independent, so parameters transfer verbatim
+    across refinement rounds — every round warm-starts from the previous
+    solution (the reference would have to retrain from scratch).
+
+Supports Poisson-1D (interval bisection) and Poisson-2D (tensor-product
+meshes: axis intervals are bisected when the eta mass of their element
+row/column is marked, preserving the tensor structure the sum-factorized
+contractions require).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import hpvpinns_tpu as hv
+
+
+@dataclass
+class AdaptiveResult:
+    rounds: List[Dict[str, Any]]  # per round: n_elem, grid(s), eta, metrics
+    problem: Any  # final Problem
+    result: Any  # final TrainResult
+
+    @property
+    def rel_l2_trajectory(self):
+        return [r["rel_l2"] for r in self.rounds]
+
+
+def element_indicator(problem, params, enrich: int = 4) -> np.ndarray:
+    """Per-element a-posteriori error indicator (no exact solution needed).
+
+    Preferred: HIERARCHICAL — the weak residual tested against the next
+    `enrich` modes beyond the training basis (extras["enriched_residual_fn"]).
+    The trained residual is near-orthogonal to the training test space, so
+    the plain per-element loss contribution goes blind exactly where the
+    solution is under-resolved; the first untrained modes see it (measured:
+    the plain indicator mis-marks a converged-in-projection tanh layer).
+
+    Fallback (problems without enrichment): eta_e = the element's
+    variational-loss contribution sum_n Res[e,n]^2 / n_test[e]."""
+    import jax
+
+    efn = problem.extras.get("enriched_residual_fn")
+    if efn is not None and enrich > 0:
+        res = np.asarray(efn(params, enrich))
+        return (res.reshape(res.shape[0], -1) ** 2).mean(axis=1)
+    rfn = problem.extras.get("residual_fn")
+    if rfn is None:
+        raise ValueError(f"problem {problem.name!r} exposes no residual_fn")
+    res = np.asarray(jax.jit(rfn)(params, problem.data))
+    n_test = np.asarray(problem.data["elements"].n_test)
+    return (res.reshape(res.shape[0], -1) ** 2).sum(axis=1) / n_test
+
+
+def dorfler_mark(eta: np.ndarray, theta: float = 0.5) -> np.ndarray:
+    """Bulk (Dörfler) marking: the smallest element set holding a theta
+    fraction of the total indicator mass."""
+    order = np.argsort(eta)[::-1]
+    csum = np.cumsum(eta[order])
+    k = int(np.searchsorted(csum, theta * csum[-1])) + 1
+    marked = np.zeros(len(eta), dtype=bool)
+    marked[order[:k]] = True
+    return marked
+
+
+def bisect_marked(grid: np.ndarray, marked: np.ndarray) -> tuple:
+    """Insert midpoints of marked intervals; returns the refined grid."""
+    out = []
+    for i in range(len(grid) - 1):
+        out.append(float(grid[i]))
+        if marked[i]:
+            out.append(float(0.5 * (grid[i] + grid[i + 1])))
+    out.append(float(grid[-1]))
+    return tuple(out)
+
+
+def _refined_config(cfg, problem, eta: np.ndarray, theta: float):
+    """Next round's config: bisect the marked elements (1D) or the axis
+    intervals carrying marked eta mass (2D tensor mesh)."""
+    mesh = problem.extras["mesh"]
+    if isinstance(cfg, hv.Poisson1DConfig):
+        marked = dorfler_mark(eta, theta)
+        grid = bisect_marked(mesh.grid, marked)
+        return dataclasses.replace(cfg, grid=grid, n_elements=len(grid) - 1)
+    if isinstance(cfg, hv.Poisson2DConfig):
+        Ex, Ey = mesh.shape
+        eta2 = eta.reshape(Ex, Ey)  # flat order e = ex * Ey + ey
+        # axis marking by the eta mass of each row/column of elements
+        mx = dorfler_mark(eta2.sum(axis=1), theta)
+        my = dorfler_mark(eta2.sum(axis=0), theta)
+        gx = bisect_marked(mesh.axis_x.grid, mx)
+        gy = bisect_marked(mesh.axis_y.grid, my)
+        return dataclasses.replace(cfg, grid_x=gx, grid_y=gy)
+    raise TypeError(f"adaptive refinement supports Poisson configs, got {type(cfg).__name__}")
+
+
+def adaptive_solve(
+    cfg,
+    rounds: int = 3,
+    theta: float = 0.5,
+    train_cfg: Optional[hv.TrainConfig] = None,
+    mesh=None,
+    build_fn=None,
+    verbose: bool = False,
+) -> AdaptiveResult:
+    """Solve-estimate-mark-refine for `rounds` rounds, warm-starting the
+    network parameters across rounds.  Returns the per-round metric history
+    and the final trained problem.
+
+    `build_fn(cfg) -> Problem` overrides the problem builder (custom
+    manufactured solutions via functools.partial(poisson1d.build, u_fn=...))."""
+    build_fn = build_fn or hv.build
+    params = None
+    records: List[Dict[str, Any]] = []
+    problem = res = None
+    for r in range(rounds):
+        problem = build_fn(cfg)
+        res = hv.train(problem, train_cfg, mesh=mesh, params=params, verbose=verbose)
+        params = res.params
+        eta = element_indicator(problem, res.eval_params)
+        metrics = hv.evaluate_problem(problem, res.eval_params)
+        mesh_obj = problem.extras["mesh"]
+        rec = {
+            "round": r,
+            "n_elem": int(eta.shape[0]),
+            "eta": [float(v) for v in eta],
+            "final_loss": res.final_aux.get("loss"),
+            **metrics,
+        }
+        if hasattr(mesh_obj, "grid"):
+            rec["grid"] = [float(g) for g in mesh_obj.grid]
+        else:
+            rec["grid_x"] = [float(g) for g in mesh_obj.axis_x.grid]
+            rec["grid_y"] = [float(g) for g in mesh_obj.axis_y.grid]
+        records.append(rec)
+        if verbose:
+            print(
+                f"adapt round {r}: E={rec['n_elem']}, rel_l2={metrics['rel_l2']:.3e}, "
+                f"eta_max/min={eta.max() / max(eta.min(), 1e-300):.1f}"
+            )
+        if r < rounds - 1:
+            cfg = _refined_config(cfg, problem, eta, theta)
+    return AdaptiveResult(rounds=records, problem=problem, result=res)

@@ -118,6 +118,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("presets", help="print the shipped configurations of record")
 
+    ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
+    ad.add_argument("problem", choices=["poisson1d", "poisson2d"])
+    ad.add_argument("--rounds", type=int, default=3)
+    ad.add_argument("--theta", type=float, default=0.5, help="Dörfler bulk fraction")
+    ad.add_argument("--iterations", type=int)
+    ad.add_argument("--lbfgs-iterations", type=int)
+    ad.add_argument("--n-quad", type=int, dest="n_quad")
+    ad.add_argument("--n-elements", type=int, dest="n_elements", help="starting elements (1D)")
+    ad.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
+    ad.add_argument("--outdir", default="results/adapt")
+
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
     sw.add_argument("problem", choices=["poisson1d", "poisson2d"])
     sw.add_argument("--axis", choices=["h", "p"], required=True)
@@ -296,12 +307,47 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_adapt(args) -> int:
+    import dataclasses as dc
+    import os
+
+    from hpvpinns_tpu import adaptive
+
+    _enable_compile_cache()
+    cfg = _PRESETS[args.problem]()
+    over = {k: v for k, v in vars(args).items()
+            if k in ("n_quad", "dtype", "n_elements") and v is not None}
+    if over:
+        cfg = dc.replace(cfg, **over)
+    _maybe_enable_x64(cfg.dtype)
+    train_over = {
+        k: v for k, v in vars(args).items()
+        if k in ("iterations", "lbfgs_iterations") and v is not None
+    }
+    train = dc.replace(cfg.train, **train_over) if train_over else cfg.train
+    out = adaptive.adaptive_solve(
+        cfg, rounds=args.rounds, theta=args.theta, train_cfg=train, verbose=True
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    path = os.path.join(args.outdir, "adapt_rounds.json")
+    with open(path, "w") as f:
+        json.dump(out.rounds, f, indent=1)
+    print(json.dumps({
+        "rel_l2_trajectory": out.rel_l2_trajectory,
+        "n_elem_trajectory": [r["n_elem"] for r in out.rounds],
+        "record": path,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "presets":
         return cmd_presets()
     if args.command == "sweep":
         return cmd_sweep(args)
+    if args.command == "adapt":
+        return cmd_adapt(args)
     return cmd_run(args)
 
 

@@ -114,7 +114,9 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool | None = Non
             return composite(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
-    def loss_fn(params, data, axis_name=None):
+    def residual_fn(params, data):
+        """Masked weak residual Res[e, n] — the per-element a-posteriori
+        error indicator source for adaptive refinement (adaptive.py)."""
         u_fn = make_u_fn(params)
         if mode == "taylor":
             fields_fn = lambda x: taylor_fields_1d(spec, params["net"], x)
@@ -125,6 +127,11 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool | None = Non
         else:
             fields_fn = None
         res = poisson1d_residual(u_fn, data["elements"], data["basis"], var_form, fields_fn=fields_fn)
+        return res * data["elements"].mask
+
+    def loss_fn(params, data, axis_name=None):
+        u_fn = make_u_fn(params)
+        res = residual_fn(params, data)
         lossv = variational_loss(res, data["elements"].mask, data["elements"].n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
             lossv = jax.lax.psum(lossv, axis_name)
@@ -132,6 +139,26 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool | None = Non
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
         loss = lossb_weight * lossb + lossv
         return loss, {"loss": loss, "lossb": lossb, "lossv": lossv}
+
+    _enriched_cache = {}
+
+    def enriched_residual_fn(params, enrich: int = 4):
+        """Weak residual against the NEXT `enrich` test modes beyond the
+        training basis (hierarchical a-posteriori estimation): the trained
+        residual is near-orthogonal to the training modes, so under-resolution
+        shows up exactly in the first untrained modes.  Returns [E, enrich]."""
+        n_max = int(n_per_elem.max())
+        key = n_max + enrich
+        if key not in _enriched_cache:
+            basis_en = make_weighted_basis(key, xq, wq, dtype)
+            elems_en = build_elements_1d(
+                mesh, xq, wq, f_rh, np.full(mesh.n_elem, key), dtype
+            )
+            _enriched_cache[key] = (basis_en, elems_en)
+        basis_en, elems_en = _enriched_cache[key]
+        u_fn = make_u_fn(params)
+        res = poisson1d_residual(u_fn, elems_en, basis_en, var_form)
+        return res[:, n_max:]
 
     xt = np.arange(-1.0, 1.0 + 0.001, 0.001)[:, None]  # Poisson-1D.py:315-316
     return Problem(
@@ -145,5 +172,10 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool | None = Non
         exact=u_ex,
         test_points=xt,
         test_values=u_ex(xt),
-        extras={"mesh": mesh, "f_rhs": f_rh},
+        extras={
+            "mesh": mesh,
+            "f_rhs": f_rh,
+            "residual_fn": residual_fn,
+            "enriched_residual_fn": enriched_residual_fn,
+        },
     )

@@ -92,20 +92,35 @@ def build(
     f_rh = f_fn or f_rhs
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
-    mesh = TensorMesh2D.uniform(
-        *cfg.domain_x, cfg.n_elements_x, *cfg.domain_y, cfg.n_elements_y
-    )
+    if cfg.grid_x is not None or cfg.grid_y is not None:
+        from hpvpinns_tpu.geometry.mesh import Interval1D
+
+        ax = (
+            Interval1D(np.asarray(cfg.grid_x, dtype=np.float64))
+            if cfg.grid_x is not None
+            else Interval1D.uniform(*cfg.domain_x, cfg.n_elements_x)
+        )
+        ay = (
+            Interval1D(np.asarray(cfg.grid_y, dtype=np.float64))
+            if cfg.grid_y is not None
+            else Interval1D.uniform(*cfg.domain_y, cfg.n_elements_y)
+        )
+        mesh = TensorMesh2D(axis_x=ax, axis_y=ay)
+    else:
+        mesh = TensorMesh2D.uniform(
+            *cfg.domain_x, cfg.n_elements_x, *cfg.domain_y, cfg.n_elements_y
+        )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
     ntx = (
         np.asarray(cfg.n_test_x_per_elem)
         if cfg.n_test_x_per_elem is not None
-        else np.full(cfg.n_elements_x, cfg.n_test_x)
+        else np.full(mesh.axis_x.n_elem, cfg.n_test_x)
     )
     nty = (
         np.asarray(cfg.n_test_y_per_elem)
         if cfg.n_test_y_per_elem is not None
-        else np.full(cfg.n_elements_y, cfg.n_test_y)
+        else np.full(mesh.axis_y.n_elem, cfg.n_test_y)
     )
     bx = make_weighted_basis(int(ntx.max()), xq, wq, dtype)
     by = make_weighted_basis(int(nty.max()), xq, wq, dtype)
@@ -166,6 +181,24 @@ def build(
             return composite(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
+    def residual_fn(params, data):
+        """Masked weak residual Res[e, k, r] — the per-element indicator
+        source for adaptive refinement (adaptive.py)."""
+        u_fn = make_u_fn(params)
+        if mode == "taylor":
+            fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
+        elif mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
+
+            fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
+        else:
+            fields_fn = None
+        el = data["elements"]
+        res = poisson2d_residual(
+            u_fn, el, data["basis_x"], data["basis_y"], var_form, fields_fn=fields_fn
+        )
+        return res * el.mask
+
     def loss_fn(params, data, axis_name=None):
         u_fn = make_u_fn(params)
         el = data["elements"]
@@ -173,17 +206,7 @@ def build(
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
         aux = {"lossb": lossb}
         if scheme == "VPINNs":
-            if mode == "taylor":
-                fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
-            elif mode == "pallas":
-                from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
-
-                fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
-            else:
-                fields_fn = None
-            res = poisson2d_residual(
-                u_fn, el, data["basis_x"], data["basis_y"], var_form, fields_fn=fields_fn
-            )
+            res = residual_fn(params, data)
             lossv = variational_loss(res, el.mask, el.n_test)
             if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
                 lossv = jax.lax.psum(lossv, axis_name)
@@ -218,5 +241,10 @@ def build(
         exact=u_ex,
         test_points=test_points,
         test_values=test_values,
-        extras={"mesh": mesh, "f_rhs": f_rh, "test_grid_shape": (len(yt), len(xt))},
+        extras={
+            "mesh": mesh,
+            "f_rhs": f_rh,
+            "residual_fn": residual_fn,
+            "test_grid_shape": (len(yt), len(xt)),
+        },
     )

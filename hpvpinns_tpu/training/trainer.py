@@ -198,6 +198,10 @@ def train(
 
     if params is None:
         params = problem.init_params(jax.random.key(cfg.seed))
+    else:
+        # Defensive copy: the jitted chunks donate the params buffers, which
+        # would silently invalidate a caller's pytree (warm starts, resumes).
+        params = jax.tree.map(lambda a: jax.numpy.array(a, copy=True), params)
     if mesh is not None:
         params = replicate(params, mesh)
     opt = make_optimizer(cfg)
