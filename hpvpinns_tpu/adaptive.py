@@ -40,6 +40,9 @@ class AdaptiveResult:
     rounds: List[Dict[str, Any]]  # per round: n_elem, grid(s), eta, metrics
     problem: Any  # final Problem
     result: Any  # final TrainResult
+    best_round: int = 0
+    best_params: Any = None  # params of the best-rel-L2 round
+    best_problem: Any = None
 
     @property
     def rel_l2_trajectory(self):
@@ -94,12 +97,25 @@ def bisect_marked(grid: np.ndarray, marked: np.ndarray) -> tuple:
     return tuple(out)
 
 
-def _refined_config(cfg, problem, eta: np.ndarray, theta: float):
-    """Next round's config: bisect the marked elements (1D) or the axis
-    intervals carrying marked eta mass (2D tensor mesh)."""
+def _refined_config(cfg, problem, eta: np.ndarray, theta: float, mode: str = "h", p_step: int = 4):
+    """Next round's config.
+
+    mode='h': bisect the marked elements (1D) / the axis intervals carrying
+    marked eta mass (2D tensor mesh — tensor structure preserved).
+    mode='p': raise the marked elements' test-function counts by `p_step`
+    (the framework's ragged n_test_per_elem masks make this free).
+    """
     mesh = problem.extras["mesh"]
     if isinstance(cfg, hv.Poisson1DConfig):
         marked = dorfler_mark(eta, theta)
+        if mode == "p":
+            nt = (
+                np.asarray(cfg.n_test_per_elem)
+                if cfg.n_test_per_elem is not None
+                else np.full(mesh.n_elem, cfg.n_test)
+            )
+            nt = np.where(marked, nt + p_step, nt)
+            return dataclasses.replace(cfg, n_test_per_elem=tuple(int(v) for v in nt))
         grid = bisect_marked(mesh.grid, marked)
         return dataclasses.replace(cfg, grid=grid, n_elements=len(grid) - 1)
     if isinstance(cfg, hv.Poisson2DConfig):
@@ -108,6 +124,24 @@ def _refined_config(cfg, problem, eta: np.ndarray, theta: float):
         # axis marking by the eta mass of each row/column of elements
         mx = dorfler_mark(eta2.sum(axis=1), theta)
         my = dorfler_mark(eta2.sum(axis=0), theta)
+        if mode == "p":
+            ntx = (
+                np.asarray(cfg.n_test_x_per_elem)
+                if cfg.n_test_x_per_elem is not None
+                else np.full(Ex, cfg.n_test_x)
+            )
+            nty = (
+                np.asarray(cfg.n_test_y_per_elem)
+                if cfg.n_test_y_per_elem is not None
+                else np.full(Ey, cfg.n_test_y)
+            )
+            ntx = np.where(mx, ntx + p_step, ntx)
+            nty = np.where(my, nty + p_step, nty)
+            return dataclasses.replace(
+                cfg,
+                n_test_x_per_elem=tuple(int(v) for v in ntx),
+                n_test_y_per_elem=tuple(int(v) for v in nty),
+            )
         gx = bisect_marked(mesh.axis_x.grid, mx)
         gy = bisect_marked(mesh.axis_y.grid, my)
         return dataclasses.replace(cfg, grid_x=gx, grid_y=gy)
@@ -121,22 +155,42 @@ def adaptive_solve(
     train_cfg: Optional[hv.TrainConfig] = None,
     mesh=None,
     build_fn=None,
+    mode: str = "h",
+    p_step: int = 4,
+    lr_decay: float = 0.5,
     verbose: bool = False,
 ) -> AdaptiveResult:
     """Solve-estimate-mark-refine for `rounds` rounds, warm-starting the
-    network parameters across rounds.  Returns the per-round metric history
-    and the final trained problem.
+    network parameters across rounds.  Returns the per-round metric history,
+    the final trained problem, and the best round's parameters.
 
-    `build_fn(cfg) -> Problem` overrides the problem builder (custom
-    manufactured solutions via functools.partial(poisson1d.build, u_fn=...))."""
+    `lr_decay` shrinks the Adam learning rate each round (round r trains at
+    lr * lr_decay^r): a warm start sits near a minimum, and re-kicking Adam
+    at the full rate measurably destabilizes it (rel-L2 regressions on the
+    f32 chip).  `build_fn(cfg) -> Problem` overrides the problem builder
+    (custom manufactured solutions via functools.partial(build, u_fn=...))."""
     build_fn = build_fn or hv.build
     params = None
     records: List[Dict[str, Any]] = []
     problem = res = None
+    best = (np.inf, 0, None, None)  # (rel_l2, round, params, problem)
+    base_tc = train_cfg or cfg.train
     for r in range(rounds):
         problem = build_fn(cfg)
-        res = hv.train(problem, train_cfg, mesh=mesh, params=params, verbose=verbose)
-        params = res.params
+        tc = dataclasses.replace(
+            base_tc,
+            learning_rate=base_tc.learning_rate * (lr_decay**r),
+            # per-round loss-min snapshot (fraction 0.0 = over the whole
+            # round): late L-BFGS steps can blow up a warm-started f32 run,
+            # and the next round must not inherit the blow-up
+            best_snapshot_fraction=(
+                base_tc.best_snapshot_fraction
+                if base_tc.best_snapshot_fraction is not None
+                else 0.0
+            ),
+        )
+        res = hv.train(problem, tc, mesh=mesh, params=params, verbose=verbose)
+        params = res.eval_params  # best-of-round, not last
         eta = element_indicator(problem, res.eval_params)
         metrics = hv.evaluate_problem(problem, res.eval_params)
         mesh_obj = problem.extras["mesh"]
@@ -152,12 +206,20 @@ def adaptive_solve(
         else:
             rec["grid_x"] = [float(g) for g in mesh_obj.axis_x.grid]
             rec["grid_y"] = [float(g) for g in mesh_obj.axis_y.grid]
+        rec["n_test_per_elem"] = [
+            int(v) for v in np.asarray(problem.data["elements"].n_test)
+        ]
         records.append(rec)
+        if metrics["rel_l2"] < best[0]:
+            best = (metrics["rel_l2"], r, res.eval_params, problem)
         if verbose:
             print(
                 f"adapt round {r}: E={rec['n_elem']}, rel_l2={metrics['rel_l2']:.3e}, "
                 f"eta_max/min={eta.max() / max(eta.min(), 1e-300):.1f}"
             )
         if r < rounds - 1:
-            cfg = _refined_config(cfg, problem, eta, theta)
-    return AdaptiveResult(rounds=records, problem=problem, result=res)
+            cfg = _refined_config(cfg, problem, eta, theta, mode=mode, p_step=p_step)
+    return AdaptiveResult(
+        rounds=records, problem=problem, result=res,
+        best_round=best[1], best_params=best[2], best_problem=best[3],
+    )

@@ -122,6 +122,8 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("problem", choices=["poisson1d", "poisson2d"])
     ad.add_argument("--rounds", type=int, default=3)
     ad.add_argument("--theta", type=float, default=0.5, help="Dörfler bulk fraction")
+    ad.add_argument("--mode", choices=["h", "p"], default="h",
+                    help="h: bisect marked elements; p: raise their test order")
     ad.add_argument("--iterations", type=int)
     ad.add_argument("--lbfgs-iterations", type=int)
     ad.add_argument("--n-quad", type=int, dest="n_quad")
@@ -326,7 +328,8 @@ def cmd_adapt(args) -> int:
     }
     train = dc.replace(cfg.train, **train_over) if train_over else cfg.train
     out = adaptive.adaptive_solve(
-        cfg, rounds=args.rounds, theta=args.theta, train_cfg=train, verbose=True
+        cfg, rounds=args.rounds, theta=args.theta, train_cfg=train,
+        mode=args.mode, verbose=True,
     )
     os.makedirs(args.outdir, exist_ok=True)
     path = os.path.join(args.outdir, "adapt_rounds.json")

@@ -115,6 +115,209 @@ def solve_poisson1d(
     return SpectralElementSolution1D(mesh=mesh, p=p, nodal=nodal, bubble=bubble)
 
 
+def _axis_h0_operators(axis: Interval1D, p: int, n_quad: int):
+    """Per-axis global operators over the H0 C0 spectral-element space
+    (interior nodes + all bubbles; boundary nodes excluded).
+
+    Returns (A, M, W, B_pointeval) where
+      A[i,j] = ∫ B_i' B_j' dx,  M[i,j] = ∫ B_i B_j dx,
+      W[i,(e,q)] = jac_e w_q B_i(x_eq)  (quadrature-weighted evaluation), and
+      B_pointeval(x) -> [n_dof, len(x)] basis values at arbitrary points.
+    """
+    E = axis.n_elem
+    n_b = p - 1
+    xi, w = gauss_lobatto_jacobi(n_quad, 0.0, 0.0)
+    tb = make_test_basis(max(n_b, 1), xi)
+    B_val = np.vstack([(1 - xi) / 2, (1 + xi) / 2] + ([tb.phi[:n_b]] if n_b else []))
+    B_der = np.vstack(
+        [np.full_like(xi, -0.5), np.full_like(xi, 0.5)] + ([tb.dphi[:n_b]] if n_b else [])
+    )
+    K_ref = (B_der * w) @ B_der.T
+    M_ref = (B_val * w) @ B_val.T
+
+    # Global H0 numbering: interior nodes 0..E-2, then bubbles element-major.
+    n_int = E - 1
+    n_dof = n_int + E * n_b
+    A = np.zeros((n_dof, n_dof))
+    M = np.zeros((n_dof, n_dof))
+    W = np.zeros((n_dof, E * len(xi)))
+    Wd = np.zeros((n_dof, E * len(xi)))  # w_q B'_i,xi (reference derivative;
+    # the 1/jac of d/dx cancels the jac of dx in axis-derivative integrals)
+    jac = axis.jacobians
+
+    def dofs_of(e):
+        # local rows: [N0 (left node), N1 (right node), bubbles]; boundary
+        # nodes (global 0 and E) are not DOFs -> -1.
+        left = e - 1 if e > 0 else -1
+        right = e if e < E - 1 else -1
+        return [left, right] + [n_int + e * n_b + i for i in range(n_b)]
+
+    for e in range(E):
+        dofs = dofs_of(e)
+        keep = [k for k, d in enumerate(dofs) if d >= 0]
+        gd = [dofs[k] for k in keep]
+        A[np.ix_(gd, gd)] += K_ref[np.ix_(keep, keep)] / jac[e]
+        M[np.ix_(gd, gd)] += jac[e] * M_ref[np.ix_(keep, keep)]
+        cols = slice(e * len(xi), (e + 1) * len(xi))
+        W[gd, cols] = jac[e] * (B_val[keep] * w)
+        Wd[gd, cols] = B_der[keep] * w
+
+    def point_eval(x):
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        e = axis.locate(x)
+        lo, hi = axis.grid[e], axis.grid[e + 1]
+        xi_p = 2.0 * (x - lo) / (hi - lo) - 1.0
+        out = np.zeros((n_dof, len(x)))
+        hat_l, hat_r = (1 - xi_p) / 2, (1 + xi_p) / 2
+        for j in range(len(x)):
+            dofs = dofs_of(e[j])
+            if dofs[0] >= 0:
+                out[dofs[0], j] += hat_l[j]
+            if dofs[1] >= 0:
+                out[dofs[1], j] += hat_r[j]
+        if n_b:
+            tbp = make_test_basis(n_b, xi_p)  # [n_b, P]
+            for i in range(n_b):
+                out[n_int + e * n_b + i, np.arange(len(x))] += tbp.phi[i]
+        return out
+
+    return A, M, W, Wd, point_eval
+
+
+@dataclass(frozen=True)
+class SpectralElementSolution2D:
+    """u_h = lift + tensor-product H0 spectral-element correction."""
+
+    coef: np.ndarray  # [n_dof_x, n_dof_y]
+    eval_x: object
+    eval_y: object
+    lift: object  # lift(x, y) -> array, or None
+
+    def __call__(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        Bx = self.eval_x(x.reshape(-1))  # [nx, P]
+        By = self.eval_y(y.reshape(-1))  # [ny, P]
+        w = np.einsum("ip,ij,jp->p", Bx, self.coef, By)
+        u = w.reshape(x.shape)
+        if self.lift is not None:
+            u = u + self.lift(x, y)
+        return u
+
+
+def coons_lift(g_fn, domain_x, domain_y):
+    """Transfinite (Coons) boundary interpolant: uses g ONLY on the four
+    edges of the rectangle, matches it there exactly."""
+    a, b = domain_x
+    c, d = domain_y
+
+    def lift(x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        s = (x - a) / (b - a)
+        t = (y - c) / (d - c)
+        return (
+            (1 - s) * g_fn(np.full_like(x, a), y)
+            + s * g_fn(np.full_like(x, b), y)
+            + (1 - t) * g_fn(x, np.full_like(y, c))
+            + t * g_fn(x, np.full_like(y, d))
+            - (1 - s) * (1 - t) * g_fn(np.full_like(x, a), np.full_like(y, c))
+            - s * (1 - t) * g_fn(np.full_like(x, b), np.full_like(y, c))
+            - (1 - s) * t * g_fn(np.full_like(x, a), np.full_like(y, d))
+            - s * t * g_fn(np.full_like(x, b), np.full_like(y, d))
+        )
+
+    return lift
+
+
+def solve_poisson2d(
+    mesh,
+    p: int,
+    f_fn,
+    lift_fn=None,
+    lift_grad_fn=None,
+    n_quad: int | None = None,
+) -> SpectralElementSolution2D:
+    """Direct tensor-product spectral-element solve of Delta u = f (the
+    reference's f = Delta u convention, Poisson-2D.py:307-310) with Dirichlet
+    data supplied as a boundary lift: u = lift + w, w in H0, solving
+
+        a(w, v) = -∫∫ f v - a(lift, v),
+        a(u, v) = ∫∫ grad u . grad v = (A_x ⊗ M_y + M_x ⊗ A_y) form.
+
+    The lift term is integrated by parts-free (a(lift, v) by quadrature of
+    grad lift . grad v), so only FIRST derivatives of the lift are needed —
+    lift_grad_fn(x, y) -> (lift_x, lift_y), or central differences when None.
+    Spectral accuracy in p for smooth data; lift_fn=None means homogeneous
+    Dirichlet."""
+    ax, ay = mesh.axis_x, mesh.axis_y
+    Q = n_quad or max(2 * p + 2, 10)
+    Ax, Mx, Wx, Wdx, ex = _axis_h0_operators(ax, p, Q)
+    Ay, My, Wy, Wdy, ey = _axis_h0_operators(ay, p, Q)
+
+    xi, _ = gauss_lobatto_jacobi(Q, 0.0, 0.0)
+    Xg = ax.map_points(xi).reshape(-1)  # [Ex*Q]
+    Yg = ay.map_points(xi).reshape(-1)  # [Ey*Q]
+    XX, YY = np.meshgrid(Xg, Yg, indexing="ij")
+    rhs = -np.asarray(f_fn(XX, YY), dtype=np.float64)
+    F = Wx @ rhs @ Wy.T  # [nx, ny]
+
+    lift = None
+    if lift_fn is not None:
+        lift = lambda x, y: np.asarray(lift_fn(x, y), dtype=np.float64)
+        if lift_grad_fn is None:
+            h = 1e-6
+
+            def lift_grad_fn(x, y):
+                return (
+                    (lift(x + h, y) - lift(x - h, y)) / (2 * h),
+                    (lift(x, y + h) - lift(x, y - h)) / (2 * h),
+                )
+
+        gx, gy = lift_grad_fn(XX, YY)
+        # a(lift, v) = ∫∫ lift_x v_x + lift_y v_y:
+        #   x-part: (w B'_xi)_x ⊗ (jac w B)_y — the 1/jac of d/dx cancels
+        #   the jac of dx (Wd carries no jac); symmetric for y.
+        F = F - (Wdx @ np.asarray(gx, dtype=np.float64) @ Wy.T)
+        F = F - (Wx @ np.asarray(gy, dtype=np.float64) @ Wdy.T)
+
+    K = np.kron(Ax, My) + np.kron(Mx, Ay)
+    coef = np.linalg.solve(K, F.reshape(-1)).reshape(F.shape)
+    return SpectralElementSolution2D(coef=coef, eval_x=ex, eval_y=ey, lift=lift)
+
+
+def vpinn_gap_2d(problem, params, p: int = 12, n_points: int = 101) -> dict:
+    """2D optimization-gap report: network vs exact, direct solve vs exact,
+    network vs direct solve — on the problem's own mesh and forcing.
+
+    The Dirichlet data enters through a Coons boundary interpolant of the
+    exact solution (boundary values only — the interior comes entirely from
+    the solve)."""
+    from hpvpinns_tpu.evaluate import predict, rel_l2
+
+    mesh = problem.extras["mesh"]
+    f_fn = problem.extras["f_rhs"]
+    u_ex_fn = problem.exact
+    cfg0 = problem.config
+    u_dir = solve_poisson2d(
+        mesh, p, f_fn, lift_fn=coons_lift(u_ex_fn, cfg0.domain_x, cfg0.domain_y)
+    )
+
+    cfg = problem.config
+    xs = np.linspace(*cfg.domain_x, n_points)
+    ys = np.linspace(*cfg.domain_y, n_points)
+    XG, YG = np.meshgrid(xs, ys)
+    pts = np.stack([XG.reshape(-1), YG.reshape(-1)], axis=-1)
+    u_net = predict(problem, params, pts).reshape(-1)
+    u_g = u_dir(XG, YG).reshape(-1)
+    u_true = np.asarray(u_ex_fn(XG, YG)).reshape(-1)
+    return {
+        "rel_l2_net_vs_exact": rel_l2(u_net, u_true),
+        "rel_l2_galerkin_vs_exact": rel_l2(u_g, u_true),
+        "rel_l2_net_vs_galerkin": rel_l2(u_net, u_g),
+    }
+
+
 def vpinn_gap_1d(problem, params, p: int = 40, n_points: int = 2001) -> dict:
     """Quantify the VPINN's distance from (a) the exact solution and (b) the
     direct spectral-element solution of the same weak form on the same mesh.

@@ -93,6 +93,25 @@ def test_adaptive_cli(capsys, tmp_path):
     assert (tmp_path / "adapt_rounds.json").exists()
 
 
+def test_adaptive_p_mode_raises_marked_order():
+    """mode='p': the marked (layer) element's test count rises; the mesh
+    stays fixed."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", grid=(-1.0, -1.0 / 3, 1.0 / 3, 1.0), n_elements=3,
+        n_test=6, n_quad=30, layers=(1, 12, 12, 1),
+        train=hv.TrainConfig(iterations=400, lbfgs_iterations=200, check_every=200),
+    )
+    out = adaptive.adaptive_solve(
+        cfg, rounds=2, theta=0.5, mode="p", p_step=4, build_fn=_layer_build, verbose=False
+    )
+    assert out.rounds[1]["grid"] == out.rounds[0]["grid"]  # mesh unchanged
+    nt0 = out.rounds[0]["n_test_per_elem"]
+    nt1 = out.rounds[1]["n_test_per_elem"]
+    assert nt0 == [6, 6, 6]
+    assert nt1[1] == 10  # the layer element got the p bump
+    assert sum(nt1) < 30  # and not everything did
+
+
 def test_adaptive_2d_tensor_refinement():
     """2D: axis intervals bisect while the tensor structure is preserved."""
     cfg = hv.Poisson2DConfig(

@@ -6,7 +6,7 @@ import pytest
 
 import hpvpinns_tpu as hv
 from hpvpinns_tpu.galerkin import solve_poisson1d, vpinn_gap_1d
-from hpvpinns_tpu.geometry.mesh import Interval1D
+from hpvpinns_tpu.geometry.mesh import Interval1D, TensorMesh2D
 from hpvpinns_tpu.problems import poisson1d
 
 
@@ -67,3 +67,51 @@ def test_vpinn_gap_analysis():
     assert gap["rel_l2_net_vs_exact"] < 0.05
     # the network's error dominates: net-vs-galerkin ~ net-vs-exact
     assert abs(gap["rel_l2_net_vs_galerkin"] - gap["rel_l2_net_vs_exact"]) < 0.3 * gap["rel_l2_net_vs_exact"]
+
+
+def test_solve_poisson2d_homogeneous_spectral():
+    """u = sin(pi x) sin(pi y): spectral accuracy on a 2x2 mesh at p=10."""
+    from hpvpinns_tpu.galerkin import solve_poisson2d
+
+    mesh = TensorMesh2D.uniform(-1, 1, 2, -1, 1, 2)
+    f = lambda x, y: -2 * np.pi**2 * np.sin(np.pi * x) * np.sin(np.pi * y)
+    sol = solve_poisson2d(mesh, p=10, f_fn=f)
+    xs = np.linspace(-1, 1, 41)
+    X, Y = np.meshgrid(xs, xs)
+    err = np.abs(sol(X, Y) - np.sin(np.pi * X) * np.sin(np.pi * Y)).max()
+    assert err < 1e-8
+
+
+def test_solve_poisson2d_benchmark_with_coons_lift():
+    """Non-homogeneous benchmark data through the boundary-only Coons lift."""
+    from hpvpinns_tpu.galerkin import coons_lift, solve_poisson2d
+    from hpvpinns_tpu.problems.poisson2d import f_rhs, u_exact
+
+    mesh = TensorMesh2D.uniform(-1, 1, 4, -1, 1, 4)
+    sol = solve_poisson2d(
+        mesh, p=14, f_fn=f_rhs, lift_fn=coons_lift(u_exact, (-1, 1), (-1, 1))
+    )
+    xs = np.linspace(-1, 1, 41)
+    X, Y = np.meshgrid(xs, xs)
+    rel = np.linalg.norm(sol(X, Y) - u_exact(X, Y)) / np.linalg.norm(u_exact(X, Y))
+    assert rel < 1e-4
+
+
+def test_vpinn_gap_2d_report():
+    import jax
+
+    from hpvpinns_tpu.galerkin import vpinn_gap_2d
+
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", n_elements_x=2, n_elements_y=2, n_quad=8,
+        n_test_x=4, n_test_y=4, layers=(2, 12, 1),
+        train=hv.TrainConfig(iterations=200, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    gap = vpinn_gap_2d(prob, res.params, p=10)
+    # the direct solve is orders of magnitude closer to the truth than a
+    # 200-iteration network, and the net-vs-galerkin distance ~ net-vs-exact
+    assert gap["rel_l2_galerkin_vs_exact"] < 5e-3
+    assert gap["rel_l2_galerkin_vs_exact"] < gap["rel_l2_net_vs_exact"]
+    assert abs(gap["rel_l2_net_vs_galerkin"] - gap["rel_l2_net_vs_exact"]) < 0.05
