@@ -104,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
     p3.add_argument("--epsilon-model", choices=["scalar", "quadratic"], dest="epsilon_model",
                     help="scalar eps (reference parity) or quadratic eps(x) field")
     p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
+    p3.add_argument("--identify-velocity", action="store_const", const=True, default=None,
+                    dest="velocity_trainable", help="ALSO identify the advection velocity")
     _add_common_flags(p3)
 
     pb = runsub.add_parser("burgers", help="viscous Burgers space-time hp-VPINN (nonlinear; beyond reference)")
@@ -256,6 +258,9 @@ def cmd_run(args) -> int:
         # "eps_coef", not "epsilon", for the quadratic field).
         summary["epsilon"] = float(prob.extras["eps_domain_mean"](res.eval_params))
         summary["epsilon_true"] = prob.extras["eps_true"]
+    if "velocity" in res.final_aux:
+        summary["velocity"] = float(res.eval_params["pde"]["velocity"])
+        summary["velocity_true"] = prob.extras["velocity_true"]
     print(json.dumps(summary))
 
     outdir = args.outdir or f"results/{prob.name}"

@@ -144,6 +144,9 @@ class AdvDiffConfig:
     n_bound: int = 80  # per side/initial edge (AdvDiff.py:357-384)
     lossb_weight: float = 10.0  # folded into lossb in the reference (AdvDiff.py:184)
     velocity: float = 1.0  # V (AdvDiff.py:43)
+    velocity_trainable: bool = False  # ALSO identify V jointly with eps
+    # (beyond the reference — V then starts at velocity_init)
+    velocity_init: float = 0.5
     gamma: float = 0.1  # true eps = gamma / pi (AdvDiff.py:41-42)
     epsilon_init: float = 1.0  # trainable start (AdvDiff.py:63)
     epsilon_model: str = "scalar"  # "scalar" (reference parity) | "quadratic"

@@ -90,8 +90,10 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         cfg = problem.config
         eps_of = problem.extras.get("eps_of")
         eps = eps_of(params, X[:, 0:1]) if eps_of else problem.extras["eps_true"]
+        v_of = problem.extras.get("v_of")
+        V = v_of(params) if v_of else cfg.velocity
         flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
-        return np.asarray(flds["uy"] + cfg.velocity * flds["ux"] - eps * flds["uxx"])
+        return np.asarray(flds["uy"] + V * flds["ux"] - eps * flds["uxx"])
     if problem.name == "burgers":
         flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
         return np.asarray(

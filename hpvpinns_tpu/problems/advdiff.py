@@ -178,9 +178,21 @@ def build(
     def pde_init():
         if not inverse:
             return {}
+        pde = {}
         if eps_model == "quadratic":
-            return {"eps_coef": jnp.asarray([cfg.epsilon_init, 0.0, 0.0], dtype=dtype)}
-        return {"epsilon": jnp.asarray(cfg.epsilon_init, dtype=dtype)}
+            pde["eps_coef"] = jnp.asarray([cfg.epsilon_init, 0.0, 0.0], dtype=dtype)
+        else:
+            pde["epsilon"] = jnp.asarray(cfg.epsilon_init, dtype=dtype)
+        if cfg.velocity_trainable:
+            pde["velocity"] = jnp.asarray(cfg.velocity_init, dtype=dtype)
+        return pde
+
+    def v_of(params):
+        """The (possibly trainable) advection velocity; sensor data is always
+        generated at the TRUE cfg.velocity."""
+        if inverse and cfg.velocity_trainable:
+            return params["pde"]["velocity"]
+        return V
 
     def eps_of(params, x):
         """Scalar or field eps(x) from the trainable PDE leaves."""
@@ -225,7 +237,7 @@ def build(
         else:
             fields_fn = None
         res = advdiff_residual(
-            u_fn, el, data["basis_x"], data["basis_t"], var_form, V, eps,
+            u_fn, el, data["basis_x"], data["basis_t"], var_form, v_of(params), eps,
             fields_fn=fields_fn, epsilon_x=eps_x_of(params, el.x),
         )
         lossv = variational_loss(res, el.mask, el.n_test)
@@ -240,6 +252,8 @@ def build(
             if eps_model == "quadratic":
                 aux["eps_c1"] = params["pde"]["eps_coef"][1]
                 aux["eps_c2"] = params["pde"]["eps_coef"][2]
+            if cfg.velocity_trainable:
+                aux["velocity"] = params["pde"]["velocity"]
         return loss, aux
 
     # Dense space-time test grid: 256 x-points, time step 0.01 (AdvDiff.py:448-450).
@@ -267,6 +281,8 @@ def build(
             "eps_true": eps_true,
             "eps_of": eps_of,
             "eps_domain_mean": eps_domain_mean,
+            "v_of": v_of,
+            "velocity_true": cfg.velocity,
             "test_grid_shape": (len(tt), len(xt)),
         },
     )

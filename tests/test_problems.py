@@ -141,6 +141,32 @@ def test_advdiff_hard_bc_ansatz_exact_on_ic_and_bc():
     assert "epsilon" in res.final_aux
 
 
+def test_advdiff_joint_velocity_identification():
+    """V trainable alongside eps: both leaves exist, both move toward truth
+    (V: 0.5 -> 1.0; eps: 1.0 -> 0.0318) under a modest f64 budget."""
+    import jax
+
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", velocity_trainable=True, velocity_init=0.5,
+        train=hv.TrainConfig(iterations=1500, check_every=250),
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    assert set(params["pde"]) == {"epsilon", "velocity"}
+    res = hv.train(prob, verbose=False)
+    v_hist = res.history["velocity"]
+    assert abs(v_hist[-1] - 1.0) < abs(v_hist[0] - 1.0)
+    eps_hist = res.history["epsilon"]
+    assert abs(eps_hist[-1] - prob.extras["eps_true"]) < abs(
+        eps_hist[0] - prob.extras["eps_true"]
+    )
+    # the trainable V feeds the strong residual too
+    from hpvpinns_tpu.evaluate import strong_residual
+
+    r = strong_residual(prob, res.params, prob.test_points[:32])
+    assert np.all(np.isfinite(r))
+
+
 def test_advdiff_forward_mode_has_no_pde_params():
     cfg = hv.AdvDiffConfig(inverse=False, train=hv.TrainConfig(iterations=1))
     prob = hv.build(cfg)
