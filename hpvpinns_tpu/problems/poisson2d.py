@@ -199,6 +199,33 @@ def build(
         )
         return res * el.mask
 
+    _enriched_cache = {}
+
+    def enriched_residual_fn(params, enrich: int = 3):
+        """Weak residual against the tensor test modes NOT in the training
+        basis (either index beyond it): hierarchical a-posteriori estimation,
+        the 2D twin of poisson1d's (see adaptive.element_indicator).
+        Returns [E, K+enrich, R+enrich] with the trained block zeroed."""
+        n_x = int(ntx.max()) + enrich
+        n_y = int(nty.max()) + enrich
+        key = (n_x, n_y)
+        if key not in _enriched_cache:
+            bx_en = make_weighted_basis(n_x, xq, wq, dtype)
+            by_en = make_weighted_basis(n_y, xq, wq, dtype)
+            elems_en = build_elements_2d(
+                mesh, xq, wq, xq, wq, f_rh,
+                np.full(mesh.axis_x.n_elem, n_x), np.full(mesh.axis_y.n_elem, n_y),
+                dtype,
+            )
+            # keep only genuinely NEW modes: zero the trained (k, r) block
+            new_mask = np.ones((n_y, n_x))
+            new_mask[: int(nty.max()), : int(ntx.max())] = 0.0
+            _enriched_cache[key] = (bx_en, by_en, elems_en, jnp.asarray(new_mask, dtype=dtype))
+        bx_en, by_en, elems_en, new_mask = _enriched_cache[key]
+        u_fn = make_u_fn(params)
+        res = poisson2d_residual(u_fn, elems_en, bx_en, by_en, var_form)
+        return res * new_mask[None]
+
     def loss_fn(params, data, axis_name=None):
         u_fn = make_u_fn(params)
         el = data["elements"]
@@ -245,6 +272,7 @@ def build(
             "mesh": mesh,
             "f_rhs": f_rh,
             "residual_fn": residual_fn,
+            "enriched_residual_fn": enriched_residual_fn,
             "test_grid_shape": (len(yt), len(xt)),
         },
     )

@@ -160,6 +160,21 @@ def plot_epsilon_history(result: TrainResult, eps_true: float, outdir: str, fmt:
     return path
 
 
+def plot_velocity_history(result: TrainResult, v_true: float, outdir: str, fmt: str = "pdf"):
+    """Recovered advection-velocity trajectory vs truth (joint eps + V
+    identification — beyond the reference)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(11, 5.5))
+    ax.plot(result.history["iteration"], result.history["velocity"], "b", label="estimated $V$")
+    ax.axhline(v_true, color="r", ls="--", label="true $V$")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("$V$")
+    ax.legend()
+    path = _save(fig, outdir, "velocity_convergence", fmt)
+    plt.close(fig)
+    return path
+
+
 def plot_training_points(problem: Problem, outdir: str, fmt: str = "pdf"):
     """Quadrature / boundary-training point maps (Poisson-1D.py:342-381,
     Poisson-2D 2D scatter equivalents)."""
@@ -251,6 +266,8 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
         paths.append(plot_advdiff_slices(problem, params, outdir))
         if "epsilon" in result.history:
             paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
+        if "velocity" in result.history:
+            paths.append(plot_velocity_history(result, problem.extras["velocity_true"], outdir))
     elif problem.name == "burgers":
         paths += plot_2d_solution(problem, params, outdir)
         paths.append(plot_advdiff_slices(problem, params, outdir))

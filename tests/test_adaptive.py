@@ -112,6 +112,31 @@ def test_adaptive_p_mode_raises_marked_order():
     assert sum(nt1) < 30  # and not everything did
 
 
+def test_enriched_indicator_2d_localizes():
+    """2D hierarchical indicator: for a solution with an x-front at x=0 the
+    enriched-mode residual mass concentrates in the front-containing element
+    column."""
+    from hpvpinns_tpu.problems import poisson2d
+
+    k = 20.0
+    u = lambda x, y: np.tanh(k * x) * np.sin(np.pi * y)
+    # f = Delta u for u = tanh(kx) sin(pi y)
+    f = lambda x, y: (
+        -2 * k * k * np.tanh(k * x) / np.cosh(k * x) ** 2 - np.pi**2 * np.tanh(k * x)
+    ) * np.sin(np.pi * y)
+    cfg = hv.Poisson2DConfig(
+        dtype="float64", n_elements_x=3, n_elements_y=2, n_quad=16,
+        n_test_x=4, n_test_y=4, layers=(2, 10, 1),
+        domain_x=(-1.0, 1.0), domain_y=(-1.0, 1.0),
+    )
+    prob2 = poisson2d.build(cfg, u_fn=u, f_fn=f)
+    res = hv.train(prob2, hv.TrainConfig(iterations=300, check_every=100), verbose=False)
+    eta = adaptive.element_indicator(prob2, res.eval_params, enrich=3)
+    Ex, Ey = prob2.extras["mesh"].shape
+    col = eta.reshape(Ex, Ey).sum(axis=1)  # per x-column mass
+    assert col[1] > col[0] and col[1] > col[2], f"front column not dominant: {col}"
+
+
 def test_adaptive_2d_tensor_refinement():
     """2D: axis intervals bisect while the tensor structure is preserved."""
     cfg = hv.Poisson2DConfig(

@@ -102,4 +102,4 @@ def test_burgers_cli_and_dispatch():
     assert cfg.nu == 0.05 and cfg.train.iterations == 7
     assert hv.build(hv.BurgersConfig(n_quad=5, layers=(2, 6, 1))).name == "burgers"
     q = _config_from_args(build_parser().parse_args("run burgers --preset quality".split()))
-    assert q.hard_bc is True and q.train.lbfgs_iterations == 10000
+    assert q.hard_bc is True and q.train.lbfgs_iterations == 20000 and q.grid_x is not None
