@@ -33,6 +33,8 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: Optional[int] = None
     checkpoint_keep_last: int = 3  # retained checkpoints (0 = keep all)
+    checkpoint_async: bool = False  # background serialization: the training
+    # loop is not blocked by checkpoint IO (orbax AsyncCheckpointer)
 
 
 @dataclass(frozen=True)

@@ -213,7 +213,11 @@ def train(
     if cfg.checkpoint_dir is not None:
         from hpvpinns_tpu.training.checkpoint import Checkpointer
 
-        checkpointer = Checkpointer(cfg.checkpoint_dir, keep_last=cfg.checkpoint_keep_last)
+        checkpointer = Checkpointer(
+            cfg.checkpoint_dir,
+            keep_last=cfg.checkpoint_keep_last,
+            use_async=cfg.checkpoint_async,
+        )
 
     records: List[Dict[str, float]] = []
     stopped = False
@@ -319,6 +323,7 @@ def train(
     history = {k: np.asarray([r.get(k, np.nan) for r in records]) for k in keys}
     if checkpointer is not None:
         checkpointer.save(it, params, opt_state)
+        checkpointer.wait()  # barrier on async writes before returning
     return TrainResult(
         params=params,
         history=history,

@@ -127,6 +127,37 @@ def test_profiler_trace_writes(tmp_path):
     assert isinstance(stats, dict)
 
 
+def test_scan_crash_fallback_engages(monkeypatch):
+    """A JaxRuntimeError on the first compile of a chunk length must trigger
+    the per-step fallback (the broadened predicate: exception TYPE, any fresh
+    chunk length, both phases) and training completes normally."""
+    import jax
+
+    import hpvpinns_tpu.training.trainer as T
+
+    real_build = T._build_chunk
+    state = {"raised": False}
+
+    def flaky_build(loss_fn, opt, n):
+        fn = real_build(loss_fn, opt, n)
+
+        def wrapper(p, s, d):
+            if not state["raised"]:
+                state["raised"] = True
+                raise jax.errors.JaxRuntimeError("INTERNAL: simulated compile SIGILL")
+            return fn(p, s, d)
+
+        return wrapper
+
+    monkeypatch.setattr(T, "_build_chunk", flaky_build)
+    prob = _tiny_problem()
+    res = T.train(prob, hv.TrainConfig(iterations=30, check_every=10), verbose=False)
+    assert state["raised"]
+    assert res.iterations_run == 30
+    assert np.isfinite(res.final_aux["loss"])
+    np.testing.assert_array_equal(res.history["iteration"], [10, 20, 30])
+
+
 def test_checkpoint_cadence_non_multiple(tmp_path):
     """checkpoint_every=25 with check_every=10 must save on a regular >=25-iter
     cadence (30, 60, 90) — not the irregular 30, 55, 80 the old modulo trigger
@@ -142,6 +173,31 @@ def test_checkpoint_cadence_non_multiple(tmp_path):
 
     ck = Checkpointer(str(tmp_path / "ck"), keep_last=0)
     assert ck._steps() == [30, 60, 90]
+
+
+def test_async_checkpointing_roundtrip(tmp_path):
+    """checkpoint_async=True: training completes, writes finalize, restore
+    matches the final params; retention holds."""
+    prob = _tiny_problem()
+    cfg = hv.TrainConfig(
+        iterations=40, check_every=10,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=10,
+        checkpoint_keep_last=2, checkpoint_async=True,
+    )
+    res = hv.train(prob, cfg, verbose=False)
+
+    from hpvpinns_tpu.training.checkpoint import Checkpointer
+
+    ck = Checkpointer(str(tmp_path / "ck"), keep_last=2, use_async=True)
+    step, restored = ck.restore()
+    assert step == 40
+    assert len(ck._steps()) <= 2
+    import jax
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0),
+        restored["params"], res.params,
+    )
 
 
 def test_checkpoint_retention(tmp_path):
