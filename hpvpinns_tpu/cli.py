@@ -37,6 +37,11 @@ def _var_form_arg(s: str):
     return s if s == "2c" else int(s)
 
 
+def _grid_arg(s: str):
+    """Comma-separated non-uniform element boundaries."""
+    return tuple(float(v) for v in s.split(","))
+
+
 def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument(
         "--preset", choices=["record", "quality"], default="record",
@@ -78,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="hard_bc", help="lifted ansatz: boundary exact by construction")
     p2.add_argument("--n-elements-x", type=int, dest="n_elements_x")
     p2.add_argument("--n-elements-y", type=int, dest="n_elements_y")
+    p2.add_argument("--grid-x", type=_grid_arg, dest="grid_x",
+                    help="non-uniform x element boundaries, e.g. -1,-0.1,0.1,1")
+    p2.add_argument("--grid-y", type=_grid_arg, dest="grid_y")
     p2.add_argument("--n-test-x", type=int, dest="n_test_x")
     p2.add_argument("--n-test-y", type=int, dest="n_test_y")
     p2.add_argument("--n-bound", type=int, dest="n_bound")
@@ -111,6 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
     pb = runsub.add_parser("burgers", help="viscous Burgers space-time hp-VPINN (nonlinear; beyond reference)")
     pb.add_argument("--n-elements-x", type=int, dest="n_elements_x")
     pb.add_argument("--n-elements-t", type=int, dest="n_elements_t")
+    pb.add_argument("--grid-x", type=_grid_arg, dest="grid_x",
+                    help="non-uniform x element boundaries (front clustering)")
     pb.add_argument("--n-test-x", type=int, dest="n_test_x")
     pb.add_argument("--n-test-t", type=int, dest="n_test_t")
     pb.add_argument("--nu", type=float)

@@ -97,6 +97,13 @@ def test_quality_preset_runs_end_to_end(capsys):
     assert summary["problem"] == "poisson2d" and np.isfinite(summary["rel_l2"])
 
 
+def test_grid_x_flags_parse():
+    cfg = _config_from_args(parse("run poisson2d --grid-x=-1,-0.2,0.2,1 --grid-y=-1,0,1".split()))
+    assert cfg.grid_x == (-1.0, -0.2, 0.2, 1.0) and cfg.grid_y == (-1.0, 0.0, 1.0)
+    cfg = _config_from_args(parse("run burgers --grid-x=-1,-0.1,0.1,1".split()))
+    assert cfg.grid_x == (-1.0, -0.1, 0.1, 1.0)
+
+
 def test_var_form_2c_parses():
     args = parse("run poisson2d --var-form 2c --iterations 5".split())
     cfg = _config_from_args(args)
