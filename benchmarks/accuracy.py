@@ -36,9 +36,13 @@ def run(name, cfg, extra=()):
         **hv.evaluate_problem(prob, res.params),
     }
     if "epsilon" in res.final_aux:
-        rec["epsilon"] = res.final_aux["epsilon"]
+        rec["epsilon"] = float(prob.extras["eps_domain_mean"](res.eval_params))
         rec["epsilon_true"] = prob.extras["eps_true"]
         rec["epsilon_rel_err"] = abs(rec["epsilon"] - rec["epsilon_true"]) / rec["epsilon_true"]
+    if "velocity" in res.final_aux:
+        rec["velocity"] = float(res.eval_params["pde"]["velocity"])
+        rec["velocity_true"] = prob.extras["velocity_true"]
+        rec["velocity_rel_err"] = abs(rec["velocity"] - rec["velocity_true"]) / abs(rec["velocity_true"])
     for key, fn in extra:
         rec[key] = fn(prob, res)
     print(json.dumps(rec), flush=True)
@@ -90,6 +94,18 @@ def parity_records(q: int):
         ),
     )
     records.append(run("advdiff_lbfgs_f64cpu", cfg))
+
+    # Joint eps + velocity identification (beyond reference).
+    cfg = replace(
+        hv.advdiff_of_record(),
+        dtype="float64",
+        velocity_trainable=True,
+        velocity_init=0.5,
+        train=hv.TrainConfig(
+            iterations=5000 // q, lbfgs_iterations=10000 // q, check_every=500,
+        ),
+    )
+    records.append(run("advdiff_joint_eps_velocity_f64cpu", cfg))
     return records
 
 
@@ -219,6 +235,33 @@ def main():
             ),
         )
     )
+
+    # 11. Poisson-2D quality preset + hard-BC lifting (the flagship rows).
+    records.append(run("poisson2d_quality_hardbc", hv.poisson2d_quality(hard_bc=True)))
+
+    # 12. AdvDiff inverse, hard-BC lifted space-time ansatz (f32 on chip:
+    # eps to ~4.5%, beating the ~10% soft-BC plateau — MEASUREMENTS.md).
+    cfg = hv.AdvDiffConfig(
+        hard_bc=True,
+        train=hv.TrainConfig(iterations=15000 // q, lbfgs_iterations=15000 // q, check_every=500),
+    )
+    records.append(run("advdiff_hardbc_f32_tpu", cfg))
+
+    # 13/14. Viscous Burgers nu = 0.01/pi (nonlinear, beyond reference):
+    # default uniform grid vs the front-clustered hp quality preset.
+    cfg = hv.BurgersConfig()
+    cfg = replace(cfg, train=replace(cfg.train, iterations=cfg.train.iterations // q))
+    records.append(run("burgers_default_f32_tpu", cfg))
+    cfg = hv.burgers_quality()
+    cfg = replace(
+        cfg,
+        train=replace(
+            cfg.train,
+            iterations=cfg.train.iterations // q,
+            lbfgs_iterations=cfg.train.lbfgs_iterations // q,
+        ),
+    )
+    records.append(run("burgers_quality_f32_tpu", cfg))
 
     merge_into(args.out, records)
     print(f"wrote {args.out}", file=sys.stderr)

@@ -158,3 +158,32 @@ def test_distributed_initialize_single_process():
     assert info["global_devices"] == len(jax.devices())
     # idempotent
     assert initialize() == info
+
+
+def test_gspmd_burgers_and_advdiff_shard():
+    """The newer space-time families shard over the element mesh with
+    identical losses (nonlinear weak form + trainable-coefficient pytrees
+    ride the same element-axis layout)."""
+    mesh = element_mesh()
+    for cfg in (
+        hv.BurgersConfig(dtype="float64", n_elements_x=3, n_elements_t=2,
+                         n_quad=5, n_test_x=3, n_test_t=3, layers=(2, 6, 1)),
+        hv.AdvDiffConfig(dtype="float64", n_elements_x=3, n_elements_t=2,
+                         n_quad=5, n_test_x=3, n_test_t=3, layers=(2, 6, 1),
+                         velocity_trainable=True),
+    ):
+        prob = hv.build(cfg)
+        params = prob.init_params(jax.random.key(1))
+        loss0, _ = prob.loss_fn(params, prob.data)
+        data = shard_problem(prob.data, mesh)
+        p = replicate(params, mesh)
+        loss1, _ = jax.jit(prob.loss_fn)(p, data)
+        np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-10)
+        g0 = jax.grad(lambda q: prob.loss_fn(q, prob.data)[0])(params)
+        g1 = jax.jit(jax.grad(lambda q: prob.loss_fn(q, data)[0]))(p)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-12
+            ),
+            g0, g1,
+        )
