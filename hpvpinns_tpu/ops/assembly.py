@@ -206,7 +206,10 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
     """
     with jax.named_scope("vpinn_fields_2d"):
         f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
-        flds = f2d(elems.x, elems.y, first_y_only=(var_form == 1))
+        # form 1 (once-integrated) needs NO second derivatives: skip the
+        # second-order propagation streams entirely (~40% of the fields work,
+        # which is ~77% of the training step — MEASUREMENTS.md)
+        flds = f2d(elems.x, elems.y, firsts_only=(var_form == 1))
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     if var_form == 0:
         U = jac * contract_2d(bx.wphi, by.wphi, flds["uxx"] + flds["uyy"])
@@ -265,7 +268,10 @@ def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
     """
     with jax.named_scope("vpinn_fields_2d"):
         f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
-        flds = f2d(elems.x, elems.y, first_y_only=True)
+        # only the un-integrated form 0 needs u_xx; forms 1/2 skip the
+        # second-order propagation streams entirely
+        kw = {"first_y_only": True} if var_form == 0 else {"firsts_only": True}
+        flds = f2d(elems.x, elems.y, **kw)
     ut, ux = flds["uy"], flds["ux"]
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     if var_form == 0:
@@ -304,7 +310,10 @@ def burgers_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
     """
     with jax.named_scope("vpinn_fields_2d"):
         f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
-        flds = f2d(elems.x, elems.y, first_y_only=True)
+        # form 1's conservation-form convection + once-IBP diffusion need
+        # only first derivatives
+        kw = {"first_y_only": True} if var_form == 0 else {"firsts_only": True}
+        flds = f2d(elems.x, elems.y, **kw)
     u, ut, ux = flds["u"], flds["uy"], flds["ux"]
     jac = (elems.jac_x * elems.jac_y)[:, None, None]
     jt = elems.jac_y[:, None, None]

@@ -33,7 +33,10 @@ def scalar_fields_1d(u_fn, x):
     return u.reshape(shape), ux.reshape(shape), uxx.reshape(shape)
 
 
-def scalar_fields_2d(u_fn, x, y, *, second_y: bool = True, first_y_only: bool = False):
+def scalar_fields_2d(
+    u_fn, x, y, *,
+    second_y: bool = True, first_y_only: bool = False, firsts_only: bool = False,
+):
     """Network value and per-axis derivatives at 2D points.
 
     x, y: arrays of identical shape [..., Qy, Qx] (physical coordinates).
@@ -42,10 +45,17 @@ def scalar_fields_2d(u_fn, x, y, *, second_y: bool = True, first_y_only: bool = 
     Returns a dict with keys 'u', 'ux', 'uxx' and, depending on flags,
     'uy', 'uyy' (second_y) or just 'uy' (first_y_only — the AdvDiff case,
     where the y axis is time and only u_t is needed, AdvDiff.py:242-245).
+    firsts_only=True returns {u, ux, uy} with NO nested (second-order) JVPs —
+    the mode for once-integrated weak forms (var_form 1).
     """
     shape = x.shape
     X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
     vx = coord_tangent(X, 0)
+    if firsts_only:
+        vy = coord_tangent(X, 1)
+        u, ux = jax.jvp(u_fn, (X,), (vx,))
+        _, uy = jax.jvp(u_fn, (X,), (vy,))
+        return {"u": u.reshape(shape), "ux": ux.reshape(shape), "uy": uy.reshape(shape)}
     u, ux, uxx = value_and_dir_derivs2(u_fn, X, vx)
     out = {
         "u": u.reshape(shape),

@@ -194,15 +194,24 @@ def pallas_fields_1d(spec: MLP, params, x):
     return out[:, 0].reshape(shape), out[:, 1].reshape(shape), out[:, 2].reshape(shape)
 
 
-def pallas_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_only: bool = False):
+def pallas_fields_2d(
+    spec: MLP, params, x, y, *,
+    second_y: bool = True, first_y_only: bool = False, firsts_only: bool = False,
+):
     """Fused-kernel twin of taylor_fields_2d (same contract).
 
     The kernel computes seconds per-direction all-or-nothing, so the
     first_y_only contract (u, ux, uxx, uy — the AdvDiff case) also computes
     uyy inside the kernel and drops it (~1/6 extra work; still one launch).
+    firsts_only=True runs the kernel with the second-order streams disabled
+    entirely ({u, ux, uy} — the var_form-1 mode).
     """
     shape = x.shape
     X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    if firsts_only:
+        out = fields_flat(spec, params, X, 2, False)
+        r = lambda c: out[:, c].reshape(shape)
+        return {"u": r(0), "ux": r(1), "uy": r(2)}
     out = fields_flat(spec, params, X, 2, True)
     r = lambda c: out[:, c].reshape(shape)
     flds = {"u": r(0), "ux": r(1), "uy": r(2), "uxx": r(3)}

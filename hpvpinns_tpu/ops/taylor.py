@@ -71,13 +71,18 @@ def act_derivs3(name: str, z):
     raise ValueError(f"no third-derivative table for activation {name!r}")
 
 
-def mlp_fields(spec: MLP, params, X, directions):
-    """Network value + per-direction first/second derivatives, fused.
+def mlp_fields(spec: MLP, params, X, directions, second: bool = True):
+    """Network value + per-direction first (and optionally second)
+    derivatives, fused.
 
     X: [P, d] points.  directions: tuple of input-coordinate indices, e.g.
     (0,) for u_x/u_xx only, (0, 1) for both axes.
     Returns (u [P, out], firsts, seconds) where firsts/seconds are tuples of
-    [P, out] arrays ordered like `directions`.
+    [P, out] arrays ordered like `directions`; seconds is () when
+    second=False — the once-integrated weak forms (var_form 1) need no
+    second derivatives, and skipping the hkk streams removes 2 of the 5
+    propagation matmul chains (fields are ~77% of the training step,
+    MEASUREMENTS.md).
 
     Layout note (measured, benchmarks/MEASUREMENTS.md): propagating the
     1 + 2*len(directions) streams as SEPARATE per-stream matmuls is ~25%
@@ -94,7 +99,7 @@ def mlp_fields(spec: MLP, params, X, directions):
     hk = [
         jnp.zeros_like(X).at[..., k].set(1.0) for k in directions
     ]
-    hkk = [jnp.zeros_like(X) for _ in directions]
+    hkk = [jnp.zeros_like(X) for _ in directions] if second else []
 
     for layer in params[:-1]:
         W, b = layer["W"], layer["b"]
@@ -109,8 +114,8 @@ def mlp_fields(spec: MLP, params, X, directions):
         else:
             a, d1, d2 = act_derivs(spec.activation, z)
         h = a
-        hk = [d1 * t for t in zk]
         hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]
+        hk = [d1 * t for t in zk]
 
     W, b = params[-1]["W"], params[-1]["b"]
     u = dot(h, W) + b
@@ -128,10 +133,20 @@ def taylor_fields_1d(spec: MLP, params, x):
     return u.reshape(shape), ux.reshape(shape), uxx.reshape(shape)
 
 
-def taylor_fields_2d(spec: MLP, params, x, y, *, second_y: bool = True, first_y_only: bool = False):
-    """Fused-propagation twin of ops.fields.scalar_fields_2d (same contract)."""
+def taylor_fields_2d(
+    spec: MLP, params, x, y, *,
+    second_y: bool = True, first_y_only: bool = False, firsts_only: bool = False,
+):
+    """Fused-propagation twin of ops.fields.scalar_fields_2d (same contract).
+
+    firsts_only=True returns {u, ux, uy} with the second-derivative streams
+    never propagated — the right mode for once-integrated weak forms
+    (var_form 1), which need no second derivatives."""
     shape = x.shape
     X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    if firsts_only:
+        u, (ux, uy), _ = mlp_fields(spec, params, X, (0, 1), second=False)
+        return {"u": u.reshape(shape), "ux": ux.reshape(shape), "uy": uy.reshape(shape)}
     if first_y_only or second_y:
         u, (ux, uy), (uxx, uyy) = mlp_fields(spec, params, X, (0, 1))
         out = {"u": u.reshape(shape), "ux": ux.reshape(shape), "uxx": uxx.reshape(shape)}

@@ -112,3 +112,47 @@ def test_adaptive_slope_trains_and_pallas_rejects():
         import jax
 
         bad.loss_fn(bad.init_params(jax.random.key(0)), bad.data)
+
+
+def test_firsts_only_matches_full_fields_across_engines():
+    """firsts_only mode (var_form-1 fast path: no second-order streams) must
+    agree with the full-field engines on u, ux, uy — for taylor AND jvp."""
+    spec = MLP(layers=(2, 8, 8, 1), activation="tanh")
+    params = init_mlp(spec, jax.random.key(6), dtype=jnp.float64)
+    x = jnp.linspace(-1, 1, 6).reshape(1, 1, 6)
+    y = jnp.linspace(-0.5, 0.5, 3).reshape(1, 3, 1)
+    x, y = jnp.broadcast_arrays(x, y)
+    u_fn = lambda X: mlp_apply(spec, params, X)
+    full = taylor_fields_2d(spec, params, x, y, second_y=True)
+    ft = taylor_fields_2d(spec, params, x, y, firsts_only=True)
+    fj = scalar_fields_2d(u_fn, x, y, firsts_only=True)
+    assert set(ft) == set(fj) == {"u", "ux", "uy"}
+    for key in ("u", "ux", "uy"):
+        np.testing.assert_allclose(np.asarray(ft[key]), np.asarray(full[key]), rtol=1e-12, err_msg=key)
+        np.testing.assert_allclose(np.asarray(fj[key]), np.asarray(full[key]), rtol=1e-10, atol=1e-13, err_msg=key)
+
+
+def test_form1_losses_unchanged_by_firsts_only_fast_path():
+    """The firsts_only fast path is a pure optimization: form-1 losses and
+    grads for poisson2d/advdiff/burgers must equal the jvp engine's."""
+    import dataclasses
+
+    for cfg in (
+        hv.Poisson2DConfig(dtype="float64", var_form=1, n_quad=6),
+        hv.AdvDiffConfig(dtype="float64", var_form=1),
+        hv.BurgersConfig(dtype="float64", var_form=1, n_quad=6, layers=(2, 6, 1)),
+    ):
+        pt = hv.build(dataclasses.replace(cfg, deriv_mode="taylor"))
+        pj = hv.build(dataclasses.replace(cfg, deriv_mode="jvp"))
+        params = pt.init_params(jax.random.key(1))
+        lt, _ = pt.loss_fn(params, pt.data)
+        lj, _ = pj.loss_fn(params, pj.data)
+        np.testing.assert_allclose(float(lt), float(lj), rtol=1e-12)
+        gt = jax.grad(lambda p: pt.loss_fn(p, pt.data)[0])(params)
+        gj = jax.grad(lambda p: pj.loss_fn(p, pj.data)[0])(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+            ),
+            gt, gj,
+        )
