@@ -80,9 +80,11 @@ def make_default_envelope(cfg: AdvDiffConfig, rate: float = 4.0):
 
     The SATURATING time factor matters (measured, MEASUREMENTS.md): a linear
     t/T factor keeps suppressing the network for all t and wrecks coefficient
-    identification (eps err 612% f32); 1 - exp(-4 t/T) saturates by t ~ T/2
-    and reaches eps err 4.5% f32 on chip — 2.4x better than the soft-BC
-    plateau (10.8%)."""
+    identification (eps err 612% f32).  NOTE: even with this envelope, the
+    hard-BC ansatz is seed-UNRELIABLE for f32 coefficient identification
+    (8-330% across seeds; the exactly-enforced IC/BC leaves only the 15
+    sensors to constrain eps) — prefer soft BC for inverse runs (robust
+    4-7%); hard-BC is the right tool for forward problems."""
     a, b = cfg.domain_x
     scale = ((b - a) / 2.0) ** 2
 
