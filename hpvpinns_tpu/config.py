@@ -233,9 +233,10 @@ def advdiff_of_record() -> AdvDiffConfig:
 
 def poisson1d_quality() -> Poisson1DConfig:
     """Measured winner of the h-sweep (benchmarks/MEASUREMENTS.md): 4-element
-    h-refinement at p=15 with an L-BFGS phase — rel-L2 3.4e-3 on one chip
-    (f32), an order of magnitude below the single-element config of record
-    (which is representation-limited on the tanh(80x) layer)."""
+    h-refinement at p=15 with an L-BFGS phase — rel-L2 0.9-1.6e-2 across
+    seeds on one chip (f32; 9.7e-3 in f64), 20x below the single-element
+    config of record's 0.25 plateau (which is representation-limited on the
+    tanh(80x) layer)."""
     return Poisson1DConfig(
         n_elements=4,
         n_test=15,
