@@ -118,6 +118,7 @@ class Poisson3DConfig:
     n_quad: int = 8  # per axis per element
     n_bound: int = 100  # boundary points per face (6 faces)
     lossb_weight: float = 10.0
+    hard_bc: bool = False  # lifted ansatz: all six Dirichlet faces exact
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     domain_y: Tuple[float, float] = (-1.0, 1.0)
     domain_z: Tuple[float, float] = (-1.0, 1.0)
@@ -232,15 +233,18 @@ def advdiff_of_record() -> AdvDiffConfig:
 
 
 def poisson1d_quality() -> Poisson1DConfig:
-    """Measured winner of the h-sweep (benchmarks/MEASUREMENTS.md): 4-element
-    h-refinement at p=15 with an L-BFGS phase — rel-L2 0.9-1.6e-2 across
-    seeds on one chip (f32; 9.7e-3 in f64), 20x below the single-element
-    config of record's 0.25 plateau (which is representation-limited on the
+    """Measured winner of the round-2 variant study (MEASUREMENTS.md): the
+    reference's own non-uniform 3-element hp grid (Poisson-1D.py:270-273),
+    p=30, a (1,30,30,30,1) sin net and an L-BFGS phase — rel-L2 4.9-6.1e-3
+    across 3 seeds on one chip (f32), 40x below the single-element config
+    of record's 0.25 plateau (which is representation-limited on the
     tanh(80x) layer)."""
     return Poisson1DConfig(
-        n_elements=4,
-        n_test=15,
-        train=TrainConfig(iterations=3000, lbfgs_iterations=2000, check_every=100),
+        grid=(-1.0, -0.1, 0.1, 1.0),
+        n_elements=3,
+        n_test=30,
+        layers=(1, 30, 30, 30, 1),
+        train=TrainConfig(iterations=5000, lbfgs_iterations=5000, check_every=200),
     )
 
 

@@ -74,7 +74,8 @@ def test_quality_presets():
     assert cfg.hard_bc is True and cfg.train.lbfgs_iterations == 20000
 
     cfg = _config_from_args(parse("run poisson1d --preset quality".split()))
-    assert cfg.n_elements == 4 and cfg.train.lbfgs_iterations == 2000
+    # the reference's own non-uniform 3-element hp grid (measured winner)
+    assert cfg.grid == (-1.0, -0.1, 0.1, 1.0) and cfg.train.lbfgs_iterations == 5000
 
     cfg = _config_from_args(parse("run advdiff --preset quality".split()))
     assert cfg.dtype == "float64" and cfg.train.lbfgs_iterations == 10000

@@ -118,3 +118,31 @@ def test_3d_p_nonuniformity():
     np.testing.assert_array_equal(np.asarray(prob.data["elements"].n_test)[4:], 12.0)
     res = hv.train(prob, verbose=False)
     assert np.isfinite(res.final_aux["loss"])
+
+
+def test_poisson3d_hard_bc_exact_on_faces():
+    """Lifted 3D ansatz: all six Dirichlet faces exact for random params."""
+    import jax
+
+    from hpvpinns_tpu.problems import poisson3d
+
+    cfg = hv.Poisson3DConfig(
+        dtype="float64", hard_bc=True, layers=(3, 8, 1), n_quad=3,
+        n_test_x=2, n_test_y=2, n_test_z=2,
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(2))
+    g = np.linspace(-1, 1, 5)
+    A, B = np.meshgrid(g, g)
+    flat = np.stack([A.reshape(-1), B.reshape(-1)], axis=-1)
+    for axis in range(3):
+        for val in (-1.0, 1.0):
+            X = np.insert(flat, axis, val, axis=1)
+            u = np.asarray(prob.apply(params, X)).reshape(-1)
+            u_true = np.asarray(
+                poisson3d.u_exact(X[:, 0:1], X[:, 1:2], X[:, 2:3])
+            ).reshape(-1)
+            np.testing.assert_allclose(u, u_true, atol=1e-12)
+    # trains
+    res = hv.train(prob, hv.TrainConfig(iterations=20, check_every=10), verbose=False)
+    assert np.isfinite(res.final_aux["loss"])
