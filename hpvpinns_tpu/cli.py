@@ -97,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
         p3d.add_argument(f"--n-elements-{flag}", type=int, dest=f"n_elements_{flag}")
         p3d.add_argument(f"--n-test-{flag}", type=int, dest=f"n_test_{flag}")
     p3d.add_argument("--n-bound", type=int, dest="n_bound")
+    p3d.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                     dest="hard_bc", help="lifted ansatz: all six Dirichlet faces exact")
     _add_common_flags(p3d)
 
     p3 = runsub.add_parser("advdiff", help="inverse advection-diffusion (main/AdvDiff-Identification)")
@@ -182,10 +184,12 @@ def _config_from_args(args) -> object:
     table = _QUALITY_PRESETS if getattr(args, "preset", "record") == "quality" else _PRESETS
     cfg = table[args.problem]()
     if getattr(args, "preset", "record") == "quality" and getattr(args, "hard_bc", None):
-        # the hard-BC quality point of record extends the L-BFGS budget
-        # (MEASUREMENTS.md: 3.1e-4 at Adam10k+LBFGS20k)
+        # the hard-BC quality points of record (MEASUREMENTS.md:
+        # poisson2d 3.1e-4 at Adam10k+LBFGS20k; poisson3d 8.6e-3)
         if args.problem == "poisson2d":
             cfg = cfgmod.poisson2d_quality(hard_bc=True)
+        elif args.problem == "poisson3d":
+            cfg = cfgmod.poisson3d_quality(hard_bc=True)
     cfg_overrides = {}
     names = {f.name for f in dataclasses.fields(cfg)}
     for key, val in vars(args).items():

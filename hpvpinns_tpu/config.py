@@ -285,16 +285,18 @@ def advdiff_quality() -> AdvDiffConfig:
     )
 
 
-def poisson3d_quality() -> Poisson3DConfig:
+def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
     """Measured 3D quality point (benchmarks/MEASUREMENTS.md): (3,48,48,48,1)
     net, 6^3 test fns, 10^3 quadrature points, 8 elements, Adam10k+LBFGS10k —
-    rel-L2 1.34e-2 in 48 s on one chip."""
+    rel-L2 1.34e-2 in ~30-50 s on one chip; hard_bc=True lifts the ansatz
+    (all six faces exact) — measured 8.6e-3."""
     return Poisson3DConfig(
         layers=(3, 48, 48, 48, 1),
         n_test_x=6,
         n_test_y=6,
         n_test_z=6,
         n_quad=10,
+        hard_bc=hard_bc,
         train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
     )
 
