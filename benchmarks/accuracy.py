@@ -247,6 +247,14 @@ def main():
     )
     records.append(run("advdiff_hardbc_f32_tpu", cfg))
 
+    # 12b. AdvDiff inverse with 7 spatial sensor stations: the measured
+    # identifiability lever (MEASUREMENTS.md) — eps to 1.5-3.9% in f32.
+    cfg = hv.AdvDiffConfig(
+        sensor_stations=(-0.75, -0.5, -0.25, 0.0, 0.25, 0.5, 0.75),
+        train=hv.TrainConfig(iterations=15000 // q, lbfgs_iterations=15000 // q, check_every=500),
+    )
+    records.append(run("advdiff_7stations_f32_tpu", cfg))
+
     # 13/14. Viscous Burgers nu = 0.01/pi (nonlinear, beyond reference):
     # default uniform grid vs the front-clustered hp quality preset.
     cfg = hv.BurgersConfig()
