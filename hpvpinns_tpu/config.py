@@ -160,6 +160,9 @@ class AdvDiffConfig:
     # IC and BC hold exactly (data loss reduces to the interior sensors)
     n_sensors_per_station: int = 5  # interior data for identifiability
     sensor_stations: Tuple[float, ...] = (-0.5, 0.0, 0.5)  # AdvDiff.py:464-479
+    sensor_noise_std: float = 0.0  # additive N(0, std) noise on the interior
+    # sensor READINGS only (boundary/initial data stay exact) — robustness
+    # studies for the inverse problem (beyond the reference)
     t_final: float = 1.0
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     fourier_terms: int = 800  # exact-solution series truncation (AdvDiff.py:416)

@@ -111,12 +111,19 @@ def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
     ]
     vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
 
-    # Interior sensors: fixed x stations, LHS times, exact-series readings.
+    # Interior sensors: fixed x stations, LHS times, exact-series readings
+    # (+ optional measurement noise — robustness knob, beyond the reference).
+    # The noise uses its own child generator (spawned unconditionally) so the
+    # sensor LOCATIONS are identical with and without noise.
+    noise_rng = np.random.default_rng(rng.integers(0, 2**31))
     for station in cfg.sensor_stations:
         ts = T * lhs_interval(0, 1, cfg.n_sensors_per_station, rng)
         xs = np.full_like(ts, station)
         pts.append(np.hstack([xs, ts]))
-        vals.append(u_exact(xs, ts, eps_true, cfg.velocity, cfg.fourier_terms))
+        reading = u_exact(xs, ts, eps_true, cfg.velocity, cfg.fourier_terms)
+        if cfg.sensor_noise_std > 0:
+            reading = reading + noise_rng.normal(0.0, cfg.sensor_noise_std, reading.shape)
+        vals.append(reading)
     return np.concatenate(pts), np.concatenate(vals)
 
 

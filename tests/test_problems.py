@@ -327,3 +327,21 @@ def test_hard_bc_1d():
     np.testing.assert_allclose(
         hv.predict(prob, res.params, xb), poisson1d.u_exact(xb), atol=1e-12
     )
+
+
+def test_advdiff_sensor_noise_knob():
+    """sensor_noise_std perturbs ONLY the interior sensor readings; the
+    boundary/initial rows stay exact."""
+    from hpvpinns_tpu.problems.advdiff import training_data
+
+    cfg0 = hv.AdvDiffConfig(sensor_noise_std=0.0)
+    cfg1 = hv.AdvDiffConfig(sensor_noise_std=1e-2)
+    rng0 = np.random.default_rng(cfg0.train.seed)
+    rng1 = np.random.default_rng(cfg1.train.seed)
+    X0, u0 = training_data(cfg0, rng0)
+    X1, u1 = training_data(cfg1, rng1)
+    np.testing.assert_array_equal(X0, X1)
+    n_bc = 3 * cfg0.n_bound  # two walls + initial edge
+    np.testing.assert_array_equal(u0[:n_bc], u1[:n_bc])  # exact BC/IC rows
+    diff = np.abs(u0[n_bc:] - u1[n_bc:])
+    assert diff.max() > 0 and diff.max() < 0.1  # perturbed, at noise scale
