@@ -158,6 +158,7 @@ def adaptive_solve(
     mode: str = "h",
     p_step: int = 4,
     lr_decay: float = 0.5,
+    budget_growth: float = 1.0,
     verbose: bool = False,
 ) -> AdaptiveResult:
     """Solve-estimate-mark-refine for `rounds` rounds, warm-starting the
@@ -167,7 +168,12 @@ def adaptive_solve(
     `lr_decay` shrinks the Adam learning rate each round (round r trains at
     lr * lr_decay^r): a warm start sits near a minimum, and re-kicking Adam
     at the full rate measurably destabilizes it (rel-L2 regressions on the
-    f32 chip).  `build_fn(cfg) -> Problem` overrides the problem builder
+    f32 chip).  `budget_growth` scales BOTH optimization budgets each round
+    (round r trains for iterations * budget_growth^r): refinement raises the
+    optimization difficulty with the element count, and a fixed per-round
+    budget is the measured cause of late-round regressions on the steep 1D
+    problem (MEASUREMENTS.md) — growth ~1.5-2 keeps rounds comparable.
+    `build_fn(cfg) -> Problem` overrides the problem builder
     (custom manufactured solutions via functools.partial(build, u_fn=...))."""
     build_fn = build_fn or hv.build
     params = None
@@ -180,6 +186,8 @@ def adaptive_solve(
         tc = dataclasses.replace(
             base_tc,
             learning_rate=base_tc.learning_rate * (lr_decay**r),
+            iterations=max(1, int(round(base_tc.iterations * budget_growth**r))),
+            lbfgs_iterations=int(round(base_tc.lbfgs_iterations * budget_growth**r)),
             # per-round loss-min snapshot (fraction 0.0 = over the whole
             # round): late L-BFGS steps can blow up a warm-started f32 run,
             # and the next round must not inherit the blow-up
@@ -199,6 +207,8 @@ def adaptive_solve(
             "n_elem": int(eta.shape[0]),
             "eta": [float(v) for v in eta],
             "final_loss": res.final_aux.get("loss"),
+            "iterations": tc.iterations,
+            "lbfgs_iterations": tc.lbfgs_iterations,
             **metrics,
         }
         if hasattr(mesh_obj, "grid"):

@@ -138,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--theta", type=float, default=0.5, help="Dörfler bulk fraction")
     ad.add_argument("--mode", choices=["h", "p"], default="h",
                     help="h: bisect marked elements; p: raise their test order")
+    ad.add_argument("--budget-growth", type=float, default=1.0, dest="budget_growth",
+                    help="scale the per-round optimization budget by this factor each "
+                    "round (refined meshes are harder to optimize; ~1.5-2 keeps rounds "
+                    "comparable — MEASUREMENTS.md)")
     ad.add_argument("--iterations", type=int)
     ad.add_argument("--lbfgs-iterations", type=int)
     ad.add_argument("--n-quad", type=int, dest="n_quad")
@@ -348,7 +352,7 @@ def cmd_adapt(args) -> int:
     train = dc.replace(cfg.train, **train_over) if train_over else cfg.train
     out = adaptive.adaptive_solve(
         cfg, rounds=args.rounds, theta=args.theta, train_cfg=train,
-        mode=args.mode, verbose=True,
+        mode=args.mode, budget_growth=args.budget_growth, verbose=True,
     )
     os.makedirs(args.outdir, exist_ok=True)
     path = os.path.join(args.outdir, "adapt_rounds.json")

@@ -150,6 +150,11 @@ class AdvDiffConfig:
     velocity_trainable: bool = False  # ALSO identify V jointly with eps
     # (beyond the reference — V then starts at velocity_init)
     velocity_init: float = 0.5
+    velocity_model: str = "scalar"  # "scalar" | "linear" | "quadratic" —
+    # shape of the trainable velocity when velocity_trainable:
+    # V(x) = v0 [+ v1 x [+ v2 x^2]] (space-dependent advection identification;
+    # beyond the reference.  Pair with build(u_fn=, f_fn=, velocity_fn=) /
+    # make_manufactured for data whose true velocity actually varies.)
     gamma: float = 0.1  # true eps = gamma / pi (AdvDiff.py:41-42)
     epsilon_init: float = 1.0  # trainable start (AdvDiff.py:63)
     epsilon_model: str = "scalar"  # "scalar" (reference parity) | "quadratic"

@@ -91,9 +91,16 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         eps_of = problem.extras.get("eps_of")
         eps = eps_of(params, X[:, 0:1]) if eps_of else problem.extras["eps_true"]
         v_of = problem.extras.get("v_of")
-        V = v_of(params) if v_of else cfg.velocity
+        V = v_of(params, X[:, 0:1]) if v_of else cfg.velocity
         flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
-        return np.asarray(flds["uy"] + V * flds["ux"] - eps * flds["uxx"])
+        r = flds["uy"] + V * flds["ux"] - eps * flds["uxx"]
+        f_fn = problem.extras.get("f_rhs")  # manufactured forcing (F = 0 in
+        # the reference, AdvDiff.py:180; build(f_fn=...) overrides)
+        if f_fn is not None:
+            r = r - jnp.asarray(
+                f_fn(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
+            )
+        return np.asarray(r)
     if problem.name == "burgers":
         flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2], first_y_only=True)
         return np.asarray(

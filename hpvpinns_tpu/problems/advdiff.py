@@ -95,8 +95,14 @@ def make_default_envelope(cfg: AdvDiffConfig, rate: float = 4.0):
     return envelope
 
 
-def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
-    """Boundary + initial + interior-sensor data (AdvDiff.py:357-384,464-483)."""
+def training_data(cfg: AdvDiffConfig, rng: np.random.Generator, u_data_fn=None):
+    """Boundary + initial + interior-sensor data (AdvDiff.py:357-384,464-483).
+
+    `u_data_fn(x, t) -> u` (host numpy, column arrays) overrides the data
+    source everywhere — boundary, initial edge, AND sensor readings — for
+    manufactured-solution problems (make_manufactured); the default is the
+    benchmark's homogeneous BC / -sin(pi x) IC / exact-series sensors.
+    """
     T, (xl, xr) = cfg.t_final, cfg.domain_x
     n = cfg.n_bound
     eps_true = cfg.gamma / np.pi
@@ -109,7 +115,14 @@ def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
         np.hstack([np.full_like(t_lo, xl), t_lo]),
         np.hstack([x_in, np.zeros_like(x_in)]),
     ]
-    vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
+    if u_data_fn is None:
+        vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
+    else:
+        vals = [
+            u_data_fn(np.full_like(t_up, xr), t_up),
+            u_data_fn(np.full_like(t_lo, xl), t_lo),
+            u_data_fn(x_in, np.zeros_like(x_in)),
+        ]
 
     # Interior sensors: fixed x stations, LHS times, exact-series readings
     # (+ optional measurement noise — robustness knob, beyond the reference).
@@ -120,11 +133,46 @@ def training_data(cfg: AdvDiffConfig, rng: np.random.Generator):
         ts = T * lhs_interval(0, 1, cfg.n_sensors_per_station, rng)
         xs = np.full_like(ts, station)
         pts.append(np.hstack([xs, ts]))
-        reading = u_exact(xs, ts, eps_true, cfg.velocity, cfg.fourier_terms)
+        if u_data_fn is None:
+            reading = u_exact(xs, ts, eps_true, cfg.velocity, cfg.fourier_terms)
+        else:
+            reading = u_data_fn(xs, ts)
         if cfg.sensor_noise_std > 0:
             reading = reading + noise_rng.normal(0.0, cfg.sensor_noise_std, reading.shape)
         vals.append(reading)
     return np.concatenate(pts), np.concatenate(vals)
+
+
+def make_manufactured(cfg: AdvDiffConfig, velocity_fn, epsilon: float | None = None):
+    """Manufactured-solution pair (u_fn, f_fn) for the FORCED equation
+
+        u_t + V(x) u_x - eps u_xx = f(x, t)
+
+    with u(x, t) = sin(pi x) exp(-t): homogeneous at x = +-1 for the
+    benchmark domain, so the data pipeline needs no changes beyond reading
+    u_fn.  The analytic solution of the reference problem only exists for
+    CONSTANT velocity (AdvDiff.py:416-445); this is how the framework poses
+    problems whose true advection field genuinely varies in space — the
+    ground truth enters only through f and the sensor readings.
+
+    `velocity_fn` must be written with generic array operators (e.g.
+    ``lambda x: 1.0 + 0.3 * x``): it is called on host numpy arrays here and
+    on device arrays inside the weak form.  `epsilon` defaults to the
+    config's true value gamma/pi.
+    """
+    eps = cfg.gamma / np.pi if epsilon is None else epsilon
+
+    def u_fn(x, t):
+        return np.sin(np.pi * x) * np.exp(-t)
+
+    def f_fn(X, T):
+        return np.exp(-T) * (
+            -np.sin(np.pi * X)
+            + velocity_fn(X) * np.pi * np.cos(np.pi * X)
+            + eps * np.pi**2 * np.sin(np.pi * X)
+        )
+
+    return u_fn, f_fn
 
 
 def build(
@@ -132,12 +180,24 @@ def build(
     rng: np.random.Generator | None = None,
     lift_fn=None,
     envelope_fn=None,
+    u_fn=None,
+    f_fn=None,
+    velocity_fn=None,
 ) -> Problem:
     """`cfg.hard_bc` (or explicit lift_fn/envelope_fn, jnp-traceable
     [P,2] -> [P,1]) switches on the lifted ansatz u = g + D * N: the IC and BC
     hold exactly by construction, so the data loss reduces to the interior
     sensors and all remaining capacity goes to the PDE + identification.
     Defaults fit the benchmark problem (default_lift / make_default_envelope).
+
+    Manufactured-solution overrides (beyond the reference, whose F = 0 at
+    AdvDiff.py:180): `u_fn(x, t)` replaces the exact solution everywhere
+    (boundary/IC/sensor data, test grid, extras["exact"]); `f_fn(X, T)` is a
+    forcing projected offline onto the test basis exactly like the Poisson
+    RHS (build_elements_2d); `velocity_fn(x)` is the TRUE space-dependent
+    advection field used by forward runs (trainable runs start from
+    cfg.velocity_init and must recover it from the data).  Use
+    `make_manufactured(cfg, velocity_fn)` for a consistent (u_fn, f_fn) pair.
     """
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
@@ -151,9 +211,9 @@ def build(
     ntt = np.full(cfg.n_elements_t, cfg.n_test_t)
     bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
     bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
-    elems = build_elements_2d(mesh, xq, wq, xq, wq, None, ntx, ntt, dtype)
+    elems = build_elements_2d(mesh, xq, wq, xq, wq, f_fn, ntx, ntt, dtype)
 
-    Xb, ub = training_data(cfg, rng)
+    Xb, ub = training_data(cfg, rng, u_data_fn=u_fn)
     data = {
         "elements": elems,
         "basis_x": bx,
@@ -170,6 +230,11 @@ def build(
     if hard_bc:
         from hpvpinns_tpu.problems.base import make_composite_apply
 
+        if u_fn is not None and lift_fn is None:
+            raise ValueError(
+                "hard_bc with a manufactured u_fn needs an explicit lift_fn: "
+                "the default lift interpolates the BENCHMARK's -sin(pi x) IC"
+            )
         lift = lift_fn or default_lift
         envelope = envelope_fn or make_default_envelope(cfg)
         mode = "jvp"  # composite ansatz: generic autodiff engine
@@ -183,6 +248,12 @@ def build(
     eps_model = cfg.epsilon_model
     if eps_model not in ("scalar", "quadratic"):
         raise ValueError(f"epsilon_model must be 'scalar' or 'quadratic'; got {eps_model!r}")
+    vel_model = cfg.velocity_model
+    if vel_model not in ("scalar", "linear", "quadratic"):
+        raise ValueError(
+            f"velocity_model must be 'scalar', 'linear' or 'quadratic'; got {vel_model!r}"
+        )
+    n_vel_coef = {"linear": 2, "quadratic": 3}.get(vel_model, 0)
 
     def pde_init():
         if not inverse:
@@ -193,14 +264,27 @@ def build(
         else:
             pde["epsilon"] = jnp.asarray(cfg.epsilon_init, dtype=dtype)
         if cfg.velocity_trainable:
-            pde["velocity"] = jnp.asarray(cfg.velocity_init, dtype=dtype)
+            if n_vel_coef:
+                coef = [cfg.velocity_init] + [0.0] * (n_vel_coef - 1)
+                pde["vel_coef"] = jnp.asarray(coef, dtype=dtype)
+            else:
+                pde["velocity"] = jnp.asarray(cfg.velocity_init, dtype=dtype)
         return pde
 
-    def v_of(params):
-        """The (possibly trainable) advection velocity; sensor data is always
-        generated at the TRUE cfg.velocity."""
+    def v_of(params, x):
+        """The advection velocity at points x — a scalar, a trainable scalar,
+        a trainable polynomial field V(x) = v0 + v1 x (+ v2 x^2), or the true
+        manufactured field (forward runs with velocity_fn)."""
         if inverse and cfg.velocity_trainable:
+            if n_vel_coef:
+                c = params["pde"]["vel_coef"]
+                v = c[0] + c[1] * x
+                if n_vel_coef == 3:
+                    v = v + c[2] * x * x
+                return v
             return params["pde"]["velocity"]
+        if velocity_fn is not None:
+            return velocity_fn(x)
         return V
 
     def eps_of(params, x):
@@ -233,6 +317,21 @@ def build(
             return c[0] + c[1] * _mx + c[2] * _mx2
         return params["pde"]["epsilon"]
 
+    def vel_domain_mean(params):
+        """Exact domain average of the (possibly trainable) velocity."""
+        if inverse and cfg.velocity_trainable:
+            if n_vel_coef:
+                c = params["pde"]["vel_coef"]
+                v = c[0] + c[1] * _mx
+                if n_vel_coef == 3:
+                    v = v + c[2] * _mx2
+                return v
+            return params["pde"]["velocity"]
+        if velocity_fn is not None:
+            xs = np.linspace(a_dom, b_dom, 4097)
+            return float(np.trapezoid(np.asarray(velocity_fn(xs)), xs) / (b_dom - a_dom))
+        return V
+
     def loss_fn(params, data, axis_name=None):
         u_fn = make_u_fn(params)
         el = data["elements"]
@@ -246,7 +345,7 @@ def build(
         else:
             fields_fn = None
         res = advdiff_residual(
-            u_fn, el, data["basis_x"], data["basis_t"], var_form, v_of(params), eps,
+            u_fn, el, data["basis_x"], data["basis_t"], var_form, v_of(params, el.x), eps,
             fields_fn=fields_fn, epsilon_x=eps_x_of(params, el.x),
         )
         lossv = variational_loss(res, el.mask, el.n_test)
@@ -262,7 +361,11 @@ def build(
                 aux["eps_c1"] = params["pde"]["eps_coef"][1]
                 aux["eps_c2"] = params["pde"]["eps_coef"][2]
             if cfg.velocity_trainable:
-                aux["velocity"] = params["pde"]["velocity"]
+                aux["velocity"] = vel_domain_mean(params)
+                if n_vel_coef:
+                    aux["vel_c1"] = params["pde"]["vel_coef"][1]
+                    if n_vel_coef == 3:
+                        aux["vel_c2"] = params["pde"]["vel_coef"][2]
         return loss, aux
 
     # Dense space-time test grid: 256 x-points, time step 0.01 (AdvDiff.py:448-450).
@@ -270,9 +373,20 @@ def build(
     tt = np.arange(0, cfg.t_final + 0.01, 0.01)
     XT, TT = np.meshgrid(xt, tt)
     test_points = np.stack([XT.reshape(-1), TT.reshape(-1)], axis=-1)
-    test_values = u_exact(
-        test_points[:, 0:1], test_points[:, 1:2], eps_true, cfg.velocity, cfg.fourier_terms
-    )
+    if u_fn is None:
+        exact = lambda x, t: u_exact(x, t, eps_true, cfg.velocity, cfg.fourier_terms)
+    else:
+        exact = u_fn
+    test_values = exact(test_points[:, 0:1], test_points[:, 1:2])
+
+    # The scalar "true velocity" report: the domain mean of the manufactured
+    # field when one is given (coefficient trajectories are compared against
+    # it by the CLI/accuracy harness), else the reference's constant V.
+    if velocity_fn is not None:
+        _xs = np.linspace(a_dom, b_dom, 4097)
+        velocity_true = float(np.trapezoid(np.asarray(velocity_fn(_xs)), _xs) / (b_dom - a_dom))
+    else:
+        velocity_true = cfg.velocity
 
     return Problem(
         name="advdiff",
@@ -282,7 +396,7 @@ def build(
         loss_fn=loss_fn,
         init_params=make_net_init(spec, pde_init=pde_init, dtype=dtype),
         apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
-        exact=lambda x, t: u_exact(x, t, eps_true, cfg.velocity, cfg.fourier_terms),
+        exact=exact,
         test_points=test_points,
         test_values=test_values,
         extras={
@@ -291,7 +405,10 @@ def build(
             "eps_of": eps_of,
             "eps_domain_mean": eps_domain_mean,
             "v_of": v_of,
-            "velocity_true": cfg.velocity,
+            "vel_domain_mean": vel_domain_mean,
+            "velocity_true": velocity_true,
+            "velocity_fn": velocity_fn,
+            "f_rhs": f_fn,
             "test_grid_shape": (len(tt), len(xt)),
         },
     )

@@ -150,3 +150,16 @@ def test_adaptive_2d_tensor_refinement():
     Ey = len(r1["grid_y"]) - 1
     assert r1["n_elem"] == Ex * Ey
     assert Ex > 2 or Ey > 2  # something was refined
+
+
+def test_budget_growth_scales_per_round_budgets():
+    """budget_growth multiplies BOTH optimization budgets each round (the
+    fixed-budget regression on refined meshes is measured in MEASUREMENTS.md;
+    growth is the lever)."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_elements=2, n_test=5, n_quad=10, layers=(1, 8, 1),
+        train=hv.TrainConfig(iterations=40, lbfgs_iterations=20, check_every=20),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=3, budget_growth=2.0, verbose=False)
+    assert [r["iterations"] for r in out.rounds] == [40, 80, 160]
+    assert [r["lbfgs_iterations"] for r in out.rounds] == [20, 40, 80]
