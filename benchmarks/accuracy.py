@@ -21,8 +21,8 @@ import hpvpinns_tpu as hv
 from hpvpinns_tpu.config import replace
 
 
-def run(name, cfg, extra=()):
-    prob = hv.build(cfg)
+def run(name, cfg, extra=(), build_fn=None):
+    prob = (build_fn or hv.build)(cfg)
     t0 = time.perf_counter()
     res = hv.train(prob, verbose=False)
     wall = time.perf_counter() - t0
@@ -40,9 +40,25 @@ def run(name, cfg, extra=()):
         rec["epsilon_true"] = prob.extras["eps_true"]
         rec["epsilon_rel_err"] = abs(rec["epsilon"] - rec["epsilon_true"]) / rec["epsilon_true"]
     if "velocity" in res.final_aux:
-        rec["velocity"] = float(res.eval_params["pde"]["velocity"])
+        vdm = prob.extras.get("vel_domain_mean")
+        rec["velocity"] = (
+            float(vdm(res.eval_params)) if vdm else float(res.final_aux["velocity"])
+        )
         rec["velocity_true"] = prob.extras["velocity_true"]
         rec["velocity_rel_err"] = abs(rec["velocity"] - rec["velocity_true"]) / abs(rec["velocity_true"])
+        if "vel_coef" in res.eval_params["pde"]:
+            import numpy as np
+
+            c = np.asarray(res.eval_params["pde"]["vel_coef"], dtype=float)
+            rec["vel_coef"] = c.tolist()
+            vfn = prob.extras.get("velocity_fn")
+            if vfn is not None:  # field-level error vs the manufactured truth
+                xs = np.linspace(*prob.config.domain_x, 2001)
+                vh = sum(c[i] * xs**i for i in range(len(c)))
+                vt = np.asarray(vfn(xs), dtype=float)
+                rec["vel_field_rel_l2"] = float(
+                    np.linalg.norm(vh - vt) / np.linalg.norm(vt)
+                )
     for key, fn in extra:
         rec[key] = fn(prob, res)
     print(json.dumps(rec), flush=True)
@@ -254,6 +270,31 @@ def main():
         train=hv.TrainConfig(iterations=15000 // q, lbfgs_iterations=15000 // q, check_every=500),
     )
     records.append(run("advdiff_7stations_f32_tpu", cfg))
+
+    # 12c. Spatially-varying advection identification (beyond reference):
+    # manufactured forcing with true V(x) = 1 + 0.3 x, trainable linear field
+    # jointly with eps.  The forced problem is far better conditioned than the
+    # homogeneous benchmark: f32 on chip reaches sub-% coefficients
+    # (MEASUREMENTS.md).
+    from hpvpinns_tpu.problems import advdiff as _advdiff
+
+    _v_true = lambda x: 1.0 + 0.3 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        velocity_trainable=True, velocity_model="linear", velocity_init=0.5,
+        var_form=1,
+        sensor_stations=(-0.75, -0.5, -0.25, 0.0, 0.25, 0.5, 0.75),
+        train=hv.TrainConfig(
+            iterations=3000 // q, lbfgs_iterations=3000 // q, check_every=500
+        ),
+    )
+
+    def _build_manufactured(c):
+        u_fn, f_fn = _advdiff.make_manufactured(c, _v_true)
+        return _advdiff.build(c, u_fn=u_fn, f_fn=f_fn, velocity_fn=_v_true)
+
+    records.append(
+        run("advdiff_velocity_field_f32_tpu", cfg, build_fn=_build_manufactured)
+    )
 
     # 13/14. Viscous Burgers nu = 0.01/pi (nonlinear, beyond reference):
     # default uniform grid vs the front-clustered hp quality preset.

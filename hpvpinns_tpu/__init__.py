@@ -25,6 +25,7 @@ TPU-first design decisions (vs. the reference's per-element Python graph loop):
 
 from hpvpinns_tpu import config, evaluate, problems
 from hpvpinns_tpu.config import (
+    AdvDiff2DConfig,
     AdvDiffConfig,
     BurgersConfig,
     burgers_quality,

@@ -145,7 +145,24 @@ def _refined_config(cfg, problem, eta: np.ndarray, theta: float, mode: str = "h"
         gx = bisect_marked(mesh.axis_x.grid, mx)
         gy = bisect_marked(mesh.axis_y.grid, my)
         return dataclasses.replace(cfg, grid_x=gx, grid_y=gy)
-    raise TypeError(f"adaptive refinement supports Poisson configs, got {type(cfg).__name__}")
+    if isinstance(cfg, hv.BurgersConfig):
+        # Space-time family: refine the SPACE axis only (the nu = 0.01/pi
+        # difficulty is a steep front in x; the time axis is smooth).  This
+        # automates the front-clustered grid the burgers_quality preset
+        # hand-specifies (MEASUREMENTS.md: that one meshing decision is worth
+        # 16x in error at identical budget).
+        if mode == "p":
+            raise ValueError(
+                "p-adaptivity is not supported for Burgers (no per-element test counts)"
+            )
+        Ex, Et = mesh.shape
+        eta2 = eta.reshape(Ex, Et)  # flat order e = ex * Et + et
+        mx = dorfler_mark(eta2.sum(axis=1), theta)
+        gx = bisect_marked(mesh.axis_x.grid, mx)
+        return dataclasses.replace(cfg, grid_x=gx, n_elements_x=len(gx) - 1)
+    raise TypeError(
+        f"adaptive refinement supports Poisson/Burgers configs, got {type(cfg).__name__}"
+    )
 
 
 def adaptive_solve(

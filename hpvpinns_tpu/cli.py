@@ -116,7 +116,33 @@ def build_parser() -> argparse.ArgumentParser:
     p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
     p3.add_argument("--identify-velocity", action="store_const", const=True, default=None,
                     dest="velocity_trainable", help="ALSO identify the advection velocity")
+    p3.add_argument("--velocity-model", choices=["scalar", "linear", "quadratic"],
+                    dest="velocity_model",
+                    help="shape of the trainable velocity: scalar or polynomial field V(x)")
+    p3.add_argument("--manufactured-velocity", dest="manufactured_velocity", metavar="C0,C1[,C2]",
+                    help="pose the FORCED manufactured problem whose true velocity is the "
+                    "polynomial c0 + c1 x (+ c2 x^2): data/forcing/exact from "
+                    "problems.advdiff.make_manufactured (the analytic benchmark solution "
+                    "only exists for constant V)")
     _add_common_flags(p3)
+
+    p4 = runsub.add_parser(
+        "advdiff2d",
+        help="2D space-time advection-diffusion, inverse eps (+velocity) "
+        "identification on the 3D tensor machinery (beyond reference)",
+    )
+    p4.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    p4.add_argument("--n-elements-y", type=int, dest="n_elements_y")
+    p4.add_argument("--n-elements-t", type=int, dest="n_elements_t")
+    p4.add_argument("--n-test-x", type=int, dest="n_test_x")
+    p4.add_argument("--n-test-y", type=int, dest="n_test_y")
+    p4.add_argument("--n-test-t", type=int, dest="n_test_t")
+    p4.add_argument("--gamma", type=float)
+    p4.add_argument("--epsilon-init", type=float, dest="epsilon_init")
+    p4.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
+    p4.add_argument("--identify-velocity", action="store_const", const=True, default=None,
+                    dest="velocity_trainable", help="ALSO identify the (vx, vy) vector")
+    _add_common_flags(p4)
 
     pb = runsub.add_parser("burgers", help="viscous Burgers space-time hp-VPINN (nonlinear; beyond reference)")
     pb.add_argument("--n-elements-x", type=int, dest="n_elements_x")
@@ -133,7 +159,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("presets", help="print the shipped configurations of record")
 
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
-    ad.add_argument("problem", choices=["poisson1d", "poisson2d"])
+    ad.add_argument("problem", choices=["poisson1d", "poisson2d", "burgers"])
     ad.add_argument("--rounds", type=int, default=3)
     ad.add_argument("--theta", type=float, default=0.5, help="Dörfler bulk fraction")
     ad.add_argument("--mode", choices=["h", "p"], default="h",
@@ -145,7 +171,12 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--iterations", type=int)
     ad.add_argument("--lbfgs-iterations", type=int)
     ad.add_argument("--n-quad", type=int, dest="n_quad")
-    ad.add_argument("--n-elements", type=int, dest="n_elements", help="starting elements (1D)")
+    ad.add_argument("--n-test", type=int, dest="n_test",
+                    help="test functions per element (per axis for 2D/space-time)")
+    ad.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc", help="lifted ansatz (where the family supports it)")
+    ad.add_argument("--n-elements", type=int, dest="n_elements",
+                    help="starting elements (1D; space axis for burgers)")
     ad.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
     ad.add_argument("--outdir", default="results/adapt")
 
@@ -167,6 +198,7 @@ _PRESETS = {
     "poisson2d": cfgmod.poisson2d_of_record,
     "poisson3d": cfgmod.Poisson3DConfig,
     "advdiff": cfgmod.advdiff_of_record,
+    "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.BurgersConfig,
 }
 
@@ -175,6 +207,7 @@ _QUALITY_PRESETS = {
     "poisson2d": cfgmod.poisson2d_quality,
     "poisson3d": cfgmod.poisson3d_quality,
     "advdiff": cfgmod.advdiff_quality,
+    "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.burgers_quality,
 }
 
@@ -254,7 +287,16 @@ def cmd_run(args) -> int:
 
     cfg = _config_from_args(args)
     _maybe_enable_x64(cfg.dtype)
-    prob = hv.build(cfg)
+    manu = getattr(args, "manufactured_velocity", None)
+    if manu:
+        from hpvpinns_tpu.problems import advdiff as _advdiff
+
+        coef = tuple(float(c) for c in manu.split(","))
+        vfn = lambda x: sum(c * x**i for i, c in enumerate(coef))  # noqa: E731
+        u_fn, f_fn = _advdiff.make_manufactured(cfg, vfn)
+        prob = _advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn)
+    else:
+        prob = hv.build(cfg)
     mesh = None
     if args.mesh:
         from hpvpinns_tpu.parallel.sharding import element_mesh
@@ -277,8 +319,18 @@ def cmd_run(args) -> int:
         summary["epsilon"] = float(prob.extras["eps_domain_mean"](res.eval_params))
         summary["epsilon_true"] = prob.extras["eps_true"]
     if "velocity" in res.final_aux:
-        summary["velocity"] = float(res.eval_params["pde"]["velocity"])
+        # domain mean covers every velocity_model ("vel_coef" leaf for the
+        # polynomial fields — same latent-KeyError class as the epsilon fix);
+        # families without the extra (advdiff2d's |V|) report the aux value
+        vdm = prob.extras.get("vel_domain_mean")
+        summary["velocity"] = (
+            float(vdm(res.eval_params)) if vdm else float(res.final_aux["velocity"])
+        )
         summary["velocity_true"] = prob.extras["velocity_true"]
+        if "vel_coef" in res.eval_params["pde"]:
+            import numpy as _np
+
+            summary["vel_coef"] = _np.asarray(res.eval_params["pde"]["vel_coef"]).tolist()
     print(json.dumps(summary))
 
     outdir = args.outdir or f"results/{prob.name}"
@@ -341,7 +393,16 @@ def cmd_adapt(args) -> int:
     _enable_compile_cache()
     cfg = _PRESETS[args.problem]()
     over = {k: v for k, v in vars(args).items()
-            if k in ("n_quad", "dtype", "n_elements") and v is not None}
+            if k in ("n_quad", "dtype", "n_elements", "hard_bc", "n_test") and v is not None}
+    if "n_elements" in over and not hasattr(cfg, "n_elements"):
+        over["n_elements_x"] = over.pop("n_elements")  # space-time families
+        # refine the space axis (adaptive._refined_config)
+    if "n_test" in over and not hasattr(cfg, "n_test"):
+        n_test = over.pop("n_test")  # per-axis counts on tensor families
+        over.update({k: n_test for k in ("n_test_x", "n_test_y", "n_test_t")
+                     if hasattr(cfg, k)})
+    if "hard_bc" in over and not hasattr(cfg, "hard_bc"):
+        over.pop("hard_bc")
     if over:
         cfg = dc.replace(cfg, **over)
     _maybe_enable_x64(cfg.dtype)

@@ -181,6 +181,55 @@ class AdvDiffConfig:
 
 
 @dataclass(frozen=True)
+class AdvDiff2DConfig:
+    """2D space-time advection-diffusion
+
+        u_t + vx u_x + vy u_y - eps (u_xx + u_yy) = f
+
+    on [-1, 1]^2 x [0, T] — the 2-space-dimension generalization of the
+    reference's inverse family (no reference analog), assembled on the 3D
+    tensor machinery (time = slowest axis).  The problem is MANUFACTURED
+    (problems/advdiff2d.py): u = sin(pi x) sin(pi y) e^{-t} with the matching
+    forcing, so the coefficients are exactly verifiable; eps (and optionally
+    the velocity vector) are identified from interior sensors."""
+
+    layers: Tuple[int, ...] = (3, 16, 16, 16, 1)
+    activation: str = "tanh"
+    adaptive_slope: bool = False
+    var_form: int = 1  # 0 | 1 (both diffusion terms once integrated by parts)
+    n_elements_x: int = 1
+    n_elements_y: int = 1
+    n_elements_t: int = 1
+    n_test_x: int = 5
+    n_test_y: int = 5
+    n_test_t: int = 5
+    n_quad: int = 8  # per axis per element
+    n_bound: int = 80  # per face (4 side walls + the t = 0 face)
+    lossb_weight: float = 10.0
+    velocity: Tuple[float, float] = (1.0, 0.5)  # true (vx, vy)
+    velocity_trainable: bool = False  # ALSO identify (vx, vy) jointly
+    velocity_init: Tuple[float, float] = (0.5, 0.25)
+    gamma: float = 0.1  # true eps = gamma / pi (matching the 1D family)
+    epsilon_init: float = 1.0
+    inverse: bool = True  # eps trainable; False freezes it at the true value
+    sensor_stations: Tuple[Tuple[float, float], ...] = (
+        (-0.5, -0.5), (-0.5, 0.5), (0.0, 0.0), (0.5, -0.5), (0.5, 0.5),
+    )  # interior (x, y) stations for identifiability
+    n_sensors_per_station: int = 5  # LHS times per station
+    sensor_noise_std: float = 0.0
+    t_final: float = 1.0
+    domain_x: Tuple[float, float] = (-1.0, 1.0)
+    domain_y: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "float32"
+    deriv_mode: str = "taylor"
+    train: TrainConfig = field(
+        default_factory=lambda: TrainConfig(
+            iterations=3000, check_every=100, best_snapshot_fraction=0.9
+        )
+    )
+
+
+@dataclass(frozen=True)
 class BurgersConfig:
     """Viscous Burgers u_t + u u_x = nu u_xx on [-1, 1] x [0, T],
     u(x, 0) = -sin(pi x), u(+-1, t) = 0 — the framework's nonlinear
@@ -329,6 +378,7 @@ __all__ = [
     "Poisson2DConfig",
     "Poisson3DConfig",
     "AdvDiffConfig",
+    "AdvDiff2DConfig",
     "BurgersConfig",
     "burgers_quality",
     "poisson1d_of_record",

@@ -106,6 +106,27 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
         return np.asarray(
             flds["uy"] + flds["u"] * flds["ux"] - problem.config.nu * flds["uxx"]
         )
+    if problem.name == "advdiff2d":
+        from hpvpinns_tpu.ops.fields import scalar_fields_3d
+
+        eps = (
+            params["pde"]["epsilon"]
+            if problem.config.inverse
+            else problem.extras["eps_true"]
+        )
+        vx, vy = problem.extras["v_of"](params)
+        flds = scalar_fields_3d(u_fn, X[:, 0:1], X[:, 1:2], X[:, 2:3])
+        r = (
+            flds["uz"] + vx * flds["ux"] + vy * flds["uy"]
+            - eps * (flds["uxx"] + flds["uyy"])
+        )
+        f_fn = problem.extras["f_rhs"]
+        return np.asarray(
+            r - jnp.asarray(
+                f_fn(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2]), np.asarray(X[:, 2:3])),
+                dtype=dtype,
+            )
+        )
     raise ValueError(f"no strong form registered for problem {problem.name!r}")
 
 

@@ -361,6 +361,62 @@ class Elements3D:
 _register(Elements3D)
 
 
+def advdiff2d_residual(
+    u_fn, elems: Elements3D, bx: Basis1D, by: Basis1D, bt: Basis1D,
+    var_form: int, vx, vy, epsilon, fields_fn=None,
+):
+    """Res[e, m, k, r] for the 2D space-time advection-diffusion equation
+
+        u_t + vx u_x + vy u_y - eps (u_xx + u_yy) = f
+
+    on tensor-product (x, y, t) elements — the 2-space-dimension
+    generalization of the reference's 1D space-time family (AdvDiff.py:
+    161-180), assembled on the 3D machinery (time = the slowest z axis, so
+    the element flat order is e = (ex*Ey + ey)*Et + et).
+
+    var_form 0:  U = jac * C3(phi_r, phi_k, phi_m, ut + vx ux + vy uy
+                              - eps (uxx + uyy))
+    var_form 1:  both diffusion terms once integrated by parts (the test
+                 functions vanish at the element x/y walls, so no flux):
+                 U = jac * C3(phi_r, phi_k, phi_m, ut + vx ux + vy uy)
+                     + eps (jac/jac_x) C3(phi'_r, phi_k, phi_m, ux)
+                     + eps (jac/jac_y) C3(phi_r, phi'_k, phi_m, uy)
+
+    vx/vy/epsilon may be traced scalars (trainable coefficients) or fields
+    broadcastable to [E, Qt, Qy, Qx] (form 0; form 1 supports field
+    velocities but scalar eps only, mirroring advdiff_residual's contract).
+    """
+    from hpvpinns_tpu.ops.contract import contract_3d
+
+    with jax.named_scope("vpinn_fields_3d"):
+        if fields_fn is None:
+            from hpvpinns_tpu.ops.fields import scalar_fields_3d
+
+            flds = scalar_fields_3d(u_fn, elems.x, elems.y, elems.z, second=(var_form == 0))
+        else:
+            flds = fields_fn(elems.x, elems.y, elems.z, second=(var_form == 0))
+        # form 0 never touches uzz (u_t is first-order): XLA dead-code
+        # eliminates that propagation stream from the engines.
+    ut, ux, uy = flds["uz"], flds["ux"], flds["uy"]
+    jac = (elems.jac_x * elems.jac_y * elems.jac_z)[:, None, None, None]
+    adv = ut + vx * ux + vy * uy
+    if var_form == 0:
+        U = jac * contract_3d(
+            bx.wphi, by.wphi, bt.wphi, adv - epsilon * (flds["uxx"] + flds["uyy"])
+        )
+    elif var_form == 1:
+        jx = (elems.jac_y * elems.jac_z)[:, None, None, None]
+        jy = (elems.jac_x * elems.jac_z)[:, None, None, None]
+        U = (
+            jac * contract_3d(bx.wphi, by.wphi, bt.wphi, adv)
+            + epsilon * jx * contract_3d(bx.wdphi, by.wphi, bt.wphi, ux)
+            + epsilon * jy * contract_3d(bx.wphi, by.wdphi, bt.wphi, uy)
+        )
+    else:
+        raise ValueError(f"AdvDiff-2D var_form must be 0 or 1; got {var_form}")
+    return U - elems.f_proj
+
+
 def poisson3d_residual(
     u_fn, elems: Elements3D, bx: Basis1D, by: Basis1D, bz: Basis1D, var_form: int, fields_fn=None
 ):

@@ -1,4 +1,11 @@
-from hpvpinns_tpu.problems import advdiff, burgers, poisson1d, poisson2d, poisson3d
+from hpvpinns_tpu.problems import (
+    advdiff,
+    advdiff2d,
+    burgers,
+    poisson1d,
+    poisson2d,
+    poisson3d,
+)
 from hpvpinns_tpu.problems.base import Problem
 
 _BUILDERS = {
@@ -6,6 +13,7 @@ _BUILDERS = {
     "poisson2d": poisson2d.build,
     "poisson3d": poisson3d.build,
     "advdiff": advdiff.build,
+    "advdiff2d": advdiff2d.build,
     "burgers": burgers.build,
 }
 
@@ -13,6 +21,7 @@ _BUILDERS = {
 def build(config) -> Problem:
     """Dispatch on config type (Poisson1DConfig / ... / BurgersConfig)."""
     from hpvpinns_tpu.config import (
+        AdvDiff2DConfig,
         AdvDiffConfig,
         BurgersConfig,
         Poisson1DConfig,
@@ -28,6 +37,8 @@ def build(config) -> Problem:
         return poisson3d.build(config)
     if isinstance(config, AdvDiffConfig):
         return advdiff.build(config)
+    if isinstance(config, AdvDiff2DConfig):
+        return advdiff2d.build(config)
     if isinstance(config, BurgersConfig):
         return burgers.build(config)
     raise TypeError(f"unknown problem config type: {type(config).__name__}")

@@ -155,19 +155,59 @@ def build(
             return composite(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
+    def _fields_fn(params):
+        if mode == "taylor":
+            return lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
+        if mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
+
+            return lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
+        return None
+
+    def residual_fn(params, data):
+        """Masked weak residual Res[e, k, r] — the per-element indicator
+        source for adaptive refinement (adaptive.py)."""
+        el = data["elements"]
+        res = burgers_residual(
+            make_u_fn(params), el, data["basis_x"], data["basis_t"], var_form, nu,
+            fields_fn=_fields_fn(params),
+        )
+        return res * el.mask
+
+    _enriched_cache = {}
+
+    def enriched_residual_fn(params, enrich: int = 3):
+        """Weak residual against the tensor test modes NOT in the training
+        basis — hierarchical a-posteriori estimation for the nonlinear family
+        (same construction as poisson2d's; see adaptive.element_indicator).
+        Returns [E, K+enrich, R+enrich] with the trained block zeroed."""
+        n_x = int(ntx.max()) + enrich
+        n_t = int(ntt.max()) + enrich
+        key = (n_x, n_t)
+        if key not in _enriched_cache:
+            bx_en = make_weighted_basis(n_x, xq, wq, dtype)
+            bt_en = make_weighted_basis(n_t, xq, wq, dtype)
+            elems_en = build_elements_2d(
+                mesh, xq, wq, xq, wq, None,
+                np.full(mesh.axis_x.n_elem, n_x), np.full(mesh.axis_y.n_elem, n_t),
+                dtype,
+            )
+            new_mask = np.ones((n_t, n_x))
+            new_mask[: int(ntt.max()), : int(ntx.max())] = 0.0
+            _enriched_cache[key] = (bx_en, bt_en, elems_en, jnp.asarray(new_mask, dtype=dtype))
+        bx_en, bt_en, elems_en, new_mask = _enriched_cache[key]
+        res = burgers_residual(
+            make_u_fn(params), elems_en, bx_en, bt_en, var_form, nu,
+            fields_fn=_fields_fn(params),
+        )
+        return res * new_mask[None]
+
     def loss_fn(params, data, axis_name=None):
         u_fn = make_u_fn(params)
         el = data["elements"]
-        if mode == "taylor":
-            fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
-        elif mode == "pallas":
-            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
-
-            fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
-        else:
-            fields_fn = None
         res = burgers_residual(
-            u_fn, el, data["basis_x"], data["basis_t"], var_form, nu, fields_fn=fields_fn
+            u_fn, el, data["basis_x"], data["basis_t"], var_form, nu,
+            fields_fn=_fields_fn(params),
         )
         lossv = variational_loss(res, el.mask, el.n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
@@ -195,5 +235,10 @@ def build(
         exact=lambda x, t: u_exact(x, t, nu),
         test_points=test_points,
         test_values=test_values,
-        extras={"mesh": mesh, "test_grid_shape": (len(tt), len(xt))},
+        extras={
+            "mesh": mesh,
+            "residual_fn": residual_fn,
+            "enriched_residual_fn": enriched_residual_fn,
+            "test_grid_shape": (len(tt), len(xt)),
+        },
     )

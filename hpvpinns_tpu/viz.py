@@ -175,6 +175,43 @@ def plot_velocity_history(result: TrainResult, v_true: float, outdir: str, fmt: 
     return path
 
 
+def plot_coefficient_field(problem: Problem, params, outdir: str, fmt: str = "pdf"):
+    """Recovered vs true coefficient PROFILES over x for space-dependent
+    inverse models (eps(x) quadratic field, V(x) polynomial field — both
+    beyond the reference, whose coefficient is a single scalar AdvDiff.py:63).
+    One panel per field leaf present in params['pde']."""
+    import numpy as np
+
+    plt = _plt()
+    cfg = problem.config
+    xs = np.linspace(*cfg.domain_x, 512)[:, None]
+    panels = []
+    if "eps_coef" in params["pde"]:
+        eps_hat = np.asarray(problem.extras["eps_of"](params, xs)).reshape(-1)
+        panels.append(("$\\epsilon(x)$", eps_hat, np.full(xs.shape[0], problem.extras["eps_true"])))
+    if "vel_coef" in params["pde"]:
+        v_hat = np.asarray(problem.extras["v_of"](params, xs)).reshape(-1)
+        vfn = problem.extras.get("velocity_fn")
+        v_true = (
+            np.asarray(vfn(xs)).reshape(-1)
+            if vfn is not None
+            else np.full(xs.shape[0], problem.extras["velocity_true"])
+        )
+        panels.append(("$V(x)$", v_hat, v_true))
+    if not panels:
+        return None
+    fig, axes = plt.subplots(1, len(panels), figsize=(6.5 * len(panels), 5.0), squeeze=False)
+    for ax, (label, hat, true) in zip(axes[0], panels):
+        ax.plot(xs.reshape(-1), hat, "b", label=f"recovered {label}")
+        ax.plot(xs.reshape(-1), true, "r--", label=f"true {label}")
+        ax.set_xlabel("$x$")
+        ax.set_ylabel(label)
+        ax.legend()
+    path = _save(fig, outdir, "coefficient_fields", fmt)
+    plt.close(fig)
+    return path
+
+
 def plot_training_points(problem: Problem, outdir: str, fmt: str = "pdf"):
     """Quadrature / boundary-training point maps (Poisson-1D.py:342-381,
     Poisson-2D 2D scatter equivalents)."""
@@ -268,6 +305,13 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
             paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
         if "velocity" in result.history:
             paths.append(plot_velocity_history(result, problem.extras["velocity_true"], outdir))
+        field_plot = plot_coefficient_field(problem, params, outdir)
+        if field_plot is not None:
+            paths.append(field_plot)
+    elif problem.name == "advdiff2d":
+        paths += plot_3d_slices(problem, params, outdir)  # fixed-t contours
+        if "epsilon" in result.history:
+            paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
     elif problem.name == "burgers":
         paths += plot_2d_solution(problem, params, outdir)
         paths.append(plot_advdiff_slices(problem, params, outdir))
@@ -280,7 +324,10 @@ def plot_3d_slices(problem: Problem, params, outdir: str, z_values=None, fmt: st
     (defaults: the domain_z quartiles, so slices stay inside the domain)."""
     plt = _plt()
     if z_values is None:
-        zl, zu = problem.config.domain_z
+        # space-time families (advdiff2d): the slowest axis is time
+        zl, zu = getattr(
+            problem.config, "domain_z", (0.0, getattr(problem.config, "t_final", 1.0))
+        )
         z_values = tuple(zl + f * (zu - zl) for f in (0.25, 0.5, 0.75))
     nx = 81
     xs = np.linspace(*problem.config.domain_x, nx)

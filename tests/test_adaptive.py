@@ -163,3 +163,40 @@ def test_budget_growth_scales_per_round_budgets():
     out = adaptive.adaptive_solve(cfg, rounds=3, budget_growth=2.0, verbose=False)
     assert [r["iterations"] for r in out.rounds] == [40, 80, 160]
     assert [r["lbfgs_iterations"] for r in out.rounds] == [20, 40, 80]
+
+
+def test_adaptive_burgers_refines_space_axis():
+    """The nonlinear space-time family refines the SPACE axis only (the
+    front is spatial); time grid untouched, tensor structure intact."""
+    cfg = hv.BurgersConfig(
+        dtype="float64", n_elements_x=2, n_elements_t=1, n_test_x=6, n_test_t=6,
+        n_quad=10, layers=(2, 10, 10, 1),
+        train=hv.TrainConfig(iterations=120, lbfgs_iterations=0, check_every=40),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=2, verbose=False)
+    assert out.rounds[0]["n_elem"] == 2
+    assert out.rounds[1]["n_elem"] > 2
+    # time axis untouched: one time element in every round
+    assert out.rounds[1]["grid_y"] == [0.0, cfg.t_final]
+    # space grid is a strict refinement of the starting grid
+    g0, g1 = out.rounds[0]["grid_x"], out.rounds[1]["grid_x"]
+    assert set(np.round(g0, 12)).issubset(set(np.round(g1, 12)))
+    with pytest.raises(ValueError, match="p-adaptivity"):
+        adaptive.adaptive_solve(cfg, rounds=2, mode="p", verbose=False)
+
+
+def test_adaptive_cli_burgers_flags(capsys, tmp_path):
+    """adapt burgers with --hard-bc / --n-test / space-axis --n-elements."""
+    from hpvpinns_tpu.cli import main
+
+    rc = main(
+        f"adapt burgers --rounds 2 --iterations 40 --lbfgs-iterations 0 "
+        f"--n-quad 8 --n-test 4 --hard-bc --n-elements 2 --dtype float64 "
+        f"--outdir {tmp_path}".split()
+    )
+    assert rc == 0
+    import json
+
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_elem_trajectory"][0] == 4  # 2 space x 2 time
+    assert summary["n_elem_trajectory"][1] > 4

@@ -115,3 +115,18 @@ def test_presets_command(capsys):
     assert main(["presets"]) == 0
     out = capsys.readouterr().out
     assert "poisson1d" in out and "advdiff" in out
+
+
+def test_cli_manufactured_velocity_field(capsys):
+    """run advdiff --manufactured-velocity 1.0,0.3 --velocity-model linear:
+    forced problem, polynomial V(x) identification, vel_coef in the summary."""
+    rc = main(
+        "run advdiff --manufactured-velocity 1.0,0.3 --identify-velocity "
+        "--velocity-model linear --dtype float64 --iterations 50 --quiet".split()
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["problem"] == "advdiff"
+    assert len(summary["vel_coef"]) == 2
+    assert abs(summary["velocity_true"] - 1.0) < 1e-9  # mean of 1 + 0.3x

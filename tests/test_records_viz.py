@@ -95,3 +95,27 @@ def test_standard_report_3d(tmp_path):
     paths = viz.standard_report(prob, res, str(tmp_path))
     names = {p.split("/")[-1] for p in paths}
     assert "z_slices.png" in names
+
+
+def test_coefficient_field_plot(tmp_path):
+    """Space-dependent inverse models get a recovered-vs-true profile plot."""
+    import os
+
+    import jax
+
+    from hpvpinns_tpu.problems import advdiff
+
+    vfn = lambda x: 1.0 + 0.3 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", velocity_trainable=True, velocity_model="linear",
+        epsilon_model="quadratic", layers=(2, 6, 1),
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn)
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn)
+    params = prob.init_params(jax.random.key(0))
+    path = viz.plot_coefficient_field(prob, params, str(tmp_path))
+    assert path is not None and os.path.exists(path)
+    # scalar-only models: no field panel, returns None
+    prob2 = hv.build(hv.AdvDiffConfig(dtype="float64", layers=(2, 6, 1)))
+    params2 = prob2.init_params(jax.random.key(0))
+    assert viz.plot_coefficient_field(prob2, params2, str(tmp_path)) is None

@@ -171,6 +171,12 @@ def test_gspmd_burgers_and_advdiff_shard():
         hv.AdvDiffConfig(dtype="float64", n_elements_x=3, n_elements_t=2,
                          n_quad=5, n_test_x=3, n_test_t=3, layers=(2, 6, 1),
                          velocity_trainable=True),
+        hv.AdvDiffConfig(dtype="float64", n_elements_x=3, n_elements_t=2,
+                         n_quad=5, n_test_x=3, n_test_t=3, layers=(2, 6, 1),
+                         velocity_trainable=True, velocity_model="linear"),
+        hv.AdvDiff2DConfig(dtype="float64", n_elements_x=3, n_elements_y=2,
+                           n_elements_t=1, n_quad=4, n_test_x=3, n_test_y=3,
+                           n_test_t=3, layers=(3, 6, 1), velocity_trainable=True),
     ):
         prob = hv.build(cfg)
         params = prob.init_params(jax.random.key(1))
