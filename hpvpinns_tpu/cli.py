@@ -111,8 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
     p3.add_argument("--hard-bc", action="store_const", const=True, default=None,
                     dest="hard_bc", help="lifted space-time ansatz: IC/BC exact by construction")
     p3.add_argument("--epsilon-init", type=float, dest="epsilon_init")
-    p3.add_argument("--epsilon-model", choices=["scalar", "quadratic"], dest="epsilon_model",
-                    help="scalar eps (reference parity) or quadratic eps(x) field")
+    p3.add_argument("--epsilon-model", choices=["scalar", "quadratic", "mlp"],
+                    dest="epsilon_model",
+                    help="scalar eps (reference parity), quadratic eps(x) field, or a "
+                    "neural eps(x) field (pair with --epsilon-reg)")
+    p3.add_argument("--epsilon-reg", type=float, dest="epsilon_reg",
+                    help="Tikhonov smoothness penalty for FIELD eps models "
+                    "(measured stabilizing range ~1e-4..1e-2)")
     p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
     p3.add_argument("--identify-velocity", action="store_const", const=True, default=None,
                     dest="velocity_trainable", help="ALSO identify the advection velocity")
@@ -124,6 +129,21 @@ def build_parser() -> argparse.ArgumentParser:
                     "polynomial c0 + c1 x (+ c2 x^2): data/forcing/exact from "
                     "problems.advdiff.make_manufactured (the analytic benchmark solution "
                     "only exists for constant V)")
+    p3.add_argument("--manufactured-profile", choices=["sin", "cos"], default=None,
+                    dest="manufactured_profile",
+                    help="spatial profile of the manufactured solution; 'cos' has "
+                    "nonvanishing u_xx everywhere (the observable choice for "
+                    "coefficient-FIELD inversion)")
+    p3.add_argument("--manufactured-epsilon", dest="manufactured_epsilon",
+                    metavar="EPS | sin:A,B",
+                    help="true diffusion of the manufactured problem: a scalar, or "
+                    "'sin:A,B' for the non-polynomial field eps(x)=A(1+B sin(pi x)); "
+                    "requires --manufactured-velocity")
+    p3.add_argument("--fit-epsilon-field", dest="fit_epsilon_field", metavar="ORDER[,REG]",
+                    help="after training, run the TWO-PHASE direct linear fit of "
+                    "eps(x) (inverse.fit_epsilon_field): freeze the trained u and "
+                    "solve the weak residual for a Legendre field of the given "
+                    "order, with optional Tikhonov weight REG")
     _add_common_flags(p3)
 
     p4 = runsub.add_parser(
@@ -159,11 +179,16 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("presets", help="print the shipped configurations of record")
 
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
-    ad.add_argument("problem", choices=["poisson1d", "poisson2d", "burgers"])
+    ad.add_argument(
+        "problem", choices=["poisson1d", "poisson2d", "burgers", "advdiff", "advdiff2d"]
+    )
     ad.add_argument("--rounds", type=int, default=3)
     ad.add_argument("--theta", type=float, default=0.5, help="Dörfler bulk fraction")
     ad.add_argument("--mode", choices=["h", "p"], default="h",
                     help="h: bisect marked elements; p: raise their test order")
+    ad.add_argument("--axes", choices=["x", "xt"], default="x",
+                    help="space-time families: mark the space axis only (default) "
+                    "or BOTH axes (moving fronts / sharp transients)")
     ad.add_argument("--budget-growth", type=float, default=1.0, dest="budget_growth",
                     help="scale the per-round optimization budget by this factor each "
                     "round (refined meshes are harder to optimize; ~1.5-2 keeps rounds "
@@ -288,13 +313,29 @@ def cmd_run(args) -> int:
     cfg = _config_from_args(args)
     _maybe_enable_x64(cfg.dtype)
     manu = getattr(args, "manufactured_velocity", None)
+    if getattr(args, "manufactured_epsilon", None) and not manu:
+        raise SystemExit("--manufactured-epsilon requires --manufactured-velocity")
     if manu:
         from hpvpinns_tpu.problems import advdiff as _advdiff
 
         coef = tuple(float(c) for c in manu.split(","))
         vfn = lambda x: sum(c * x**i for i, c in enumerate(coef))  # noqa: E731
-        u_fn, f_fn = _advdiff.make_manufactured(cfg, vfn)
-        prob = _advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn)
+        eps_spec = getattr(args, "manufactured_epsilon", None)
+        eps_arg, eps_field_fn = None, None
+        if eps_spec:
+            if eps_spec.startswith("sin:"):
+                import jax.numpy as _jnp
+
+                a, b = (float(c) for c in eps_spec[4:].split(","))
+                eps_field_fn = lambda x: a * (1.0 + b * _jnp.sin(_jnp.pi * x))  # noqa: E731
+                eps_arg = eps_field_fn
+            else:
+                eps_arg = float(eps_spec)
+        profile = getattr(args, "manufactured_profile", None) or "sin"
+        u_fn, f_fn = _advdiff.make_manufactured(cfg, vfn, epsilon=eps_arg, profile=profile)
+        prob = _advdiff.build(
+            cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_field_fn
+        )
     else:
         prob = hv.build(cfg)
     mesh = None
@@ -331,6 +372,26 @@ def cmd_run(args) -> int:
             import numpy as _np
 
             summary["vel_coef"] = _np.asarray(res.eval_params["pde"]["vel_coef"]).tolist()
+    fit_spec = getattr(args, "fit_epsilon_field", None)
+    if fit_spec:
+        import numpy as _np
+
+        from hpvpinns_tpu.inverse import fit_epsilon_field
+
+        parts = fit_spec.split(",")
+        order = int(parts[0])
+        reg = float(parts[1]) if len(parts) > 1 else 0.0
+        coef, eps_hat, info = fit_epsilon_field(prob, res.eval_params, order=order, reg=reg)
+        summary["fit_eps_coef"] = _np.asarray(coef).tolist()
+        summary["fit_eps_residual"] = [info["residual_before"], info["residual_after"]]
+        efn = prob.extras.get("epsilon_fn")
+        if efn is not None:
+            xs = _np.linspace(*cfg.domain_x, 513)
+            et = _np.asarray(efn(xs)).reshape(-1)
+            eh = _np.asarray(eps_hat(xs)).reshape(-1)
+            summary["fit_eps_field_rel_l2"] = float(
+                _np.linalg.norm(eh - et) / _np.linalg.norm(et)
+            )
     print(json.dumps(summary))
 
     outdir = args.outdir or f"results/{prob.name}"
@@ -413,7 +474,8 @@ def cmd_adapt(args) -> int:
     train = dc.replace(cfg.train, **train_over) if train_over else cfg.train
     out = adaptive.adaptive_solve(
         cfg, rounds=args.rounds, theta=args.theta, train_cfg=train,
-        mode=args.mode, budget_growth=args.budget_growth, verbose=True,
+        mode=args.mode, axes=args.axes, budget_growth=args.budget_growth,
+        verbose=True,
     )
     os.makedirs(args.outdir, exist_ok=True)
     path = os.path.join(args.outdir, "adapt_rounds.json")

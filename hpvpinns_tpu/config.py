@@ -141,6 +141,10 @@ class AdvDiffConfig:
     # live boundary flux — the machinery AdvDiff.py:132-154 sketches; scalar eps)
     n_elements_x: int = 1
     n_elements_t: int = 1
+    grid_x: Optional[Tuple[float, ...]] = None  # non-uniform x-element
+    # boundaries (adaptive refinement; overrides n_elements_x)
+    grid_t: Optional[Tuple[float, ...]] = None  # non-uniform t-element
+    # boundaries (adaptive refinement; overrides n_elements_t)
     n_test_x: int = 5
     n_test_t: int = 5
     n_quad: int = 10
@@ -159,7 +163,16 @@ class AdvDiffConfig:
     epsilon_init: float = 1.0  # trainable start (AdvDiff.py:63)
     epsilon_model: str = "scalar"  # "scalar" (reference parity) | "quadratic"
     # (space-dependent eps(x) = c0 + c1 x + c2 x^2, identified jointly;
-    # beyond the reference)
+    # beyond the reference) | "mlp" (eps(x) = tiny neural field — identifies
+    # coefficient profiles beyond polynomials; initialized flat at
+    # epsilon_init)
+    epsilon_mlp_layers: Tuple[int, ...] = (1, 8, 8, 1)  # the eps(x) neural
+    # field architecture when epsilon_model="mlp" (tanh activations)
+    epsilon_reg: float = 0.0  # Tikhonov smoothness penalty on FIELD eps
+    # models: loss += epsilon_reg * mean_q eps'(x_q)^2.  Coefficient
+    # inversion is ill-posed where the solution's u_xx vanishes (the field
+    # is locally unobservable there); the measured stabilizing range for the
+    # neural field is ~1e-4..1e-2 (MEASUREMENTS.md)
     inverse: bool = True  # eps trainable; False freezes it at the true value
     hard_bc: bool = False  # lifted space-time ansatz u = g + D(x,t) N: the
     # IC and BC hold exactly (data loss reduces to the interior sensors)
@@ -200,6 +213,10 @@ class AdvDiff2DConfig:
     n_elements_x: int = 1
     n_elements_y: int = 1
     n_elements_t: int = 1
+    grid_x: Optional[Tuple[float, ...]] = None  # non-uniform element
+    # boundaries per axis (adaptive refinement; override n_elements_*)
+    grid_y: Optional[Tuple[float, ...]] = None
+    grid_t: Optional[Tuple[float, ...]] = None
     n_test_x: int = 5
     n_test_y: int = 5
     n_test_t: int = 5
@@ -244,6 +261,8 @@ class BurgersConfig:
     n_elements_t: int = 2
     grid_x: Optional[Tuple[float, ...]] = None  # non-uniform x-element
     # boundaries (cluster elements at the x = 0 front; overrides n_elements_x)
+    grid_t: Optional[Tuple[float, ...]] = None  # non-uniform t-element
+    # boundaries (adaptive time-axis marking; overrides n_elements_t)
     n_test_x: int = 8
     n_test_t: int = 8
     n_quad: int = 16

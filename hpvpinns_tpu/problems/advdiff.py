@@ -143,7 +143,9 @@ def training_data(cfg: AdvDiffConfig, rng: np.random.Generator, u_data_fn=None):
     return np.concatenate(pts), np.concatenate(vals)
 
 
-def make_manufactured(cfg: AdvDiffConfig, velocity_fn, epsilon: float | None = None):
+def make_manufactured(
+    cfg: AdvDiffConfig, velocity_fn, epsilon: float | None = None, profile: str = "sin",
+):
     """Manufactured-solution pair (u_fn, f_fn) for the FORCED equation
 
         u_t + V(x) u_x - eps u_xx = f(x, t)
@@ -158,19 +160,52 @@ def make_manufactured(cfg: AdvDiffConfig, velocity_fn, epsilon: float | None = N
     `velocity_fn` must be written with generic array operators (e.g.
     ``lambda x: 1.0 + 0.3 * x``): it is called on host numpy arrays here and
     on device arrays inside the weak form.  `epsilon` defaults to the
-    config's true value gamma/pi.
+    config's true value gamma/pi; it may also be a CALLABLE eps(x) — a true
+    space-dependent diffusion field (identified with epsilon_model=
+    "quadratic" or "mlp"; the operator convention is the non-divergence form
+    eps(x) u_xx, matching the weak-form assembly).
+
+    `profile` selects the spatial shape (both vanish at x = +-1):
+      "sin": u = sin(pi x) e^{-t} — but u_xx vanishes at x = 0, so a FIELD
+             eps(x) is locally unobservable there (measured:
+             the neural-field recovery plateaus ~12-19% on this profile);
+      "cos": u = cos(pi x / 2) e^{-t} — u_xx nonvanishing in the whole
+             interior: the observable choice for coefficient-FIELD inversion.
     """
-    eps = cfg.gamma / np.pi if epsilon is None else epsilon
+    if epsilon is None:
+        eps_fn = lambda x: cfg.gamma / np.pi  # noqa: E731
+    elif callable(epsilon):
+        eps_fn = epsilon
+    else:
+        eps_fn = lambda x: epsilon  # noqa: E731
 
-    def u_fn(x, t):
-        return np.sin(np.pi * x) * np.exp(-t)
+    if profile == "sin":
 
-    def f_fn(X, T):
-        return np.exp(-T) * (
-            -np.sin(np.pi * X)
-            + velocity_fn(X) * np.pi * np.cos(np.pi * X)
-            + eps * np.pi**2 * np.sin(np.pi * X)
-        )
+        def u_fn(x, t):
+            return np.sin(np.pi * x) * np.exp(-t)
+
+        def f_fn(X, T):
+            return np.exp(-T) * (
+                -np.sin(np.pi * X)
+                + velocity_fn(X) * np.pi * np.cos(np.pi * X)
+                + eps_fn(X) * np.pi**2 * np.sin(np.pi * X)
+            )
+
+    elif profile == "cos":
+        h = np.pi / 2.0
+
+        def u_fn(x, t):
+            return np.cos(h * x) * np.exp(-t)
+
+        def f_fn(X, T):
+            return np.exp(-T) * (
+                -np.cos(h * X)
+                - velocity_fn(X) * h * np.sin(h * X)
+                + eps_fn(X) * h**2 * np.cos(h * X)
+            )
+
+    else:
+        raise ValueError(f"profile must be 'sin' or 'cos'; got {profile!r}")
 
     return u_fn, f_fn
 
@@ -183,6 +218,7 @@ def build(
     u_fn=None,
     f_fn=None,
     velocity_fn=None,
+    epsilon_fn=None,
 ) -> Problem:
     """`cfg.hard_bc` (or explicit lift_fn/envelope_fn, jnp-traceable
     [P,2] -> [P,1]) switches on the lifted ansatz u = g + D * N: the IC and BC
@@ -201,14 +237,39 @@ def build(
     """
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
-    eps_true = cfg.gamma / np.pi
-    mesh = TensorMesh2D.uniform(
-        *cfg.domain_x, cfg.n_elements_x, 0.0, cfg.t_final, cfg.n_elements_t
-    )
+    # `epsilon_fn` is the TRUE space-dependent diffusion field of a
+    # manufactured problem (make_manufactured(..., epsilon=epsilon_fn)); the
+    # scalar eps_true report becomes its exact domain mean.
+    if epsilon_fn is not None:
+        _exs = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 4097)
+        eps_true = float(
+            np.trapezoid(np.asarray(epsilon_fn(_exs)), _exs)
+            / (cfg.domain_x[1] - cfg.domain_x[0])
+        )
+    else:
+        eps_true = cfg.gamma / np.pi
+    if cfg.grid_x is not None or cfg.grid_t is not None:
+        from hpvpinns_tpu.geometry.mesh import Interval1D
+
+        ax = (
+            Interval1D(np.asarray(cfg.grid_x, dtype=np.float64))
+            if cfg.grid_x is not None
+            else Interval1D.uniform(*cfg.domain_x, cfg.n_elements_x)
+        )
+        at = (
+            Interval1D(np.asarray(cfg.grid_t, dtype=np.float64))
+            if cfg.grid_t is not None
+            else Interval1D.uniform(0.0, cfg.t_final, cfg.n_elements_t)
+        )
+        mesh = TensorMesh2D(axis_x=ax, axis_y=at)
+    else:
+        mesh = TensorMesh2D.uniform(
+            *cfg.domain_x, cfg.n_elements_x, 0.0, cfg.t_final, cfg.n_elements_t
+        )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
-    ntx = np.full(cfg.n_elements_x, cfg.n_test_x)
-    ntt = np.full(cfg.n_elements_t, cfg.n_test_t)
+    ntx = np.full(mesh.axis_x.n_elem, cfg.n_test_x)
+    ntt = np.full(mesh.axis_y.n_elem, cfg.n_test_t)
     bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
     bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
     elems = build_elements_2d(mesh, xq, wq, xq, wq, f_fn, ntx, ntt, dtype)
@@ -246,8 +307,14 @@ def build(
         return lambda X: mlp_apply(spec, params["net"], X)
 
     eps_model = cfg.epsilon_model
-    if eps_model not in ("scalar", "quadratic"):
-        raise ValueError(f"epsilon_model must be 'scalar' or 'quadratic'; got {eps_model!r}")
+    if eps_model not in ("scalar", "quadratic", "mlp"):
+        raise ValueError(
+            f"epsilon_model must be 'scalar', 'quadratic' or 'mlp'; got {eps_model!r}"
+        )
+    if eps_model == "mlp":
+        from hpvpinns_tpu.models.mlp import init_mlp
+
+        eps_spec = MLP(layers=cfg.epsilon_mlp_layers, activation="tanh")
     vel_model = cfg.velocity_model
     if vel_model not in ("scalar", "linear", "quadratic"):
         raise ValueError(
@@ -261,6 +328,18 @@ def build(
         pde = {}
         if eps_model == "quadratic":
             pde["eps_coef"] = jnp.asarray([cfg.epsilon_init, 0.0, 0.0], dtype=dtype)
+        elif eps_model == "mlp":
+            # Neural coefficient field, initialized (near-)flat at
+            # epsilon_init: Xavier weights give small outputs and the final
+            # bias carries the level.  Deterministic init from the train seed
+            # (pde_init takes no key by the Problem contract).
+            net = init_mlp(eps_spec, jax.random.key(cfg.train.seed + 101), dtype=dtype)
+            # near-FLAT start at epsilon_init: shrink the output layer so the
+            # field is epsilon_init + O(0.01) (Xavier alone gives O(1) wiggle,
+            # which poisons the early PDE residual)
+            net[-1] = dict(net[-1], W=net[-1]["W"] * 0.01,
+                           b=net[-1]["b"] + jnp.asarray(cfg.epsilon_init, dtype=dtype))
+            pde["eps_net"] = net
         else:
             pde["epsilon"] = jnp.asarray(cfg.epsilon_init, dtype=dtype)
         if cfg.velocity_trainable:
@@ -288,33 +367,54 @@ def build(
         return V
 
     def eps_of(params, x):
-        """Scalar or field eps(x) from the trainable PDE leaves."""
+        """Scalar or field eps(x) from the trainable PDE leaves (forward
+        runs: the true field/scalar)."""
         if not inverse:
-            return eps_true
+            return epsilon_fn(x) if epsilon_fn is not None else eps_true
         if eps_model == "quadratic":
             c = params["pde"]["eps_coef"]
             return c[0] + c[1] * x + c[2] * x * x
+        if eps_model == "mlp":
+            flat = jnp.reshape(x, (-1, 1))
+            return mlp_apply(eps_spec, params["pde"]["eps_net"], flat).reshape(jnp.shape(x))
         return params["pde"]["epsilon"]
 
     def eps_x_of(params, x):
-        """Analytic d(eps)/dx — the extra IBP term for variable eps."""
+        """d(eps)/dx — the extra IBP term for variable eps (analytic for the
+        quadratic field; exact autodiff of the neural field)."""
         if inverse and eps_model == "quadratic":
             c = params["pde"]["eps_coef"]
             return c[1] + 2.0 * c[2] * x
+        if inverse and eps_model == "mlp":
+            flat = jnp.reshape(x, (-1, 1))
+            f = lambda z: mlp_apply(eps_spec, params["pde"]["eps_net"], z)
+            _, dx = jax.jvp(f, (flat,), (jnp.ones_like(flat),))
+            return dx.reshape(jnp.shape(x))
+        if not inverse and epsilon_fn is not None:
+            # forward run at a true varying field: exact autodiff of the
+            # (jnp-traceable) epsilon_fn
+            _, dx = jax.jvp(epsilon_fn, (x,), (jnp.ones_like(x),))
+            return dx
         return 0.0
 
     a_dom, b_dom = cfg.domain_x
     _mx = 0.5 * (a_dom + b_dom)
     _mx2 = (a_dom * a_dom + a_dom * b_dom + b_dom * b_dom) / 3.0
 
+    if eps_model == "mlp":
+        _eps_mean_grid = jnp.linspace(a_dom, b_dom, 257).reshape(-1, 1).astype(dtype)
+
     def eps_domain_mean(params):
         """Exact domain average of eps(x) (not a quadrature-point mean —
-        GLJ points cluster at edges and would bias the report)."""
+        GLJ points cluster at edges and would bias the report; the neural
+        field is averaged on a uniform 257-point grid)."""
         if not inverse:
             return eps_true
         if eps_model == "quadratic":
             c = params["pde"]["eps_coef"]
             return c[0] + c[1] * _mx + c[2] * _mx2
+        if eps_model == "mlp":
+            return jnp.mean(mlp_apply(eps_spec, params["pde"]["eps_net"], _eps_mean_grid))
         return params["pde"]["epsilon"]
 
     def vel_domain_mean(params):
@@ -332,18 +432,60 @@ def build(
             return float(np.trapezoid(np.asarray(velocity_fn(xs)), xs) / (b_dom - a_dom))
         return V
 
+    def _fields_fn(params):
+        if mode == "taylor":
+            return lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
+        if mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
+
+            return lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
+        return None
+
+    def residual_fn(params, data):
+        """Masked weak residual Res[e, k, r] — the per-element indicator
+        source for adaptive refinement (adaptive.py)."""
+        el = data["elements"]
+        res = advdiff_residual(
+            make_u_fn(params), el, data["basis_x"], data["basis_t"], var_form,
+            v_of(params, el.x), eps_of(params, el.x),
+            fields_fn=_fields_fn(params), epsilon_x=eps_x_of(params, el.x),
+        )
+        return res * el.mask
+
+    _enriched_cache = {}
+
+    def enriched_residual_fn(params, enrich: int = 3):
+        """Weak residual against the tensor test modes NOT in the training
+        basis — hierarchical a-posteriori estimation (same construction as
+        burgers'; see adaptive.element_indicator).  Returns
+        [E, K+enrich, R+enrich] with the trained block zeroed."""
+        n_x = int(ntx.max()) + enrich
+        n_t = int(ntt.max()) + enrich
+        key = (n_x, n_t)
+        if key not in _enriched_cache:
+            bx_en = make_weighted_basis(n_x, xq, wq, dtype)
+            bt_en = make_weighted_basis(n_t, xq, wq, dtype)
+            elems_en = build_elements_2d(
+                mesh, xq, wq, xq, wq, f_fn,
+                np.full(mesh.axis_x.n_elem, n_x), np.full(mesh.axis_y.n_elem, n_t),
+                dtype,
+            )
+            new_mask = np.ones((n_t, n_x))
+            new_mask[: int(ntt.max()), : int(ntx.max())] = 0.0
+            _enriched_cache[key] = (bx_en, bt_en, elems_en, jnp.asarray(new_mask, dtype=dtype))
+        bx_en, bt_en, elems_en, new_mask = _enriched_cache[key]
+        res = advdiff_residual(
+            make_u_fn(params), elems_en, bx_en, bt_en, var_form,
+            v_of(params, elems_en.x), eps_of(params, elems_en.x),
+            fields_fn=_fields_fn(params), epsilon_x=eps_x_of(params, elems_en.x),
+        )
+        return res * new_mask[None]
+
     def loss_fn(params, data, axis_name=None):
         u_fn = make_u_fn(params)
         el = data["elements"]
         eps = eps_of(params, el.x)
-        if mode == "taylor":
-            fields_fn = lambda x, y, **kw: taylor_fields_2d(spec, params["net"], x, y, **kw)
-        elif mode == "pallas":
-            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_2d
-
-            fields_fn = lambda x, y, **kw: pallas_fields_2d(spec, params["net"], x, y, **kw)
-        else:
-            fields_fn = None
+        fields_fn = _fields_fn(params)
         res = advdiff_residual(
             u_fn, el, data["basis_x"], data["basis_t"], var_form, v_of(params, el.x), eps,
             fields_fn=fields_fn, epsilon_x=eps_x_of(params, el.x),
@@ -354,6 +496,11 @@ def build(
         ub_pred = u_fn(data["xb"])
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
         loss = wb * lossb + lossv
+        if inverse and cfg.epsilon_reg > 0 and eps_model in ("quadratic", "mlp"):
+            # Tikhonov smoothness on the coefficient field (coefficient
+            # inversion is unobservable where u_xx ~ 0)
+            lossr = cfg.epsilon_reg * jnp.mean(eps_x_of(params, el.x) ** 2)
+            loss = loss + lossr
         aux = {"loss": loss, "lossb": lossb, "lossv": lossv}
         if inverse:
             aux["epsilon"] = eps_domain_mean(params)
@@ -401,6 +548,8 @@ def build(
         test_values=test_values,
         extras={
             "mesh": mesh,
+            "residual_fn": residual_fn,
+            "enriched_residual_fn": enriched_residual_fn,
             "eps_true": eps_true,
             "eps_of": eps_of,
             "eps_domain_mean": eps_domain_mean,
@@ -408,6 +557,7 @@ def build(
             "vel_domain_mean": vel_domain_mean,
             "velocity_true": velocity_true,
             "velocity_fn": velocity_fn,
+            "epsilon_fn": epsilon_fn,
             "f_rhs": f_fn,
             "test_grid_shape": (len(tt), len(xt)),
         },

@@ -186,9 +186,15 @@ def plot_coefficient_field(problem: Problem, params, outdir: str, fmt: str = "pd
     cfg = problem.config
     xs = np.linspace(*cfg.domain_x, 512)[:, None]
     panels = []
-    if "eps_coef" in params["pde"]:
+    if "eps_coef" in params["pde"] or "eps_net" in params["pde"]:
         eps_hat = np.asarray(problem.extras["eps_of"](params, xs)).reshape(-1)
-        panels.append(("$\\epsilon(x)$", eps_hat, np.full(xs.shape[0], problem.extras["eps_true"])))
+        efn = problem.extras.get("epsilon_fn")
+        eps_true = (
+            np.asarray(efn(xs)).reshape(-1)
+            if efn is not None
+            else np.full(xs.shape[0], problem.extras["eps_true"])
+        )
+        panels.append(("$\\epsilon(x)$", eps_hat, eps_true))
     if "vel_coef" in params["pde"]:
         v_hat = np.asarray(problem.extras["v_of"](params, xs)).reshape(-1)
         vfn = problem.extras.get("velocity_fn")

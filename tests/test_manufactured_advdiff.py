@@ -148,3 +148,123 @@ def test_hard_bc_with_manufactured_u_requires_lift():
     u_fn, f_fn = advdiff.make_manufactured(cfg, V_TRUE)
     with pytest.raises(ValueError, match="lift"):
         advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn)
+
+
+def test_neural_epsilon_field_init_flat_and_derivative():
+    """epsilon_model='mlp': the field initializes (near-)flat at
+    epsilon_init; eps_x_of is the exact autodiff derivative (FD-checked);
+    the Tikhonov term enters the loss."""
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", epsilon_model="mlp", epsilon_init=0.1, epsilon_reg=1e-3,
+        layers=(2, 6, 1),
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, V_TRUE)
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=V_TRUE)
+    params = prob.init_params(jax.random.key(0))
+    assert "eps_net" in params["pde"]
+    xs = jnp.linspace(-1.0, 1.0, 101).reshape(-1, 1)
+    e0 = np.asarray(prob.extras["eps_of"](params, xs)).reshape(-1)
+    np.testing.assert_allclose(e0, cfg.epsilon_init, atol=0.02)  # near-flat
+    # FD check of the field derivative (enters the form-1 IBP + the reg term)
+    h = 1e-6
+    ex = np.asarray(prob.extras["eps_of"](params, xs + h)).reshape(-1)
+    em = np.asarray(prob.extras["eps_of"](params, xs - h)).reshape(-1)
+    f = lambda z: prob.extras["eps_of"](params, z)
+    _, eps_x = jax.jvp(f, (xs,), (jnp.ones_like(xs),))
+    np.testing.assert_allclose(
+        np.asarray(eps_x).reshape(-1), (ex - em) / (2 * h), atol=1e-8
+    )
+    # regularized loss is strictly larger than the unregularized one
+    loss_r, _ = prob.loss_fn(params, prob.data)
+    prob0 = advdiff.build(
+        hv.AdvDiffConfig(dtype="float64", epsilon_model="mlp", epsilon_init=0.1,
+                         layers=(2, 6, 1)),
+        u_fn=u_fn, f_fn=f_fn, velocity_fn=V_TRUE,
+    )
+    loss_0, _ = prob0.loss_fn(params, prob0.data)
+    assert float(loss_r) > float(loss_0)
+
+
+def test_manufactured_cos_profile_zero_residual():
+    """profile='cos' manufactured pair satisfies the weak form exactly at a
+    genuinely varying eps(x) truth (field + forcing consistent)."""
+    eps_fn = lambda x: (0.1 / np.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    cfg = hv.AdvDiffConfig(dtype="float64", inverse=False, n_quad=14, n_test_x=6, n_test_t=6)
+    u_fn, f_fn = advdiff.make_manufactured(cfg, V_TRUE, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=V_TRUE, epsilon_fn=eps_fn)
+    el = prob.data["elements"]
+    exact_u = lambda X: jnp.cos(jnp.pi / 2 * X[:, 0:1]) * jnp.exp(-X[:, 1:2])
+    # form 0: pointwise cancellation against the projected forcing
+    res = advdiff_residual(
+        exact_u, el, prob.data["basis_x"], prob.data["basis_t"], 0,
+        V_TRUE(el.x), eps_fn(el.x),
+    )
+    assert float(jnp.abs(res).max()) < 1e-14
+    # forward loss_fn consistency at the true varying field (form 1 + eps_x)
+    cfg1 = hv.AdvDiffConfig(dtype="float64", inverse=False, var_form=1,
+                            n_quad=14, n_test_x=6, n_test_t=6, layers=(2, 6, 1))
+    prob1 = advdiff.build(cfg1, u_fn=u_fn, f_fn=f_fn, velocity_fn=V_TRUE, epsilon_fn=eps_fn)
+    params = prob1.init_params(jax.random.key(0))
+    loss, aux = prob1.loss_fn(params, prob1.data)
+    assert np.isfinite(float(loss))
+
+
+def test_profile_validation():
+    cfg = hv.AdvDiffConfig()
+    with pytest.raises(ValueError, match="profile"):
+        advdiff.make_manufactured(cfg, V_TRUE, profile="tanh")
+
+
+def test_two_phase_field_fit_oracle_spectral_convergence():
+    """inverse.fit_epsilon_field with the ORACLE solution recovers a
+    non-polynomial eps(x) truth spectrally: the linear solve is exact up to
+    the Legendre truncation of sin(pi x)."""
+    from hpvpinns_tpu.inverse import fit_epsilon_field
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    # identifiability needs >= `order` test functions along x (the residual
+    # rows are projections onto the test space: unseen modes go to lstsq's
+    # null space)
+    cfg = hv.AdvDiffConfig(dtype="float64", n_quad=24, n_test_x=14, n_test_t=8)
+    u_fn, f_fn = advdiff.make_manufactured(cfg, V_TRUE, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=V_TRUE)
+    params = prob.init_params(jax.random.key(0))  # ignored: oracle u below
+    oracle = lambda X: jnp.cos(jnp.pi / 2 * X[:, 0:1]) * jnp.exp(-X[:, 1:2])  # noqa: E731
+
+    xs = np.linspace(-1.0, 1.0, 513)
+    et = np.asarray(eps_fn(xs))
+    errs = {}
+    for order in (4, 8, 12):
+        _, eps_hat, info = fit_epsilon_field(prob, params, order=order, u_fn=oracle)
+        eh = np.asarray(eps_hat(xs)).reshape(-1)
+        errs[order] = float(np.linalg.norm(eh - et) / np.linalg.norm(et))
+        assert info["residual_after"] <= info["residual_before"]
+    # spectral decay of the truncation error
+    assert errs[8] < errs[4] / 10
+    assert errs[12] < 1e-5
+
+
+def test_two_phase_field_fit_regularization_and_validation():
+    from hpvpinns_tpu.inverse import fit_epsilon_field, legendre_field
+
+    # Tikhonov shrinks the derivative energy of the recovered field
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    cfg = hv.AdvDiffConfig(dtype="float64", n_quad=12, n_test_x=6, n_test_t=6)
+    u_fn, f_fn = advdiff.make_manufactured(cfg, V_TRUE, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=V_TRUE)
+    params = prob.init_params(jax.random.key(0))
+    oracle = lambda X: jnp.cos(jnp.pi / 2 * X[:, 0:1]) * jnp.exp(-X[:, 1:2])  # noqa: E731
+    c0, _, _ = fit_epsilon_field(prob, params, order=8, u_fn=oracle)
+    c1, _, _ = fit_epsilon_field(prob, params, order=8, reg=10.0, u_fn=oracle)
+    assert np.linalg.norm(c1[1:]) < np.linalg.norm(c0[1:])  # flatter field
+
+    # legendre_field evaluates the expansion on the mapped domain
+    f = legendre_field(np.array([2.0, 0.5]), domain=(0.0, 2.0))
+    np.testing.assert_allclose(f(np.array([0.0, 1.0, 2.0])), [1.5, 2.0, 2.5])
+
+    # non-advdiff problems are rejected
+    from hpvpinns_tpu.problems import poisson1d
+
+    p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff"):
+        fit_epsilon_field(p1, p1.init_params(jax.random.key(0)))
