@@ -97,13 +97,18 @@ def bisect_marked(grid: np.ndarray, marked: np.ndarray) -> tuple:
     return tuple(out)
 
 
-def _refined_config(cfg, problem, eta: np.ndarray, theta: float, mode: str = "h", p_step: int = 4):
+def _refined_config(
+    cfg, problem, eta: np.ndarray, theta: float, mode: str = "h", p_step: int = 4,
+    axes: str = "x",
+):
     """Next round's config.
 
     mode='h': bisect the marked elements (1D) / the axis intervals carrying
     marked eta mass (2D tensor mesh — tensor structure preserved).
     mode='p': raise the marked elements' test-function counts by `p_step`
     (the framework's ragged n_test_per_elem masks make this free).
+    `axes` applies to space-time families only: "x" (default) marks the
+    space axis, "xt" marks both.
     """
     mesh = problem.extras["mesh"]
     if isinstance(cfg, hv.Poisson1DConfig):
@@ -145,23 +150,51 @@ def _refined_config(cfg, problem, eta: np.ndarray, theta: float, mode: str = "h"
         gx = bisect_marked(mesh.axis_x.grid, mx)
         gy = bisect_marked(mesh.axis_y.grid, my)
         return dataclasses.replace(cfg, grid_x=gx, grid_y=gy)
-    if isinstance(cfg, hv.BurgersConfig):
-        # Space-time family: refine the SPACE axis only (the nu = 0.01/pi
-        # difficulty is a steep front in x; the time axis is smooth).  This
-        # automates the front-clustered grid the burgers_quality preset
-        # hand-specifies (MEASUREMENTS.md: that one meshing decision is worth
-        # 16x in error at identical budget).
+    if isinstance(cfg, hv.AdvDiff2DConfig):
+        # 2D-space + time family (element axes x, y, t; flat order
+        # e = (ex*Ey + ey)*Et + et).  axes="x" marks the SPACE axes (x, y);
+        # axes="xt" also marks time.
         if mode == "p":
             raise ValueError(
-                "p-adaptivity is not supported for Burgers (no per-element test counts)"
+                "p-adaptivity is not supported for space-time families "
+                "(no per-element test counts)"
+            )
+        Ex, Ey, Et = mesh.shape
+        eta3 = eta.reshape(Ex, Ey, Et)
+        mx = dorfler_mark(eta3.sum(axis=(1, 2)), theta)
+        my = dorfler_mark(eta3.sum(axis=(0, 2)), theta)
+        gx = bisect_marked(mesh.axis_x.grid, mx)
+        gy = bisect_marked(mesh.axis_y.grid, my)
+        new = {"grid_x": gx, "grid_y": gy}
+        if "t" in axes:
+            mt = dorfler_mark(eta3.sum(axis=(0, 1)), theta)
+            new["grid_t"] = bisect_marked(mesh.axis_z.grid, mt)
+        return dataclasses.replace(cfg, **new)
+    if isinstance(cfg, (hv.BurgersConfig, hv.AdvDiffConfig)):
+        # Space-time families (element axes x, t).  Default axes="x" refines
+        # the SPACE axis only (the nu = 0.01/pi Burgers difficulty is a steep
+        # front in x; the time axis is smooth) — this automates the
+        # front-clustered grid the burgers_quality preset hand-specifies
+        # (MEASUREMENTS.md: that one meshing decision is worth 16x in error
+        # at identical budget).  axes="xt" ALSO bisects the marked time
+        # intervals (moving fronts / sharp transients).
+        if mode == "p":
+            raise ValueError(
+                "p-adaptivity is not supported for space-time families "
+                "(no per-element test counts)"
             )
         Ex, Et = mesh.shape
         eta2 = eta.reshape(Ex, Et)  # flat order e = ex * Et + et
         mx = dorfler_mark(eta2.sum(axis=1), theta)
         gx = bisect_marked(mesh.axis_x.grid, mx)
-        return dataclasses.replace(cfg, grid_x=gx, n_elements_x=len(gx) - 1)
+        new = {"grid_x": gx, "n_elements_x": len(gx) - 1}
+        if "t" in axes:
+            mt = dorfler_mark(eta2.sum(axis=0), theta)
+            gt = bisect_marked(mesh.axis_y.grid, mt)
+            new.update(grid_t=gt, n_elements_t=len(gt) - 1)
+        return dataclasses.replace(cfg, **new)
     raise TypeError(
-        f"adaptive refinement supports Poisson/Burgers configs, got {type(cfg).__name__}"
+        f"adaptive refinement supports Poisson/Burgers/AdvDiff configs, got {type(cfg).__name__}"
     )
 
 
@@ -174,6 +207,7 @@ def adaptive_solve(
     build_fn=None,
     mode: str = "h",
     p_step: int = 4,
+    axes: str = "x",
     lr_decay: float = 0.5,
     budget_growth: float = 1.0,
     verbose: bool = False,
@@ -233,6 +267,8 @@ def adaptive_solve(
         else:
             rec["grid_x"] = [float(g) for g in mesh_obj.axis_x.grid]
             rec["grid_y"] = [float(g) for g in mesh_obj.axis_y.grid]
+            if hasattr(mesh_obj, "axis_z"):
+                rec["grid_t"] = [float(g) for g in mesh_obj.axis_z.grid]
         rec["n_test_per_elem"] = [
             int(v) for v in np.asarray(problem.data["elements"].n_test)
         ]
@@ -245,7 +281,9 @@ def adaptive_solve(
                 f"eta_max/min={eta.max() / max(eta.min(), 1e-300):.1f}"
             )
         if r < rounds - 1:
-            cfg = _refined_config(cfg, problem, eta, theta, mode=mode, p_step=p_step)
+            cfg = _refined_config(
+                cfg, problem, eta, theta, mode=mode, p_step=p_step, axes=axes
+            )
     return AdaptiveResult(
         rounds=records, problem=problem, result=res,
         best_round=best[1], best_params=best[2], best_problem=best[3],

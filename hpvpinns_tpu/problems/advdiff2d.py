@@ -102,11 +102,25 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
     eps_true = cfg.gamma / np.pi
-    mesh = TensorMesh3D.uniform(
-        *cfg.domain_x, cfg.n_elements_x,
-        *cfg.domain_y, cfg.n_elements_y,
-        0.0, cfg.t_final, cfg.n_elements_t,
-    )
+    if cfg.grid_x is not None or cfg.grid_y is not None or cfg.grid_t is not None:
+        from hpvpinns_tpu.geometry.mesh import Interval1D
+
+        def _axis(grid, lo, hi, n):
+            if grid is not None:
+                return Interval1D(np.asarray(grid, dtype=np.float64))
+            return Interval1D.uniform(lo, hi, n)
+
+        mesh = TensorMesh3D(
+            axis_x=_axis(cfg.grid_x, *cfg.domain_x, cfg.n_elements_x),
+            axis_y=_axis(cfg.grid_y, *cfg.domain_y, cfg.n_elements_y),
+            axis_z=_axis(cfg.grid_t, 0.0, cfg.t_final, cfg.n_elements_t),
+        )
+    else:
+        mesh = TensorMesh3D.uniform(
+            *cfg.domain_x, cfg.n_elements_x,
+            *cfg.domain_y, cfg.n_elements_y,
+            0.0, cfg.t_final, cfg.n_elements_t,
+        )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
     bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
     by = make_weighted_basis(cfg.n_test_y, xq, wq, dtype)
@@ -149,6 +163,54 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
             v = params["pde"]["velocity"]
             return v[0], v[1]
         return vx_true, vy_true
+
+    def _fields_fn(params):
+        if mode == "taylor":
+            return lambda x, y, z, **kw: taylor_fields_3d(spec, params["net"], x, y, z, **kw)
+        if mode == "pallas":
+            from hpvpinns_tpu.ops.pallas_fields import pallas_fields_3d
+
+            return lambda x, y, z, **kw: pallas_fields_3d(spec, params["net"], x, y, z, **kw)
+        return None
+
+    def residual_fn(params, data):
+        """Masked weak residual Res[e, m, k, r] — the per-element indicator
+        source for adaptive refinement (adaptive.py)."""
+        el = data["elements"]
+        vx, vy = v_of(params)
+        res = advdiff2d_residual(
+            lambda X: mlp_apply(spec, params["net"], X), el,
+            data["basis_x"], data["basis_y"], data["basis_t"],
+            var_form, vx, vy, eps_of(params), fields_fn=_fields_fn(params),
+        )
+        return res * el.mask
+
+    _enriched_cache = {}
+
+    def enriched_residual_fn(params, enrich: int = 2):
+        """Weak residual against the tensor test modes NOT in the training
+        basis — hierarchical a-posteriori estimation on the 3D space-time
+        family.  Returns [E, M+e, K+e, R+e] with the trained block zeroed."""
+        n_x, n_y, n_t = cfg.n_test_x + enrich, cfg.n_test_y + enrich, cfg.n_test_t + enrich
+        key = (n_x, n_y, n_t)
+        if key not in _enriched_cache:
+            bx_en = make_weighted_basis(n_x, xq, wq, dtype)
+            by_en = make_weighted_basis(n_y, xq, wq, dtype)
+            bt_en = make_weighted_basis(n_t, xq, wq, dtype)
+            elems_en = build_elements_3d(mesh, xq, wq, f_fn, n_x, n_y, n_t, dtype)
+            new_mask = np.ones((n_t, n_y, n_x))
+            new_mask[: cfg.n_test_t, : cfg.n_test_y, : cfg.n_test_x] = 0.0
+            _enriched_cache[key] = (
+                bx_en, by_en, bt_en, elems_en, jnp.asarray(new_mask, dtype=dtype)
+            )
+        bx_en, by_en, bt_en, elems_en, new_mask = _enriched_cache[key]
+        vx, vy = v_of(params)
+        res = advdiff2d_residual(
+            lambda X: mlp_apply(spec, params["net"], X), elems_en,
+            bx_en, by_en, bt_en, var_form, vx, vy, eps_of(params),
+            fields_fn=_fields_fn(params),
+        )
+        return res * new_mask[None]
 
     def loss_fn(params, data, axis_name=None):
         u_fn = lambda X: mlp_apply(spec, params["net"], X)
@@ -202,6 +264,8 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
         test_values=test_values,
         extras={
             "mesh": mesh,
+            "residual_fn": residual_fn,
+            "enriched_residual_fn": enriched_residual_fn,
             "eps_true": eps_true,
             "eps_domain_mean": lambda params: (
                 float(np.asarray(params["pde"]["epsilon"])) if inverse else eps_true

@@ -110,12 +110,20 @@ def build(
 ) -> Problem:
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
-    if cfg.grid_x is not None:
+    if cfg.grid_x is not None or cfg.grid_t is not None:
         from hpvpinns_tpu.geometry.mesh import Interval1D
 
         mesh = TensorMesh2D(
-            axis_x=Interval1D(np.asarray(cfg.grid_x, dtype=np.float64)),
-            axis_y=Interval1D.uniform(0.0, cfg.t_final, cfg.n_elements_t),
+            axis_x=(
+                Interval1D(np.asarray(cfg.grid_x, dtype=np.float64))
+                if cfg.grid_x is not None
+                else Interval1D.uniform(*cfg.domain_x, cfg.n_elements_x)
+            ),
+            axis_y=(
+                Interval1D(np.asarray(cfg.grid_t, dtype=np.float64))
+                if cfg.grid_t is not None
+                else Interval1D.uniform(0.0, cfg.t_final, cfg.n_elements_t)
+            ),
         )
     else:
         mesh = TensorMesh2D.uniform(
@@ -124,7 +132,7 @@ def build(
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
     ntx = np.full(mesh.axis_x.n_elem, cfg.n_test_x)
-    ntt = np.full(cfg.n_elements_t, cfg.n_test_t)
+    ntt = np.full(mesh.axis_y.n_elem, cfg.n_test_t)
     bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
     bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
     elems = build_elements_2d(mesh, xq, wq, xq, wq, None, ntx, ntt, dtype)

@@ -200,3 +200,81 @@ def test_adaptive_cli_burgers_flags(capsys, tmp_path):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_elem_trajectory"][0] == 4  # 2 space x 2 time
     assert summary["n_elem_trajectory"][1] > 4
+
+
+def test_adaptive_burgers_time_axis_marking():
+    """axes='xt' bisects marked TIME intervals too (moving fronts)."""
+    cfg = hv.BurgersConfig(
+        dtype="float64", n_elements_x=2, n_elements_t=2, n_test_x=5, n_test_t=5,
+        n_quad=8, layers=(2, 10, 1),
+        train=hv.TrainConfig(iterations=80, lbfgs_iterations=0, check_every=40),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=2, axes="xt", verbose=False)
+    g0t, g1t = out.rounds[0]["grid_y"], out.rounds[1]["grid_y"]
+    assert len(g1t) > len(g0t)  # time axis refined
+    assert set(np.round(g0t, 12)).issubset(set(np.round(g1t, 12)))
+
+
+def test_adaptive_advdiff_space_time():
+    """AdvDiff (linear space-time) supports the solve-mark-refine loop; the
+    enriched indicator and per-axis marking run on its assembly."""
+    from hpvpinns_tpu.problems import advdiff
+
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", inverse=False, n_elements_x=2, n_elements_t=1,
+        n_test_x=4, n_test_t=4, n_quad=8, layers=(2, 10, 1),
+        train=hv.TrainConfig(iterations=80, lbfgs_iterations=0, check_every=40),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=2, axes="xt", verbose=False)
+    assert out.rounds[1]["n_elem"] > out.rounds[0]["n_elem"]
+    g0, g1 = out.rounds[0]["grid_x"], out.rounds[1]["grid_x"]
+    assert set(np.round(g0, 12)).issubset(set(np.round(g1, 12)))
+    # indicator sources exist and are finite and element-shaped
+    prob = out.best_problem
+    eta = adaptive.element_indicator(prob, out.best_params)
+    assert eta.shape == (out.rounds[out.best_round]["n_elem"],)
+    assert np.all(np.isfinite(eta))
+
+
+def test_advdiff_nonuniform_grids_build_and_train():
+    """grid_x/grid_t build non-uniform space-time meshes whose weak residual
+    vanishes at the exact manufactured solution (jacobians per element)."""
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.ops.assembly import advdiff_residual
+    from hpvpinns_tpu.problems import advdiff
+
+    V = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", inverse=False, n_quad=14, n_test_x=6, n_test_t=6,
+        grid_x=(-1.0, -0.4, 0.1, 1.0), grid_t=(0.0, 0.35, 1.0),
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, V)
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=V)
+    el = prob.data["elements"]
+    assert el.x.shape[0] == 6  # 3 x-elements * 2 t-elements
+    exact_u = lambda X: jnp.sin(jnp.pi * X[:, 0:1]) * jnp.exp(-X[:, 1:2])  # noqa: E731
+    res = advdiff_residual(
+        exact_u, el, prob.data["basis_x"], prob.data["basis_t"], 0,
+        V(el.x), prob.extras["eps_true"],
+    )
+    assert float(jnp.abs(res).max()) < 1e-12
+
+
+def test_adaptive_advdiff2d_three_axis():
+    """advdiff2d (2D space + time tensor family): per-axis Dörfler marking
+    on all three axes; grids strictly refine; enriched indicator runs."""
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", inverse=False, n_test_x=4, n_test_y=4, n_test_t=4,
+        n_quad=6, layers=(3, 8, 1),
+        train=hv.TrainConfig(iterations=50, lbfgs_iterations=0, check_every=25),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=2, axes="xt", verbose=False)
+    r0, r1 = out.rounds
+    assert r1["n_elem"] > r0["n_elem"]
+    for k in ("grid_x", "grid_y", "grid_t"):
+        assert set(np.round(r0[k], 12)).issubset(set(np.round(r1[k], 12)))
+    # axes="x" marks ONLY the space axes
+    out2 = adaptive.adaptive_solve(cfg, rounds=2, axes="x", verbose=False)
+    assert out2.rounds[1]["grid_t"] == out2.rounds[0]["grid_t"]
+    assert len(out2.rounds[1]["grid_x"]) > len(out2.rounds[0]["grid_x"])
