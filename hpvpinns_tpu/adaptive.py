@@ -272,6 +272,14 @@ def adaptive_solve(
         rec["n_test_per_elem"] = [
             int(v) for v in np.asarray(problem.data["elements"].n_test)
         ]
+        if "epsilon" in res.final_aux:
+            # inverse families: track the identified coefficient per round
+            edm = problem.extras.get("eps_domain_mean")
+            rec["epsilon"] = (
+                float(edm(res.eval_params)) if edm
+                else float(np.asarray(res.final_aux["epsilon"]))
+            )
+            rec["eps_true"] = float(problem.extras["eps_true"])
         records.append(rec)
         if metrics["rel_l2"] < best[0]:
             best = (metrics["rel_l2"], r, res.eval_params, problem)

@@ -229,6 +229,7 @@ def test_adaptive_advdiff_space_time():
     assert out.rounds[1]["n_elem"] > out.rounds[0]["n_elem"]
     g0, g1 = out.rounds[0]["grid_x"], out.rounds[1]["grid_x"]
     assert set(np.round(g0, 12)).issubset(set(np.round(g1, 12)))
+    assert "epsilon" not in out.rounds[0]  # forward run: nothing identified
     # indicator sources exist and are finite and element-shaped
     prob = out.best_problem
     eta = adaptive.element_indicator(prob, out.best_params)
@@ -278,3 +279,15 @@ def test_adaptive_advdiff2d_three_axis():
     out2 = adaptive.adaptive_solve(cfg, rounds=2, axes="x", verbose=False)
     assert out2.rounds[1]["grid_t"] == out2.rounds[0]["grid_t"]
     assert len(out2.rounds[1]["grid_x"]) > len(out2.rounds[0]["grid_x"])
+
+
+def test_adaptive_inverse_tracks_epsilon_per_round():
+    """Inverse families record the identified coefficient per round."""
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", n_test_x=4, n_test_t=4, n_quad=8, layers=(2, 8, 1),
+        train=hv.TrainConfig(iterations=60, lbfgs_iterations=0, check_every=30),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=2, verbose=False)
+    for r in out.rounds:
+        assert np.isfinite(r["epsilon"])
+        assert r["eps_true"] == pytest.approx(0.1 / np.pi)
