@@ -50,6 +50,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
     )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--matmul-precision", choices=["default", "high", "highest"],
+                   dest="matmul_precision",
+                   help="f32-TPU matmul precision: 'highest' (6 bf16 MXU passes; "
+                   "the accuracy default), 'high' (3 passes, ~20%% faster steps), "
+                   "'default' (1 pass)")
     p.add_argument("--layers", type=str, help="comma-separated widths, e.g. 1,20,20,1")
     p.add_argument("--n-quad", type=int, dest="n_quad")
     p.add_argument("--outdir", default=None, help="artifact directory")

@@ -45,6 +45,9 @@ class Poisson1DConfig:
     activation: str = "sin"  # Poisson-1D.py:134
     adaptive_slope: bool = False  # trainable per-layer activation slope (the
     # reference creates-but-never-uses this, Poisson-1D.py:117)
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1 — see
+    # the pass-count scaling measurement in benchmarks/MEASUREMENTS.md)
     var_form: int = 1  # 1 | 2 | 3 (zero/one/two integrations by parts)
     n_elements: int = 1
     grid: Optional[Tuple[float, ...]] = None  # non-uniform override
@@ -71,6 +74,9 @@ class Poisson2DConfig:
     activation: str = "tanh"  # Poisson-2D.py:165
     adaptive_slope: bool = False  # trainable per-layer activation slope (the
     # reference creates-but-never-uses this, Poisson-1D.py:117)
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1 — see
+    # the pass-count scaling measurement in benchmarks/MEASUREMENTS.md)
     scheme: str = "VPINNs"  # 'VPINNs' | 'PINNs' (Poisson-2D.py:126-129)
     var_form: object = 1  # 0 | 1 | 2 (reference-verbatim) | "2c" (corrected
     # exact twice-IBP form with 1/jac^2 scalings + boundary flux)
@@ -106,6 +112,9 @@ class Poisson3DConfig:
     var_form: int = 1  # 0 | 1
     adaptive_slope: bool = False  # trainable per-layer activation slope (the
     # reference creates-but-never-uses this, Poisson-1D.py:117)
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1 — see
+    # the pass-count scaling measurement in benchmarks/MEASUREMENTS.md)
     n_elements_x: int = 2
     n_elements_y: int = 2
     n_elements_z: int = 2
@@ -137,6 +146,9 @@ class AdvDiffConfig:
     activation: str = "tanh"  # AdvDiff.py:226
     adaptive_slope: bool = False  # trainable per-layer activation slope (the
     # reference creates-but-never-uses this, Poisson-1D.py:117)
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1 — see
+    # the pass-count scaling measurement in benchmarks/MEASUREMENTS.md)
     var_form: int = 0  # 0 | 1 (AdvDiff.py:38) | 2 (twice-IBP diffusion with
     # live boundary flux — the machinery AdvDiff.py:132-154 sketches; scalar eps)
     n_elements_x: int = 1
@@ -209,6 +221,9 @@ class AdvDiff2DConfig:
     layers: Tuple[int, ...] = (3, 16, 16, 16, 1)
     activation: str = "tanh"
     adaptive_slope: bool = False
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1 — see
+    # the pass-count scaling measurement in benchmarks/MEASUREMENTS.md)
     var_form: int = 1  # 0 | 1 (both diffusion terms once integrated by parts)
     n_elements_x: int = 1
     n_elements_y: int = 1
@@ -256,6 +271,9 @@ class BurgersConfig:
     layers: Tuple[int, ...] = (2, 20, 20, 20, 20, 1)
     activation: str = "tanh"
     adaptive_slope: bool = False
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1 — see
+    # the pass-count scaling measurement in benchmarks/MEASUREMENTS.md)
     var_form: int = 1  # 0 | 1 (conservation-form convection IBP)
     n_elements_x: int = 4
     n_elements_t: int = 2

@@ -140,7 +140,8 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form, wb = cfg.var_form, cfg.lossb_weight
     inverse = cfg.inverse
     mode = cfg.deriv_mode

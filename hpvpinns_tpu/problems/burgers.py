@@ -146,7 +146,8 @@ def build(
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form, wb, nu = cfg.var_form, cfg.lossb_weight, cfg.nu
     mode = cfg.deriv_mode
     hard_bc = cfg.hard_bc or lift_fn is not None or envelope_fn is not None

@@ -99,7 +99,8 @@ def build(cfg: Poisson1DConfig, u_fn=None, f_fn=None, hard_bc: bool | None = Non
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form = cfg.var_form
     lossb_weight = cfg.lossb_weight
     mode = "jvp" if hard_bc else cfg.deriv_mode  # composite ansatz: generic AD

@@ -142,7 +142,8 @@ def build(
         "ff": jnp.asarray(ff, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form, scheme, wb = cfg.var_form, cfg.scheme, cfg.lossb_weight
     mode = cfg.deriv_mode
     if scheme not in ("VPINNs", "PINNs"):

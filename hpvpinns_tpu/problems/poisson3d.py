@@ -124,7 +124,8 @@ def build(
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation, adaptive_slope=cfg.adaptive_slope)
+    spec = MLP(layers=cfg.layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form, wb = cfg.var_form, cfg.lossb_weight
     mode = cfg.deriv_mode
     if mode not in ("taylor", "jvp", "pallas"):

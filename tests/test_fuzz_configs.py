@@ -127,3 +127,17 @@ def test_fuzz_burgers(trial):
     prob = hv.build(cfg)
     res = hv.train(prob, verbose=False)
     assert np.isfinite(res.final_aux["loss"])
+
+
+def test_matmul_precision_reaches_spec():
+    """matmul_precision flows from every problem config into the MLP spec
+    (it controls the bf16 MXU pass count on the f32 TPU path)."""
+    import hpvpinns_tpu as hv
+
+    for cfg_cls in (
+        hv.Poisson1DConfig, hv.Poisson2DConfig, hv.Poisson3DConfig,
+        hv.AdvDiffConfig, hv.BurgersConfig, hv.AdvDiff2DConfig,
+    ):
+        cfg = cfg_cls(matmul_precision="high")
+        prob = hv.build(cfg)
+        assert prob.spec.precision == "high", cfg_cls.__name__
