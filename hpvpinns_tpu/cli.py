@@ -378,6 +378,7 @@ def cmd_run(args) -> int:
 
             summary["vel_coef"] = _np.asarray(res.eval_params["pde"]["vel_coef"]).tolist()
     fit_spec = getattr(args, "fit_epsilon_field", None)
+    fit_eps_fn = None
     if fit_spec:
         import numpy as _np
 
@@ -387,6 +388,7 @@ def cmd_run(args) -> int:
         order = int(parts[0])
         reg = float(parts[1]) if len(parts) > 1 else 0.0
         coef, eps_hat, info = fit_epsilon_field(prob, res.eval_params, order=order, reg=reg)
+        fit_eps_fn = eps_hat
         summary["fit_eps_coef"] = _np.asarray(coef).tolist()
         summary["fit_eps_residual"] = [info["residual_before"], info["residual_after"]]
         efn = prob.extras.get("epsilon_fn")
@@ -403,7 +405,7 @@ def cmd_run(args) -> int:
     if args.plots:
         from hpvpinns_tpu import viz
 
-        paths = viz.standard_report(prob, res, outdir)
+        paths = viz.standard_report(prob, res, outdir, fit_eps_fn=fit_eps_fn)
         print(json.dumps({"plots": paths}))
     if args.record:
         from hpvpinns_tpu.utils.records import save_record

@@ -175,11 +175,15 @@ def plot_velocity_history(result: TrainResult, v_true: float, outdir: str, fmt: 
     return path
 
 
-def plot_coefficient_field(problem: Problem, params, outdir: str, fmt: str = "pdf"):
+def plot_coefficient_field(
+    problem: Problem, params, outdir: str, fmt: str = "pdf", fit_eps_fn=None
+):
     """Recovered vs true coefficient PROFILES over x for space-dependent
-    inverse models (eps(x) quadratic field, V(x) polynomial field — both
-    beyond the reference, whose coefficient is a single scalar AdvDiff.py:63).
-    One panel per field leaf present in params['pde']."""
+    inverse models (eps(x) quadratic/neural field, V(x) polynomial field —
+    both beyond the reference, whose coefficient is a single scalar
+    AdvDiff.py:63).  One panel per field leaf present in params['pde'].
+    `fit_eps_fn` overlays a two-phase direct linear fit
+    (inverse.fit_epsilon_field) on the eps panel."""
     import numpy as np
 
     plt = _plt()
@@ -210,6 +214,9 @@ def plot_coefficient_field(problem: Problem, params, outdir: str, fmt: str = "pd
     for ax, (label, hat, true) in zip(axes[0], panels):
         ax.plot(xs.reshape(-1), hat, "b", label=f"recovered {label}")
         ax.plot(xs.reshape(-1), true, "r--", label=f"true {label}")
+        if fit_eps_fn is not None and label.startswith("$\\epsilon"):
+            fit = np.asarray(fit_eps_fn(xs)).reshape(-1)
+            ax.plot(xs.reshape(-1), fit, "g-.", label="two-phase linear fit")
         ax.set_xlabel("$x$")
         ax.set_ylabel(label)
         ax.legend()
@@ -294,8 +301,12 @@ def plot_per_element_error(problem: Problem, params, outdir: str, fmt: str = "pn
     return path
 
 
-def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
-    """The full per-problem artifact set, dispatched on problem name."""
+def standard_report(
+    problem: Problem, result: TrainResult, outdir: str, fit_eps_fn=None
+) -> list:
+    """The full per-problem artifact set, dispatched on problem name.
+    `fit_eps_fn` overlays a two-phase linear coefficient fit on the
+    eps(x) panel (cli --fit-epsilon-field)."""
     paths = [plot_loss_history(result, outdir), plot_training_points(problem, outdir)]
     params = result.eval_params
     if problem.name == "poisson1d":
@@ -311,7 +322,9 @@ def standard_report(problem: Problem, result: TrainResult, outdir: str) -> list:
             paths.append(plot_epsilon_history(result, problem.extras["eps_true"], outdir))
         if "velocity" in result.history:
             paths.append(plot_velocity_history(result, problem.extras["velocity_true"], outdir))
-        field_plot = plot_coefficient_field(problem, params, outdir)
+        field_plot = plot_coefficient_field(
+            problem, params, outdir, fit_eps_fn=fit_eps_fn
+        )
         if field_plot is not None:
             paths.append(field_plot)
     elif problem.name == "advdiff2d":
