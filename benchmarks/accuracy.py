@@ -122,6 +122,53 @@ def parity_records(q: int):
         ),
     )
     records.append(run("advdiff_joint_eps_velocity_f64cpu", cfg))
+
+    # Non-polynomial eps(x) FIELD identification: neural field trained
+    # jointly, then the two-phase direct linear fit on the frozen solution
+    # (inverse.fit_epsilon_field).  Data-rich regime (39 stations x 20
+    # readings, lossb_weight 1e3) — the measured configuration where the
+    # fit halves the joint plateau (MEASUREMENTS.md).
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpvpinns_tpu.inverse import fit_epsilon_field
+    from hpvpinns_tpu.problems import advdiff
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", epsilon_model="mlp", epsilon_init=0.1, epsilon_reg=1e-2,
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 39)),
+        n_sensors_per_station=20, lossb_weight=1e3,
+        train=hv.TrainConfig(
+            iterations=4000 // q, lbfgs_iterations=4000 // q, check_every=500,
+        ),
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn)
+    t0 = time.perf_counter()
+    res = hv.train(prob, verbose=False)
+    wall = time.perf_counter() - t0
+    xs = np.linspace(*cfg.domain_x, 513)
+    et = np.asarray(eps_fn(xs))
+    ej = np.asarray(
+        prob.extras["eps_of"](res.eval_params, xs.reshape(-1, 1))
+    ).reshape(-1)
+    _, eps_hat, info = fit_epsilon_field(prob, res.eval_params, order=6, reg=1e-3)
+    ef = np.asarray(eps_hat(xs)).reshape(-1)
+    records.append({
+        "config": "advdiff_eps_field_twophase_f64cpu",
+        "dtype": "float64",
+        "iterations": res.iterations_run,
+        "wall_s": round(wall, 2),
+        "steps_per_sec": round(res.steps_per_sec, 1),
+        "final_loss": res.final_aux.get("loss"),
+        **hv.evaluate_problem(prob, res.params),
+        "eps_field_rel_l2_joint": float(np.linalg.norm(ej - et) / np.linalg.norm(et)),
+        "eps_field_rel_l2_fit": float(np.linalg.norm(ef - et) / np.linalg.norm(et)),
+        "fit_order": 6,
+        "fit_reg": 1e-3,
+    })
     return records
 
 
