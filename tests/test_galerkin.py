@@ -115,3 +115,73 @@ def test_vpinn_gap_2d_report():
     assert gap["rel_l2_galerkin_vs_exact"] < 5e-3
     assert gap["rel_l2_galerkin_vs_exact"] < gap["rel_l2_net_vs_exact"]
     assert abs(gap["rel_l2_net_vs_galerkin"] - gap["rel_l2_net_vs_exact"]) < 0.05
+
+
+def test_solve_advdiff_matches_fourier_benchmark():
+    """Direct space-time solve vs the 800-term Fourier series
+    (AdvDiff.py:416-445): agreement to the SERIES' own f64 accuracy (~1e-5;
+    its exp(V/2D) prefactor costs ~11 digits of cancellation at the
+    benchmark Peclet — the solver's self-convergence is ~1e-8)."""
+    from hpvpinns_tpu.galerkin import solve_advdiff
+    from hpvpinns_tpu.problems.advdiff import u_exact
+
+    eps, V = 0.1 / np.pi, 1.0
+    axis = Interval1D.uniform(-1.0, 1.0, 1)
+    xs = np.linspace(-1, 1, 81)
+    ts = np.linspace(0, 1, 11)
+    X, T = np.meshgrid(xs, ts)
+    u40 = solve_advdiff(axis, 40, lambda x: -np.sin(np.pi * x), eps, V)(X, T)
+    ue = u_exact(X.reshape(-1, 1), T.reshape(-1, 1), eps, V, 800).reshape(X.shape)
+    assert np.linalg.norm(u40 - ue) / np.linalg.norm(ue) < 5e-5
+    # self-convergence well below the series' accuracy
+    u52 = solve_advdiff(axis, 52, lambda x: -np.sin(np.pi * x), eps, V)(X, T)
+    assert np.linalg.norm(u40 - u52) / np.linalg.norm(u52) < 1e-6
+    # exact initial condition at t = 0 (L2 projection at p = 40)
+    assert np.max(np.abs(u40[0] + np.sin(np.pi * xs))) < 1e-8
+
+
+def test_solve_advdiff_forced_variable_coefficients():
+    """Manufactured forced problem with VARIABLE eps(x) and V(x) — beyond
+    the reference's closed form: spectral accuracy via the Duhamel path."""
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.galerkin import solve_advdiff
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    v_fn = lambda x: 1.0 + 0.3 * x  # noqa: E731
+    h = np.pi / 2
+
+    def f_fn(X, T):
+        return np.exp(-T) * (
+            -np.cos(h * X)
+            - np.asarray(v_fn(X)) * h * np.sin(h * X)
+            + np.asarray(eps_fn(X)) * h * h * np.cos(h * X)
+        )
+
+    axis = Interval1D.uniform(-1.0, 1.0, 1)
+    sol = solve_advdiff(axis, 30, lambda x: np.cos(h * x), eps_fn, v_fn, f_fn=f_fn)
+    xs = np.linspace(-1, 1, 81)
+    ts = np.linspace(0, 1, 11)
+    X, T = np.meshgrid(xs, ts)
+    ug = sol(X, T)
+    ut = np.cos(h * X) * np.exp(-T)
+    assert np.linalg.norm(ug - ut) / np.linalg.norm(ut) < 1e-8
+
+
+def test_vpinn_gap_advdiff_report():
+    from hpvpinns_tpu.galerkin import vpinn_gap_advdiff
+
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", inverse=False,
+        train=hv.TrainConfig(iterations=400, lbfgs_iterations=200, check_every=200),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    gap = vpinn_gap_advdiff(prob, res.eval_params, p=36, n_points=61)
+    assert gap["rel_l2_galerkin_vs_exact"] < 1e-4  # series-accuracy floor
+    assert gap["rel_l2_net_vs_galerkin"] == pytest.approx(
+        gap["rel_l2_net_vs_exact"], rel=0.05
+    )
+    p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff"):
+        vpinn_gap_advdiff(p1, p1.init_params(__import__("jax").random.key(0)))
