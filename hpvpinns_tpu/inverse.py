@@ -136,3 +136,119 @@ def fit_epsilon_field(problem, params, order: int = 8, reg: float = 0.0, u_fn=No
         legendre_field(coef, cfg.domain_x),
         {"residual_before": res_before, "residual_after": res_after, "order": order},
     )
+
+
+def fit_coefficient_fields(
+    problem, params, eps_order: int = 6, vel_order: int = 0,
+    reg: float = 0.0, u_fn=None,
+):
+    """Jointly recover eps(x) AND V(x) by ONE linear least-squares solve.
+
+    With u frozen, the form-1 weak residual is affine in BOTH coefficient
+    fields (eps enters through the diffusion IBP pair, V through the
+    advection term) — so simultaneous identification of the two Legendre
+    expansions is still a single lstsq, something the joint-optimization
+    route cannot decouple.  `vel_order=0` freezes the velocity at the
+    problem's own (trainable or true) field and reduces to
+    fit_epsilon_field's problem.
+
+    IDENTIFIABILITY CAP (measured, tests/test_manufactured_advdiff.py): the
+    non-divergence weak form aliases V(x) against -d(eps)/dx — both multiply
+    phi * u_x; only the ∫ eps phi' u_x term separates them.  Joint recovery
+    is accurate for LOW-order velocity blocks (vel_order <= 2, i.e. constant
+    / linear shear — oracle-u errors 7e-3/9e-5 at (8,2) with reg ~1e-6) and
+    degrades sharply for vel_order >= 3, where whole eps-mode directions
+    become near-null.  For richer velocity fields, identify V first (the
+    manufactured-forcing optimization route) and pass vel_order=0.
+
+    Returns (eps_coef, eps_fn, vel_coef, vel_fn, info); vel_coef/vel_fn are
+    None when vel_order=0.  Tikhonov `reg` penalizes the derivative energy
+    of BOTH fields (scale-matched per block).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.ops.contract import contract_2d
+    from hpvpinns_tpu.ops.fields import scalar_fields_2d
+
+    if problem.name != "advdiff":
+        raise ValueError(f"fit_coefficient_fields supports advdiff problems, got {problem.name!r}")
+    cfg = problem.config
+    el = problem.data["elements"]
+    bx, bt = problem.data["basis_x"], problem.data["basis_t"]
+
+    if u_fn is None:
+        u_fn = lambda X: problem.apply(params, X)
+    flds = jax.jit(lambda x, y: scalar_fields_2d(u_fn, x, y, first_y_only=True))(el.x, el.y)
+    ut = np.asarray(flds["uy"], dtype=np.float64)
+    ux = np.asarray(flds["ux"], dtype=np.float64)
+
+    x = np.asarray(el.x, dtype=np.float64)
+    a_dom, b_dom = cfg.domain_x
+    half = (b_dom - a_dom) / 2.0
+    xi = (x - (a_dom + b_dom) / 2.0) / half
+    n_modes = max(eps_order, vel_order)
+    P = jacobi_all(n_modes - 1, 0.0, 0.0, xi)
+    dP = np.stack([djacobi(j, 0.0, 0.0, xi, 1) / half for j in range(n_modes)])
+
+    jac = (np.asarray(el.jac_x) * np.asarray(el.jac_y)).astype(np.float64)[:, None, None]
+    jt = np.asarray(el.jac_y, dtype=np.float64)[:, None, None]
+    wphi_x = np.asarray(bx.wphi, dtype=np.float64)
+    wdphi_x = np.asarray(bx.wdphi, dtype=np.float64)
+    wphi_t = np.asarray(bt.wphi, dtype=np.float64)
+    mask = np.asarray(el.mask, dtype=np.float64)
+
+    def C(bxm, btm, g):
+        return np.asarray(contract_2d(jnp.asarray(bxm), jnp.asarray(btm), jnp.asarray(g)))
+
+    if vel_order > 0:
+        # rhs holds only the coefficient-free physics (time derivative)
+        b_vec = (np.asarray(el.f_proj, dtype=np.float64) - jac * C(wphi_x, wphi_t, ut)) * mask
+    else:
+        v_of = problem.extras.get("v_of")
+        V = np.asarray(v_of(params, el.x), dtype=np.float64) if v_of else cfg.velocity
+        b_vec = (
+            np.asarray(el.f_proj, dtype=np.float64) - jac * C(wphi_x, wphi_t, ut + V * ux)
+        ) * mask
+
+    cols, blocks = [], []
+    for j in range(eps_order):  # diffusion block (IBP pair)
+        Aj = jac * C(wphi_x, wphi_t, dP[j] * ux) + jt * C(wdphi_x, wphi_t, P[j] * ux)
+        cols.append((Aj * mask).reshape(-1))
+    blocks.append(("eps", eps_order))
+    for j in range(vel_order):  # advection block
+        Aj = jac * C(wphi_x, wphi_t, P[j] * ux)
+        cols.append((Aj * mask).reshape(-1))
+    if vel_order:
+        blocks.append(("vel", vel_order))
+    A = np.stack(cols, axis=1)
+    b_flat = b_vec.reshape(-1)
+
+    # Column equilibration: the eps block's columns are O(eps/V) ~ 30x
+    # smaller than the velocity block's (the coefficient SCALES differ), so
+    # raw lstsq + any uniform penalty crushes the diffusion signal.  Solve
+    # in unit-column scaling, then unscale.
+    col_scale = np.linalg.norm(A, axis=0)
+    col_scale[col_scale == 0] = 1.0
+    A_s = A / col_scale[None, :]
+
+    if reg > 0:
+        lam = reg * (A_s * A_s).sum() / max(A.shape[0], 1)
+        L = np.sqrt(lam) * np.eye(A.shape[1])
+        A_aug = np.vstack([A_s, L])
+        b_aug = np.concatenate([b_flat, np.zeros(A.shape[1])])
+    else:
+        A_aug, b_aug = A_s, b_flat
+
+    coef, *_ = np.linalg.lstsq(A_aug, b_aug, rcond=None)
+    coef = coef / col_scale
+    eps_coef = coef[:eps_order]
+    info = {
+        "residual_before": float(np.linalg.norm(b_flat)),
+        "residual_after": float(np.linalg.norm(A @ coef - b_flat)),
+        "eps_order": eps_order,
+        "vel_order": vel_order,
+    }
+    vel_coef = coef[eps_order:] if vel_order else None
+    vel_fn = legendre_field(vel_coef, cfg.domain_x) if vel_order else None
+    return eps_coef, legendre_field(eps_coef, cfg.domain_x), vel_coef, vel_fn, info

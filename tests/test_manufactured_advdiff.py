@@ -268,3 +268,50 @@ def test_two_phase_field_fit_regularization_and_validation():
     p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff"):
         fit_epsilon_field(p1, p1.init_params(jax.random.key(0)))
+
+
+def test_joint_field_fit_oracle_and_aliasing_cap():
+    """fit_coefficient_fields: joint (eps(x), V(x)) recovery from one
+    lstsq at oracle u — accurate for vel_order <= 2; the measured V vs
+    -eps_x aliasing degrades higher joint orders (documented cap)."""
+    from hpvpinns_tpu.inverse import fit_coefficient_fields
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    v_fn = lambda x: 1.0 + 0.3 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(dtype="float64", n_quad=24, n_test_x=14, n_test_t=8)
+    u_fn, f_fn = advdiff.make_manufactured(cfg, v_fn, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=v_fn)
+    params = prob.init_params(jax.random.key(0))
+    oracle = lambda X: jnp.cos(jnp.pi / 2 * X[:, 0:1]) * jnp.exp(-X[:, 1:2])  # noqa: E731
+
+    xs = np.linspace(-1.0, 1.0, 513)
+    et = np.asarray(eps_fn(xs))
+    vt = np.asarray(v_fn(xs))
+    _, ef, _, vf, info = fit_coefficient_fields(
+        prob, params, eps_order=8, vel_order=2, reg=1e-6, u_fn=oracle
+    )
+    eps_err = np.linalg.norm(np.asarray(ef(xs)) - et) / np.linalg.norm(et)
+    vel_err = np.linalg.norm(np.asarray(vf(xs)) - vt) / np.linalg.norm(vt)
+    assert eps_err < 0.03
+    assert vel_err < 1e-3
+    assert info["residual_after"] <= info["residual_before"]
+
+    # vel_order=0 path: reduces to the eps-only fit against the frozen V
+    _, ef0, vc0, vf0, _ = fit_coefficient_fields(
+        prob, params, eps_order=8, vel_order=0, u_fn=oracle
+    )
+    assert vc0 is None and vf0 is None
+    eps_err0 = np.linalg.norm(np.asarray(ef0(xs)) - et) / np.linalg.norm(et)
+    assert eps_err0 < 0.01
+
+    # the measured aliasing cap: a rich joint basis is NOT identifiable
+    _, ef4, _, _, _ = fit_coefficient_fields(
+        prob, params, eps_order=8, vel_order=4, reg=1e-6, u_fn=oracle
+    )
+    eps_err4 = np.linalg.norm(np.asarray(ef4(xs)) - et) / np.linalg.norm(et)
+    assert eps_err4 > 10 * eps_err  # documented degradation
+
+    from hpvpinns_tpu.problems import poisson1d
+    p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff"):
+        fit_coefficient_fields(p1, p1.init_params(jax.random.key(0)))
