@@ -169,7 +169,46 @@ def parity_records(q: int):
         "fit_order": 6,
         "fit_reg": 1e-3,
     })
+
+    records.append(als_field_record())
     return records
+
+
+def als_field_record():
+    """Network-free alternating-linear identification (inverse.als_identify)
+    on the same truth/sensing as the neural field rows: the clean-dense-data
+    champion (measured ~150x below the neural plateau, MEASUREMENTS.md)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpvpinns_tpu.inverse import als_identify
+    from hpvpinns_tpu.problems import advdiff
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", n_quad=24, n_test_x=14, n_test_t=10,
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 19)),
+        n_sensors_per_station=20,
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn)
+    t0 = time.perf_counter()
+    uf, _, ef, _ = als_identify(prob, iters=3)
+    wall = time.perf_counter() - t0
+    xs = np.linspace(*cfg.domain_x, 513)
+    et = np.asarray(eps_fn(xs))
+    eh = np.asarray(ef(xs)).reshape(-1)
+    u_hat = uf(prob.test_points).reshape(-1)
+    u_tr = np.asarray(prob.test_values).reshape(-1)
+    return {
+        "config": "advdiff_eps_field_als_f64cpu",
+        "dtype": "float64",
+        "wall_s": round(wall, 2),
+        "rel_l2": float(np.linalg.norm(u_hat - u_tr) / np.linalg.norm(u_tr)),
+        "eps_field_rel_l2_fit": float(np.linalg.norm(eh - et) / np.linalg.norm(et)),
+        "method": "als (no network)",
+    }
 
 
 def merge_into(out_path: str, records):

@@ -315,3 +315,55 @@ def test_joint_field_fit_oracle_and_aliasing_cap():
     p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff"):
         fit_coefficient_fields(p1, p1.init_params(jax.random.key(0)))
+
+
+def test_als_identify_network_free_field_recovery():
+    """inverse.als_identify: alternating linear least squares (no network)
+    recovers a non-polynomial eps(x) to ~4e-4 from clean dense sensing —
+    measured ~150x below the neural-route plateau (MEASUREMENTS.md)."""
+    from hpvpinns_tpu.inverse import als_identify
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", n_quad=24, n_test_x=14, n_test_t=10,
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 19)),
+        n_sensors_per_station=20,
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn)
+    uf, coef, ef, info = als_identify(prob, iters=3)
+    xs = np.linspace(-1.0, 1.0, 513)
+    et = np.asarray(eps_fn(xs))
+    err = np.linalg.norm(np.asarray(ef(xs)) - et) / np.linalg.norm(et)
+    assert err < 2e-3
+    u_hat = uf(prob.test_points).reshape(-1)
+    u_tr = np.asarray(prob.test_values).reshape(-1)
+    assert np.linalg.norm(u_hat - u_tr) / np.linalg.norm(u_tr) < 1e-6
+    assert len(info["eps_coef_history"]) == 3
+
+    from hpvpinns_tpu.problems import poisson1d
+    p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff"):
+        als_identify(p1)
+
+
+def test_als_identify_multi_element_grid():
+    """The global spectral u-basis composes with any element grid: the weak
+    rows come from the problem's per-element test space."""
+    from hpvpinns_tpu.inverse import als_identify
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", n_quad=14, n_test_x=8, n_test_t=6,
+        n_elements_x=2, n_elements_t=2,
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 19)),
+        n_sensors_per_station=20,
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn)
+    _, _, ef, _ = als_identify(prob, iters=3)
+    xs = np.linspace(-1.0, 1.0, 513)
+    et = np.asarray(eps_fn(xs))
+    assert np.linalg.norm(np.asarray(ef(xs)) - et) / np.linalg.norm(et) < 2e-3
