@@ -171,7 +171,31 @@ def parity_records(q: int):
     })
 
     records.append(als_field_record())
+    records.append(reduced_scalar_record())
     return records
+
+
+def reduced_scalar_record():
+    """Reduced-formulation scalar identification on the reference's own
+    benchmark and sensor layout (inverse.reduced_identify): eps to ~1e-8 in
+    ~16 exact forward solves — vs the Adam route's ~2e-2 at record budgets."""
+    from hpvpinns_tpu.inverse import reduced_identify
+
+    prob = hv.build(replace(hv.advdiff_of_record(), dtype="float64"))
+    t0 = time.perf_counter()
+    coef, _, info = reduced_identify(prob)
+    wall = time.perf_counter() - t0
+    et = prob.extras["eps_true"]
+    return {
+        "config": "advdiff_reduced_scalar_f64cpu",
+        "dtype": "float64",
+        "wall_s": round(wall, 2),
+        "epsilon": float(coef[0]),
+        "epsilon_true": et,
+        "epsilon_rel_err": abs(float(coef[0]) - et) / et,
+        "n_forward_solves": info["n_solves"],
+        "method": "reduced (brent over exact forward solves; no network)",
+    }
 
 
 def als_field_record():

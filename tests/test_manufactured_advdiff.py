@@ -367,3 +367,23 @@ def test_als_identify_multi_element_grid():
     xs = np.linspace(-1.0, 1.0, 513)
     et = np.asarray(eps_fn(xs))
     assert np.linalg.norm(np.asarray(ef(xs)) - et) / np.linalg.norm(et) < 2e-3
+
+
+def test_reduced_identify_scalar_machine_precision():
+    """inverse.reduced_identify: Brent over exact forward solves identifies
+    the BENCHMARK's scalar eps to ~1e-8 from the reference's own 15-sensor
+    layout (the Adam route plateaus ~1e-2 at record budgets)."""
+    from hpvpinns_tpu.inverse import reduced_identify
+
+    prob = hv.build(hv.AdvDiffConfig(dtype="float64"))
+    coef, eps_fn, info = reduced_identify(prob)
+    et = prob.extras["eps_true"]
+    assert abs(coef[0] - et) / et < 1e-6
+    assert info["method"] == "brent-bounded"
+    assert info["n_solves"] < 40  # Brent, not a sweep
+    assert float(np.asarray(eps_fn(np.zeros(1)))[0]) == pytest.approx(coef[0])
+
+    from hpvpinns_tpu.problems import poisson1d
+    p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff"):
+        reduced_identify(p1)
