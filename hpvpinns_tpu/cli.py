@@ -210,6 +210,30 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
     ad.add_argument("--outdir", default="results/adapt")
 
+    idf = sub.add_parser(
+        "identify",
+        help="NETWORK-FREE coefficient identification (advdiff): 'reduced' "
+        "Brent-searches a scalar eps with the exact Galerkin forward solver "
+        "in the loop (benchmark eps to ~1e-8 in ~16 solves); 'als' "
+        "alternates two linear solves for a FIELD eps(x) (4e-4 on clean "
+        "dense sensing) — both f64 CPU, seconds not minutes",
+    )
+    idf.add_argument("problem", choices=["advdiff"])
+    idf.add_argument("--method", choices=["reduced", "als"], default="reduced")
+    idf.add_argument("--eps-order", type=int, default=None, dest="eps_order",
+                     help="Legendre modes (als field fit; default 8)")
+    idf.add_argument("--stations", type=int, default=None,
+                     help="N sensor stations on a uniform interior grid "
+                     "(default: the reference's 3-station layout)")
+    idf.add_argument("--sensors-per-station", type=int, dest="sensors_per_station")
+    idf.add_argument("--noise", type=float, dest="sensor_noise_std")
+    idf.add_argument("--manufactured-velocity", dest="manufactured_velocity",
+                     metavar="C0,C1[,C2]")
+    idf.add_argument("--manufactured-epsilon", dest="manufactured_epsilon",
+                     metavar="EPS | sin:A,B")
+    idf.add_argument("--manufactured-profile", choices=["sin", "cos"],
+                     default=None, dest="manufactured_profile")
+
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
     sw.add_argument("problem", choices=["poisson1d", "poisson2d"])
     sw.add_argument("--axis", choices=["h", "p"], required=True)
@@ -310,6 +334,102 @@ def _maybe_enable_x64(dtype: str):
             pass
 
 
+def _advdiff_problem_from_args(cfg, args):
+    """Build the (possibly manufactured) problem for run/identify: the
+    --manufactured-velocity/epsilon/profile flags pose the FORCED equation
+    with a known truth; otherwise the benchmark problem is built."""
+    import hpvpinns_tpu as hv
+
+    manu = getattr(args, "manufactured_velocity", None)
+    if getattr(args, "manufactured_epsilon", None) and not manu:
+        raise SystemExit("--manufactured-epsilon requires --manufactured-velocity")
+    if not manu:
+        return hv.build(cfg)
+    from hpvpinns_tpu.problems import advdiff as _advdiff
+
+    coef = tuple(float(c) for c in manu.split(","))
+    vfn = lambda x: sum(c * x**i for i, c in enumerate(coef))  # noqa: E731
+    eps_spec = getattr(args, "manufactured_epsilon", None)
+    eps_arg, eps_field_fn = None, None
+    if eps_spec:
+        if eps_spec.startswith("sin:"):
+            import jax.numpy as _jnp
+
+            a, b = (float(c) for c in eps_spec[4:].split(","))
+            eps_field_fn = lambda x: a * (1.0 + b * _jnp.sin(_jnp.pi * x))  # noqa: E731
+            eps_arg = eps_field_fn
+        else:
+            eps_arg = float(eps_spec)
+    profile = getattr(args, "manufactured_profile", None) or "sin"
+    u_fn, f_fn = _advdiff.make_manufactured(cfg, vfn, epsilon=eps_arg, profile=profile)
+    return _advdiff.build(
+        cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_field_fn
+    )
+
+
+def cmd_identify(args) -> int:
+    import numpy as np
+
+    import hpvpinns_tpu as hv
+
+    _enable_compile_cache()
+    cfg = hv.advdiff_of_record()
+    over = {"dtype": "float64"}
+    if args.method == "als":
+        # the spectral u-solve needs a test space rich enough to constrain
+        # its 16x12 tensor basis (the of-record 5x5 space cannot); the
+        # validated assembly resolution from MEASUREMENTS.md
+        over.update(n_quad=24, n_test_x=14, n_test_t=10)
+    if args.stations:
+        over["sensor_stations"] = tuple(
+            float(s) for s in np.linspace(-0.95, 0.95, args.stations)
+        )
+    if args.sensors_per_station:
+        over["n_sensors_per_station"] = args.sensors_per_station
+    if args.sensor_noise_std is not None:
+        over["sensor_noise_std"] = args.sensor_noise_std
+    cfg = dataclasses.replace(cfg, **over)
+    _maybe_enable_x64(cfg.dtype)
+    prob = _advdiff_problem_from_args(cfg, args)
+
+    import time as _time
+
+    t0 = _time.perf_counter()
+    summary = {"problem": "advdiff", "method": args.method}
+    if args.method == "reduced":
+        from hpvpinns_tpu.inverse import reduced_identify
+
+        order = args.eps_order or 1
+        coef, eps_fn, info = reduced_identify(prob, eps_order=order)
+        summary.update(
+            epsilon=float(coef[0]) if order == 1 else None,
+            eps_coef=[float(c) for c in coef],
+            n_forward_solves=info["n_solves"],
+            misfit=info["misfit"],
+        )
+        if order == 1:
+            et = prob.extras["eps_true"]
+            summary["epsilon_true"] = et
+            summary["epsilon_rel_err"] = abs(float(coef[0]) - et) / et
+    else:
+        from hpvpinns_tpu.inverse import als_identify
+
+        order = args.eps_order or 8
+        u_fn, coef, eps_fn, info = als_identify(prob, eps_order=order)
+        summary["eps_coef"] = [float(c) for c in coef]
+    efn = prob.extras.get("epsilon_fn")
+    if efn is not None:
+        xs = np.linspace(*cfg.domain_x, 513)
+        et_x = np.asarray(efn(xs)).reshape(-1)
+        eh = np.asarray(eps_fn(xs)).reshape(-1)
+        summary["eps_field_rel_l2"] = float(
+            np.linalg.norm(eh - et_x) / np.linalg.norm(et_x)
+        )
+    summary["wall_time_s"] = round(_time.perf_counter() - t0, 2)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_run(args) -> int:
     import hpvpinns_tpu as hv
 
@@ -317,32 +437,7 @@ def cmd_run(args) -> int:
 
     cfg = _config_from_args(args)
     _maybe_enable_x64(cfg.dtype)
-    manu = getattr(args, "manufactured_velocity", None)
-    if getattr(args, "manufactured_epsilon", None) and not manu:
-        raise SystemExit("--manufactured-epsilon requires --manufactured-velocity")
-    if manu:
-        from hpvpinns_tpu.problems import advdiff as _advdiff
-
-        coef = tuple(float(c) for c in manu.split(","))
-        vfn = lambda x: sum(c * x**i for i, c in enumerate(coef))  # noqa: E731
-        eps_spec = getattr(args, "manufactured_epsilon", None)
-        eps_arg, eps_field_fn = None, None
-        if eps_spec:
-            if eps_spec.startswith("sin:"):
-                import jax.numpy as _jnp
-
-                a, b = (float(c) for c in eps_spec[4:].split(","))
-                eps_field_fn = lambda x: a * (1.0 + b * _jnp.sin(_jnp.pi * x))  # noqa: E731
-                eps_arg = eps_field_fn
-            else:
-                eps_arg = float(eps_spec)
-        profile = getattr(args, "manufactured_profile", None) or "sin"
-        u_fn, f_fn = _advdiff.make_manufactured(cfg, vfn, epsilon=eps_arg, profile=profile)
-        prob = _advdiff.build(
-            cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_field_fn
-        )
-    else:
-        prob = hv.build(cfg)
+    prob = _advdiff_problem_from_args(cfg, args)
     mesh = None
     if args.mesh:
         from hpvpinns_tpu.parallel.sharding import element_mesh
@@ -504,6 +599,8 @@ def main(argv=None) -> int:
         return cmd_sweep(args)
     if args.command == "adapt":
         return cmd_adapt(args)
+    if args.command == "identify":
+        return cmd_identify(args)
     return cmd_run(args)
 
 

@@ -130,3 +130,27 @@ def test_cli_manufactured_velocity_field(capsys):
     assert summary["problem"] == "advdiff"
     assert len(summary["vel_coef"]) == 2
     assert abs(summary["velocity_true"] - 1.0) < 1e-9  # mean of 1 + 0.3x
+
+
+def test_identify_cli_reduced_and_als(capsys):
+    """identify: network-free identification one-liners (reduced scalar on
+    the benchmark; als field on a manufactured truth)."""
+    import json
+
+    from hpvpinns_tpu.cli import main
+
+    rc = main("identify advdiff".split())
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["method"] == "reduced"
+    assert s["epsilon_rel_err"] < 1e-6
+    assert s["n_forward_solves"] < 40
+
+    rc = main(
+        "identify advdiff --method als --stations 19 --sensors-per-station 20 "
+        "--manufactured-velocity 1.0 --manufactured-epsilon sin:0.0318,0.5 "
+        "--manufactured-profile cos".split()
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["eps_field_rel_l2"] < 2e-3
