@@ -233,6 +233,10 @@ def build_parser() -> argparse.ArgumentParser:
                      metavar="EPS | sin:A,B")
     idf.add_argument("--manufactured-profile", choices=["sin", "cos"],
                      default=None, dest="manufactured_profile")
+    idf.add_argument("--identify-velocity", action="store_true",
+                     dest="identify_velocity",
+                     help="reduced method: ALSO identify the scalar advection "
+                     "velocity (joint Nelder-Mead over exact solves)")
 
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
     sw.add_argument("problem", choices=["poisson1d", "poisson2d"])
@@ -400,13 +404,19 @@ def cmd_identify(args) -> int:
         from hpvpinns_tpu.inverse import reduced_identify
 
         order = args.eps_order or 1
-        coef, eps_fn, info = reduced_identify(prob, eps_order=order)
+        coef, eps_fn, info = reduced_identify(
+            prob, eps_order=order,
+            identify_velocity=getattr(args, "identify_velocity", False),
+        )
         summary.update(
             epsilon=float(coef[0]) if order == 1 else None,
             eps_coef=[float(c) for c in coef],
             n_forward_solves=info["n_solves"],
             misfit=info["misfit"],
         )
+        if "velocity" in info:
+            summary["velocity"] = info["velocity"]
+            summary["velocity_true"] = prob.extras["velocity_true"]
         if order == 1:
             et = prob.extras["eps_true"]
             summary["epsilon_true"] = et

@@ -387,3 +387,18 @@ def test_reduced_identify_scalar_machine_precision():
     p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff"):
         reduced_identify(p1)
+
+
+def test_reduced_identify_joint_eps_velocity():
+    """identify_velocity=True: joint (eps, V) scalars by Nelder-Mead over
+    exact forward solves — both to ~1e-7-class from the benchmark's own
+    15 sensors (the joint-optimization route: 7.5e-2 / 5e-3)."""
+    from hpvpinns_tpu.inverse import reduced_identify
+
+    prob = hv.build(hv.AdvDiffConfig(dtype="float64"))
+    coef, _, info = reduced_identify(prob, identify_velocity=True, p=36)
+    et = prob.extras["eps_true"]
+    assert abs(coef[0] - et) / et < 1e-5
+    assert abs(info["velocity"] - 1.0) < 1e-6
+    with pytest.raises(ValueError, match="eps_order"):
+        reduced_identify(prob, eps_order=2, identify_velocity=True)
