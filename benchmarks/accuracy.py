@@ -172,7 +172,30 @@ def parity_records(q: int):
 
     records.append(als_field_record())
     records.append(reduced_scalar_record())
+    records.append(reduced_2d_record())
     return records
+
+
+def reduced_2d_record():
+    """Reduced identification of all three advdiff2d scalars with the
+    tensor-product direct solver in the loop (inverse.reduced_identify2d)."""
+    from hpvpinns_tpu.inverse import reduced_identify2d
+
+    prob = hv.build(hv.AdvDiff2DConfig(dtype="float64"))
+    t0 = time.perf_counter()
+    coef, info = reduced_identify2d(prob, p=12, maxiter=300)
+    wall = time.perf_counter() - t0
+    et = prob.extras["eps_true"]
+    return {
+        "config": "advdiff2d_reduced_f64cpu",
+        "dtype": "float64",
+        "wall_s": round(wall, 2),
+        "epsilon_rel_err": abs(float(coef[0]) - et) / et,
+        "vx_rel_err": abs(float(coef[1]) - 1.0),
+        "vy_rel_err": abs(float(coef[2]) - 0.5) / 0.5,
+        "n_forward_solves": info["n_solves"],
+        "method": "reduced (nelder-mead over exact tensor solves; no network)",
+    }
 
 
 def reduced_scalar_record():

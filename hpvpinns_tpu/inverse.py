@@ -563,3 +563,67 @@ def reduced_identify(
 
     eps_fn = legendre_field(coef, cfg.domain_x)
     return coef, eps_fn, {"misfit": mis, "n_solves": n_solves[0], "method": method}
+
+
+def reduced_identify2d(
+    problem,
+    p: int = 12,
+    x0=None,
+    xatol: float = 1e-10,
+    maxiter: int = 400,
+):
+    """Reduced-formulation identification for the 2D space-time family:
+    Nelder-Mead over (eps, vx, vy) with the exact tensor-product forward
+    solver (galerkin.solve_advdiff2d) in the inner loop, minimizing the
+    interior-sensor misfit.  The 3-scalar outer problem stays derivative-
+    free-tractable (a few hundred exact solves).
+
+    Returns (coef [eps, vx, vy], info).  Requires homogeneous side walls
+    (the advdiff2d family's manufactured problem satisfies them).
+    """
+    from hpvpinns_tpu.galerkin import solve_advdiff2d
+
+    if problem.name != "advdiff2d":
+        raise ValueError(f"reduced_identify2d supports advdiff2d problems, got {problem.name!r}")
+    cfg = problem.config
+    mesh = problem.extras["mesh"]
+    f_fn = problem.extras["f_rhs"]
+    exact = problem.exact
+    u0 = lambda X, Y: np.asarray(exact(X, Y, np.zeros_like(X)))  # noqa: E731
+
+    Xb = np.asarray(problem.data["xb"], dtype=np.float64)
+    ub = np.asarray(problem.data["ub"], dtype=np.float64).reshape(-1)
+    (ax, bx_), (ay, by_) = cfg.domain_x, cfg.domain_y
+    sel = (
+        (Xb[:, 2] > 1e-12)
+        & (Xb[:, 0] > ax + 1e-12) & (Xb[:, 0] < bx_ - 1e-12)
+        & (Xb[:, 1] > ay + 1e-12) & (Xb[:, 1] < by_ - 1e-12)
+    )
+    Xs, ds = Xb[sel], ub[sel]
+    if Xs.shape[0] == 0:
+        raise ValueError("problem has no interior sensors — nothing to identify from")
+
+    n_solves = [0]
+    _d0 = float(np.sum(ds**2)) + 1.0
+
+    def misfit(z):
+        eps_c, vx_c, vy_c = (float(v) for v in z)
+        if eps_c <= 0:
+            return _d0 * (1.0 + abs(eps_c))
+        sol = solve_advdiff2d(
+            mesh.axis_x, mesh.axis_y, p, u0, eps_c, vx_c, vy_c, f_fn=f_fn
+        )
+        n_solves[0] += 1
+        return float(np.sum((sol(Xs[:, 0], Xs[:, 1], Xs[:, 2]) - ds) ** 2))
+
+    from scipy.optimize import minimize
+
+    if x0 is None:
+        x0 = [0.5, 0.5, 0.5]
+    res = minimize(
+        misfit, np.asarray(x0, dtype=np.float64), method="Nelder-Mead",
+        options={"xatol": xatol, "fatol": 1e-20, "maxiter": maxiter},
+    )
+    return np.asarray(res.x), {
+        "misfit": float(res.fun), "n_solves": n_solves[0], "method": "nelder-mead"
+    }

@@ -185,3 +185,53 @@ def test_vpinn_gap_advdiff_report():
     p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff"):
         vpinn_gap_advdiff(p1, p1.init_params(__import__("jax").random.key(0)))
+
+
+def test_solve_advdiff2d_spectral_and_gap():
+    """2D space-time tensor solver: spectral in p against the manufactured
+    exact; the separable-forcing closed-form Duhamel is exercised (the
+    family's forcing is e^{-t} g)."""
+    from hpvpinns_tpu.galerkin import solve_advdiff2d, vpinn_gap_advdiff2d
+    from hpvpinns_tpu.problems import advdiff2d
+
+    cfg = hv.AdvDiff2DConfig(dtype="float64")
+    eps = cfg.gamma / np.pi
+    vx, vy = cfg.velocity
+    f_fn = advdiff2d.make_forcing(cfg)
+    u0 = lambda X, Y: np.sin(np.pi * X) * np.sin(np.pi * Y)  # noqa: E731
+    ax = Interval1D.uniform(-1.0, 1.0, 1)
+    xs = np.linspace(-1, 1, 13)
+    ts = np.linspace(0, 1, 4)
+    X, Y, T = np.meshgrid(xs, xs, ts, indexing="ij")
+    ue = advdiff2d.u_exact(X, Y, T)
+    errs = {}
+    for p in (8, 12):
+        sol = solve_advdiff2d(ax, ax, p, u0, eps, vx, vy, f_fn=f_fn)
+        ug = sol(X, Y, T)
+        errs[p] = np.linalg.norm(ug - ue) / np.linalg.norm(ue)
+    assert errs[12] < 1e-6
+    assert errs[12] < errs[8] / 100  # spectral decay
+
+    prob = hv.build(hv.AdvDiff2DConfig(
+        dtype="float64", inverse=False,
+        train=hv.TrainConfig(iterations=150, lbfgs_iterations=0, check_every=50),
+    ))
+    res = hv.train(prob, verbose=False)
+    gap = vpinn_gap_advdiff2d(prob, res.eval_params, p=10, n_points=9)
+    assert gap["rel_l2_galerkin_vs_exact"] < 1e-4
+    assert np.isfinite(gap["rel_l2_net_vs_galerkin"])
+    p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
+    import jax as _jax
+    with pytest.raises(ValueError, match="advdiff2d"):
+        vpinn_gap_advdiff2d(p1, p1.init_params(_jax.random.key(0)))
+
+
+def test_exp_decay_detection():
+    from hpvpinns_tpu.galerkin import _detect_exp_decay
+
+    xs = np.linspace(-1, 1, 33)[:, None]
+    f_sep = lambda x, t: np.exp(-2.5 * t) * np.sin(np.pi * x)  # noqa: E731
+    r = _detect_exp_decay(f_sep, (xs,))
+    assert r == pytest.approx(2.5, rel=1e-9)
+    f_non = lambda x, t: np.sin(np.pi * x) * np.exp(-t) + t * x  # noqa: E731
+    assert _detect_exp_decay(f_non, (xs,)) is None
