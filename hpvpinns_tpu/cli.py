@@ -218,7 +218,7 @@ def build_parser() -> argparse.ArgumentParser:
         "alternates two linear solves for a FIELD eps(x) (4e-4 on clean "
         "dense sensing) — both f64 CPU, seconds not minutes",
     )
-    idf.add_argument("problem", choices=["advdiff"])
+    idf.add_argument("problem", choices=["advdiff", "advdiff2d"])
     idf.add_argument("--method", choices=["reduced", "als"], default="reduced")
     idf.add_argument("--eps-order", type=int, default=None, dest="eps_order",
                      help="Legendre modes (als field fit; default 8)")
@@ -377,6 +377,35 @@ def cmd_identify(args) -> int:
     import hpvpinns_tpu as hv
 
     _enable_compile_cache()
+    if args.problem == "advdiff2d":
+        if args.method != "reduced" or getattr(args, "manufactured_velocity", None):
+            raise SystemExit(
+                "identify advdiff2d supports --method reduced on the family's "
+                "own manufactured benchmark"
+            )
+        cfg2 = hv.AdvDiff2DConfig(dtype="float64")
+        if args.sensor_noise_std is not None:
+            cfg2 = dataclasses.replace(cfg2, sensor_noise_std=args.sensor_noise_std)
+        _maybe_enable_x64(cfg2.dtype)
+        import time as _time
+
+        from hpvpinns_tpu.inverse import reduced_identify2d
+
+        prob2 = hv.build(cfg2)
+        t0 = _time.perf_counter()
+        coef, info = reduced_identify2d(prob2)
+        et = prob2.extras["eps_true"]
+        vx_t, vy_t = cfg2.velocity
+        print(json.dumps({
+            "problem": "advdiff2d", "method": "reduced",
+            "epsilon": float(coef[0]), "epsilon_rel_err": abs(float(coef[0]) - et) / et,
+            "vx": float(coef[1]), "vy": float(coef[2]),
+            "vx_rel_err": abs(float(coef[1]) - vx_t) / abs(vx_t),
+            "vy_rel_err": abs(float(coef[2]) - vy_t) / abs(vy_t),
+            "n_forward_solves": info["n_solves"],
+            "wall_time_s": round(_time.perf_counter() - t0, 2),
+        }))
+        return 0
     cfg = hv.advdiff_of_record()
     over = {"dtype": "float64"}
     if args.method == "als":
