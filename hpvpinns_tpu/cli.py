@@ -237,6 +237,9 @@ def build_parser() -> argparse.ArgumentParser:
                      dest="identify_velocity",
                      help="reduced method: ALSO identify the scalar advection "
                      "velocity (joint Nelder-Mead over exact solves)")
+    idf.add_argument("--plots", action="store_true",
+                     help="write the recovered-vs-true eps(x) panel")
+    idf.add_argument("--outdir", default="results/identify")
 
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
     sw.add_argument("problem", choices=["poisson1d", "poisson2d"])
@@ -466,6 +469,13 @@ def cmd_identify(args) -> int:
         )
     summary["wall_time_s"] = round(_time.perf_counter() - t0, 2)
     print(json.dumps(summary))
+    if args.plots:
+        from hpvpinns_tpu import viz
+
+        path = viz.plot_identified_field(
+            eps_fn, args.outdir, eps_true_fn=efn, domain=cfg.domain_x
+        )
+        print(json.dumps({"plots": [path]}))
     return 0
 
 

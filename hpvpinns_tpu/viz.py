@@ -373,3 +373,20 @@ def plot_3d_slices(problem: Problem, params, outdir: str, z_values=None, fmt: st
     plt.close(fig)
     paths.append(path)
     return paths
+
+
+def plot_identified_field(eps_fn, outdir: str, eps_true_fn=None, domain=(-1.0, 1.0), fmt: str = "pdf"):
+    """Recovered eps(x) (and the truth, when known) for the network-free
+    identification routes (cli `identify --plots`)."""
+    plt = _plt()
+    xs = np.linspace(*domain, 512)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(xs, np.asarray(eps_fn(xs)).reshape(-1), "b", label="identified $\\epsilon(x)$")
+    if eps_true_fn is not None:
+        ax.plot(xs, np.asarray(eps_true_fn(xs)).reshape(-1), "r--", label="true $\\epsilon(x)$")
+    ax.set_xlabel("$x$")
+    ax.set_ylabel("$\\epsilon$")
+    ax.legend()
+    path = _save(fig, outdir, "identified_field", fmt)
+    plt.close(fig)
+    return path
