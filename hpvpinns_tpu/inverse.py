@@ -627,3 +627,155 @@ def reduced_identify2d(
     return np.asarray(res.x), {
         "misfit": float(res.fun), "n_solves": n_solves[0], "method": "nelder-mead"
     }
+
+
+def reduced_identify_field(
+    problem,
+    eps_order: int = 8,
+    p: int = 24,
+    eps_init: float = 0.1,
+    maxiter: int = 300,
+):
+    """Differentiable reduced-formulation FIELD identification: eps(x) by
+    gradient-based optimization THROUGH the exact forward solver.
+
+    The semi-discrete operator is rebuilt in jax from fixed basis tensors,
+    propagated with jax.scipy.linalg.expm (differentiable), and the sensor
+    misfit minimized by L-BFGS-B with EXACT jax gradients — the adjoint the
+    derivative-free outer loop lacked.  eps is LOG-parameterized
+    (eps = exp(sum_j s_j P_j)): positive by construction, so no infeasible
+    forward solves.
+
+    Measured regime map (f64 CPU, MEASUREMENTS.md) — this route is the
+    SPARSE- and NOISY-data field champion:
+
+      clean sparse (7x5 sensors):  2.4e-2   (ALS diverges; neural ~0.12)
+      noisy 1e-3, dense (19x20):   9.6e-2   (ALS 0.26)
+      clean dense:                 ~1e-2    (ALS wins there: 4e-4 — its
+                                   weak-form rows act as dense physics
+                                   sensors; the reduced misfit only sees
+                                   the real sensors)
+
+    Requires: homogeneous side walls and forcing that is absent or
+    separable f = e^{-rt} g(x) (auto-detected — all manufactured problems
+    qualify; non-separable forcing raises).
+
+    Returns (s_coef, eps_fn, info); eps_fn evaluates exp(P s) on numpy/jnp
+    arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.linalg import expm as jexpm
+
+    from hpvpinns_tpu.galerkin import _axis_h0_quadrature, _detect_exp_decay
+
+    if problem.name != "advdiff":
+        raise ValueError(
+            f"reduced_identify_field supports advdiff problems, got {problem.name!r}"
+        )
+    cfg = problem.config
+    mesh = problem.extras["mesh"]
+    exact = problem.exact
+    vfn = problem.extras.get("velocity_fn")
+    f_fn = problem.extras.get("f_rhs")
+    a_dom, b_dom = cfg.domain_x
+    half = (b_dom - a_dom) / 2.0
+
+    B, Bx, wq, x_g, point_eval, M = _axis_h0_quadrature(mesh.axis_x, p, 2 * p + 2)
+    V_g = np.asarray(vfn(x_g) if vfn is not None else cfg.velocity, dtype=np.float64)
+    V_g = np.broadcast_to(V_g, x_g.shape)
+
+    xi_g = (x_g - (a_dom + b_dom) / 2.0) / half
+    P_leg = np.asarray(jacobi_all(eps_order - 1, 0.0, 0.0, xi_g))
+    dP_leg = np.stack(
+        [djacobi(j, 0.0, 0.0, xi_g, 1) / half for j in range(eps_order)]
+    )
+    T_adv = (B * (wq * V_g)) @ Bx.T
+    T1 = np.einsum("aq,q,bq->abq", B, wq, Bx)   # eps_x term
+    T2 = np.einsum("aq,q,bq->abq", Bx, wq, Bx)  # eps term
+
+    u0_g = np.asarray(
+        exact(x_g.reshape(-1, 1), np.zeros((x_g.size, 1)))
+    ).reshape(-1)
+    c0 = np.linalg.solve(M, (B * wq) @ u0_g)
+    M_inv = np.linalg.inv(M)
+
+    rate, b_sep = 0.0, np.zeros_like(c0)
+    has_f = f_fn is not None
+    if has_f:
+        rate = _detect_exp_decay(f_fn, (x_g[:, None],))
+        if rate is None:
+            raise ValueError(
+                "reduced_identify_field requires separable forcing "
+                "f = e^{-rt} g(x) (detection failed)"
+            )
+        g0 = np.asarray(f_fn(x_g[:, None], np.zeros((len(x_g), 1)))).reshape(-1)
+        b_sep = np.linalg.solve(M, (B * wq) @ g0)
+
+    Xb = np.asarray(problem.data["xb"], dtype=np.float64)
+    ub = np.asarray(problem.data["ub"], dtype=np.float64).reshape(-1)
+    sel = (Xb[:, 1] > 1e-12) & (Xb[:, 0] > a_dom + 1e-12) & (Xb[:, 0] < b_dom - 1e-12)
+    Xs, ds = Xb[sel], ub[sel]
+    if Xs.shape[0] == 0:
+        raise ValueError("problem has no interior sensors — nothing to identify from")
+    ts_u, ts_inv = np.unique(Xs[:, 1], return_inverse=True)
+    B_s = point_eval(Xs[:, 0])
+
+    J = {k: jnp.asarray(v) for k, v in dict(
+        T_adv=T_adv, T1=T1, T2=T2, Minv=M_inv, c0=c0, b=b_sep,
+        P=P_leg, dP=dP_leg, Bs=B_s, ds=ds, ts=ts_u,
+    ).items()}
+    I = jnp.eye(T_adv.shape[0])
+
+    def misfit(s):
+        eps_q = jnp.exp(J["P"].T @ s)
+        epsx_q = eps_q * (J["dP"].T @ s)
+        Op = (
+            J["T_adv"]
+            + jnp.einsum("abq,q->ab", J["T1"], epsx_q)
+            + jnp.einsum("abq,q->ab", J["T2"], eps_q)
+        )
+        A = -(J["Minv"] @ Op)
+        if has_f:
+            inv_ArI = jnp.linalg.solve(A + rate * I, I)
+
+            def one(t):
+                E_t = jexpm(A * t)
+                return E_t @ J["c0"] + inv_ArI @ (
+                    E_t @ J["b"] - jnp.exp(-rate * t) * J["b"]
+                )
+        else:
+
+            def one(t):
+                return jexpm(A * t) @ J["c0"]
+
+        C = jax.lax.map(one, J["ts"])
+        pred = jnp.einsum("tn,ns->ts", C, J["Bs"])[ts_inv, jnp.arange(len(ds))]
+        return jnp.sum((pred - J["ds"]) ** 2)
+
+    mis_grad = jax.jit(jax.value_and_grad(misfit))
+    from scipy.optimize import minimize
+
+    n_evals = [0]
+
+    def fun(z):
+        v, g = mis_grad(jnp.asarray(z))
+        n_evals[0] += 1
+        return float(v), np.asarray(g)
+
+    x0 = np.zeros(eps_order)
+    x0[0] = np.log(eps_init)
+    res = minimize(
+        fun, x0, jac=True, method="L-BFGS-B",
+        options={"maxiter": maxiter, "ftol": 1e-18, "gtol": 1e-14},
+    )
+    s_coef = np.asarray(res.x)
+
+    def eps_fn(x):
+        xi = (np.asarray(x, dtype=np.float64) - (a_dom + b_dom) / 2.0) / half
+        Pv = np.asarray(jacobi_all(eps_order - 1, 0.0, 0.0, xi.reshape(-1)))
+        return np.exp(Pv.T @ s_coef).reshape(np.shape(x))
+
+    return s_coef, eps_fn, {
+        "misfit": float(res.fun), "n_evals": n_evals[0], "method": "lbfgsb-adjoint",
+    }

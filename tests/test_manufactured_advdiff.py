@@ -402,3 +402,46 @@ def test_reduced_identify_joint_eps_velocity():
     assert abs(info["velocity"] - 1.0) < 1e-6
     with pytest.raises(ValueError, match="eps_order"):
         reduced_identify(prob, eps_order=2, identify_velocity=True)
+
+
+def test_reduced_identify_field_sparse_sensors():
+    """Differentiable reduced FIELD identification: exact jax gradients
+    through the expm propagator recover a non-polynomial eps(x) to ~2e-2
+    from ONLY 35 sensors — the regime where ALS diverges and the neural
+    route plateaus ~0.12 (MEASUREMENTS.md regime map)."""
+    from hpvpinns_tpu.inverse import reduced_identify_field
+
+    eps_fn_true = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64",
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 7)),
+        n_sensors_per_station=5,
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn_true, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn_true)
+    s_coef, eps_fn, info = reduced_identify_field(prob, eps_order=8, p=20)
+    xs = np.linspace(-1.0, 1.0, 513)
+    et = np.asarray(eps_fn_true(xs))
+    err = np.linalg.norm(np.asarray(eps_fn(xs)) - et) / np.linalg.norm(et)
+    assert err < 0.06
+    assert info["misfit"] < 1e-6
+    assert np.all(np.asarray(eps_fn(xs)) > 0)  # log-parameterization
+
+    from hpvpinns_tpu.problems import poisson1d
+    p1 = poisson1d.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff"):
+        reduced_identify_field(p1)
+
+
+def test_reduced_identify_field_homogeneous_benchmark():
+    """The f = 0 benchmark path (no forcing term in the propagator): a
+    scalar-truth run recovers a near-constant field at the right level."""
+    from hpvpinns_tpu.inverse import reduced_identify_field
+
+    prob = hv.build(hv.AdvDiffConfig(dtype="float64"))
+    s_coef, eps_fn, info = reduced_identify_field(prob, eps_order=3, p=24, maxiter=150)
+    xs = np.linspace(-1.0, 1.0, 257)
+    eh = np.asarray(eps_fn(xs))
+    et = prob.extras["eps_true"]
+    assert abs(np.mean(eh) - et) / et < 0.05
