@@ -436,16 +436,29 @@ def cmd_identify(args) -> int:
         from hpvpinns_tpu.inverse import reduced_identify
 
         order = args.eps_order or 1
-        coef, eps_fn, info = reduced_identify(
-            prob, eps_order=order,
-            identify_velocity=getattr(args, "identify_velocity", False),
-        )
-        summary.update(
-            epsilon=float(coef[0]) if order == 1 else None,
-            eps_coef=[float(c) for c in coef],
-            n_forward_solves=info["n_solves"],
-            misfit=info["misfit"],
-        )
+        if order > 1 and not getattr(args, "identify_velocity", False):
+            # FIELD eps(x): the differentiable (exact-gradient) route — the
+            # derivative-free outer loop measurably stalls (MEASUREMENTS.md)
+            from hpvpinns_tpu.inverse import reduced_identify_field
+
+            coef, eps_fn, info = reduced_identify_field(prob, eps_order=order)
+            summary.update(
+                method="reduced-field (lbfgsb-adjoint)",
+                log_eps_coef=[float(c) for c in coef],
+                n_gradient_evals=info["n_evals"],
+                misfit=info["misfit"],
+            )
+        else:
+            coef, eps_fn, info = reduced_identify(
+                prob, eps_order=order,
+                identify_velocity=getattr(args, "identify_velocity", False),
+            )
+            summary.update(
+                epsilon=float(coef[0]) if order == 1 else None,
+                eps_coef=[float(c) for c in coef],
+                n_forward_solves=info["n_solves"],
+                misfit=info["misfit"],
+            )
         if "velocity" in info:
             summary["velocity"] = info["velocity"]
             summary["velocity_true"] = prob.extras["velocity_true"]
