@@ -218,7 +218,7 @@ def build_parser() -> argparse.ArgumentParser:
         "alternates two linear solves for a FIELD eps(x) (4e-4 on clean "
         "dense sensing) — both f64 CPU, seconds not minutes",
     )
-    idf.add_argument("problem", choices=["advdiff", "advdiff2d"])
+    idf.add_argument("problem", choices=["advdiff", "advdiff2d", "burgers"])
     idf.add_argument("--method", choices=["reduced", "als"], default="reduced")
     idf.add_argument("--eps-order", type=int, default=None, dest="eps_order",
                      help="Legendre modes (als field fit; default 8)")
@@ -380,6 +380,29 @@ def cmd_identify(args) -> int:
     import hpvpinns_tpu as hv
 
     _enable_compile_cache()
+    if args.problem == "burgers":
+        if args.method != "reduced":
+            raise SystemExit("identify burgers supports --method reduced (viscosity)")
+        cfgb = hv.BurgersConfig(dtype="float64")
+        _maybe_enable_x64(cfgb.dtype)
+        import time as _time
+
+        from hpvpinns_tpu.inverse import reduced_identify_burgers
+
+        probb = hv.build(cfgb)
+        t0 = _time.perf_counter()
+        nu_hat, info = reduced_identify_burgers(
+            probb, noise=args.sensor_noise_std or 0.0
+        )
+        print(json.dumps({
+            "problem": "burgers", "method": "reduced",
+            "nu": nu_hat, "nu_true": cfgb.nu,
+            "nu_rel_err": abs(nu_hat - cfgb.nu) / cfgb.nu,
+            "n_forward_solves": info["n_solves"],
+            "n_sensors": info["n_sensors"],
+            "wall_time_s": round(_time.perf_counter() - t0, 2),
+        }))
+        return 0
     if args.problem == "advdiff2d":
         if args.method != "reduced" or getattr(args, "manufactured_velocity", None):
             raise SystemExit(

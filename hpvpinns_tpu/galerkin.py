@@ -695,3 +695,118 @@ def vpinn_gap_advdiff2d(problem, params, p: int = 16, n_points: int = 21) -> dic
         "rel_l2_galerkin_vs_exact": rel_l2(u_g, u_true),
         "rel_l2_net_vs_galerkin": rel_l2(u_net, u_g),
     }
+
+
+@dataclass(frozen=True)
+class SpectralElementSolutionBurgers:
+    """u_h(x, t): H0 spectral-element coefficients on a stored BDF2 time
+    grid; queries interpolate coefficients linearly in t (O(dt^2), matched
+    to the integrator order)."""
+
+    t_grid: np.ndarray  # [n_steps+1]
+    coefs: np.ndarray  # [n_steps+1, n_dof]
+    _point_eval: object
+
+    def __call__(self, x, t):
+        x = np.asarray(x, dtype=np.float64)
+        t = np.asarray(t, dtype=np.float64)
+        x, t = np.broadcast_arrays(x, t)
+        fx, ft = x.reshape(-1), t.reshape(-1)
+        B = self._point_eval(fx)  # [n_dof, P]
+        # linear interpolation of coefficients in time
+        k = np.clip(np.searchsorted(self.t_grid, ft, side="right") - 1, 0,
+                    len(self.t_grid) - 2)
+        w = (ft - self.t_grid[k]) / (self.t_grid[k + 1] - self.t_grid[k])
+        C = (1 - w)[:, None] * self.coefs[k] + w[:, None] * self.coefs[k + 1]
+        return np.einsum("pn,np->p", C, B).reshape(x.shape)
+
+
+def solve_burgers(
+    axis: Interval1D,
+    p: int,
+    u0_fn,
+    nu: float,
+    t_final: float = 1.0,
+    n_steps: int = 800,
+    n_quad: int | None = None,
+    newton_tol: float = 1e-13,
+) -> SpectralElementSolutionBurgers:
+    """Direct solve of  u_t + u u_x = nu u_xx  with homogeneous Dirichlet
+    walls: H0 spectral elements in x (conservation-form convection,
+    ∫ (u²/2)_x v = −∫ u²/2 v′ — the same IBP the VPINN's weak form uses,
+    ops/assembly.py::burgers_residual), BDF2 + Newton in t.
+
+    The nonlinear companion of solve_advdiff.  Measured vs the Cole–Hopf
+    exact solution (nu = 0.01/π, front-clustered 7-element grid, p = 20,
+    800 steps): rel-L2 1.7e-6 at t = 1 in ~2 s — the time error is the
+    BDF2 O(dt²) floor; the burgers VPINN quality preset sits at 8.6e-3.
+    """
+    if p < 1:
+        raise ValueError(f"polynomial degree p must be >= 1, got {p}")
+    Q = n_quad or max(2 * p + 2, 10)
+    B, Bx, wq, x_g, point_eval, M = _axis_h0_quadrature(axis, p, Q)
+    K = (Bx * wq) @ Bx.T
+
+    u0_g = np.asarray(u0_fn(x_g), dtype=np.float64).reshape(-1)
+    c = np.linalg.solve(M, (B * wq) @ u0_g)
+
+    def rhs(c):
+        u = B.T @ c
+        return (Bx * wq) @ (0.5 * u * u) - nu * (K @ c)
+
+    def jac_rhs(c):
+        u = B.T @ c
+        return (Bx * (wq * u)) @ B.T - nu * K
+
+    dt = t_final / n_steps
+    coefs = np.empty((n_steps + 1, len(c)))
+    coefs[0] = c
+    c_prev = None
+    for k in range(n_steps):
+        if c_prev is None:
+            a0, hist = 1.0, c  # BDF1 bootstrap
+        else:
+            a0, hist = 1.5, 2.0 * c - 0.5 * c_prev
+        c_new = c.copy()
+        for _ in range(30):
+            F = M @ (a0 * c_new - hist) - dt * rhs(c_new)
+            Jm = a0 * M - dt * jac_rhs(c_new)
+            dc = np.linalg.solve(Jm, F)
+            c_new = c_new - dc
+            if np.linalg.norm(dc) < newton_tol * max(1.0, np.linalg.norm(c_new)):
+                break
+        c_prev, c = c, c_new
+        coefs[k + 1] = c
+
+    return SpectralElementSolutionBurgers(
+        t_grid=np.linspace(0.0, t_final, n_steps + 1),
+        coefs=coefs,
+        _point_eval=point_eval,
+    )
+
+
+# the measured front-resolving grid for the nu = 0.01/pi benchmark
+BURGERS_SOLVER_GRID = (-1.0, -0.3, -0.05, -0.01, 0.01, 0.05, 0.3, 1.0)
+
+
+def vpinn_gap_burgers(problem, params, p: int = 20, n_steps: int = 800) -> dict:
+    """Optimization-gap report for the nonlinear family: net vs Cole-Hopf
+    exact, direct solve vs exact, net vs direct solve."""
+    from hpvpinns_tpu.evaluate import predict, rel_l2
+
+    if problem.name != "burgers":
+        raise ValueError(f"vpinn_gap_burgers supports burgers problems, got {problem.name!r}")
+    cfg = problem.config
+    axis = Interval1D(np.asarray(BURGERS_SOLVER_GRID))
+    u_dir = solve_burgers(
+        axis, p, lambda x: -np.sin(np.pi * x), cfg.nu, cfg.t_final, n_steps
+    )
+    pts = problem.test_points
+    u_net = predict(problem, params).reshape(-1)
+    u_g = u_dir(pts[:, 0], pts[:, 1]).reshape(-1)
+    u_true = np.asarray(problem.test_values).reshape(-1)
+    return {
+        "rel_l2_net_vs_exact": rel_l2(u_net, u_true),
+        "rel_l2_galerkin_vs_exact": rel_l2(u_g, u_true),
+        "rel_l2_net_vs_galerkin": rel_l2(u_net, u_g),
+    }

@@ -779,3 +779,62 @@ def reduced_identify_field(
     return s_coef, eps_fn, {
         "misfit": float(res.fun), "n_evals": n_evals[0], "method": "lbfgsb-adjoint",
     }
+
+
+def reduced_identify_burgers(
+    problem,
+    stations=(-0.75, -0.5, -0.25, 0.25, 0.5, 0.75),
+    n_per_station: int = 5,
+    noise: float = 0.0,
+    seed: int = 0,
+    bounds=(1e-4, 0.1),
+    p: int = 20,
+    n_steps: int = 600,
+    xatol: float = 1e-12,
+):
+    """VISCOSITY identification for the nonlinear family: Brent-search nu
+    with the spectral-element Burgers solver (galerkin.solve_burgers) in
+    the loop, minimizing the misfit against sensor readings of the
+    Cole-Hopf exact solution (+ optional Gaussian noise) — the nonlinear
+    twin of reduced_identify.  The burgers family is forward-only in the
+    reference-parity sense, so sensors are sampled here (LHS times per
+    station, seeded) rather than read from problem.data.
+
+    Returns (nu_hat, info).
+    """
+    from hpvpinns_tpu.galerkin import BURGERS_SOLVER_GRID, solve_burgers
+    from hpvpinns_tpu.geometry.mesh import Interval1D
+    from hpvpinns_tpu.utils.sampling import lhs_interval
+
+    if problem.name != "burgers":
+        raise ValueError(f"reduced_identify_burgers supports burgers problems, got {problem.name!r}")
+    cfg = problem.config
+    rng = np.random.default_rng(seed)
+    pts, vals = [], []
+    for st in stations:
+        ts = cfg.t_final * lhs_interval(0, 1, n_per_station, rng).reshape(-1)
+        xs = np.full_like(ts, st)
+        pts.append(np.stack([xs, ts], axis=-1))
+        vals.append(np.asarray(problem.exact(xs[:, None], ts[:, None])).reshape(-1))
+    Xs = np.concatenate(pts)
+    ds = np.concatenate(vals)
+    if noise > 0:
+        ds = ds + rng.normal(0.0, noise, ds.shape)
+
+    axis = Interval1D(np.asarray(BURGERS_SOLVER_GRID, dtype=np.float64))
+    n_solves = [0]
+
+    def misfit(nu):
+        sol = solve_burgers(
+            axis, p, lambda x: -np.sin(np.pi * x), float(nu), cfg.t_final, n_steps
+        )
+        n_solves[0] += 1
+        return float(np.sum((sol(Xs[:, 0], Xs[:, 1]) - ds) ** 2))
+
+    from scipy.optimize import minimize_scalar
+
+    res = minimize_scalar(misfit, bounds=bounds, method="bounded", options={"xatol": xatol})
+    return float(res.x), {
+        "misfit": float(res.fun), "n_solves": n_solves[0],
+        "n_sensors": len(ds), "method": "brent-bounded",
+    }
