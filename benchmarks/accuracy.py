@@ -173,7 +173,67 @@ def parity_records(q: int):
     records.append(als_field_record())
     records.append(reduced_scalar_record())
     records.append(reduced_2d_record())
+    records.append(reduced_field_sparse_record())
+    records.append(burgers_viscosity_record())
     return records
+
+
+def reduced_field_sparse_record():
+    """Differentiable reduced FIELD identification in the sparse-sensor
+    regime (inverse.reduced_identify_field): the route that works where ALS
+    diverges and the neural field plateaus (MEASUREMENTS.md regime map)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpvpinns_tpu.inverse import reduced_identify_field
+    from hpvpinns_tpu.problems import advdiff
+
+    eps_fn = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64",
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 7)),
+        n_sensors_per_station=5,
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn)
+    t0 = time.perf_counter()
+    _, ef, info = reduced_identify_field(prob, eps_order=8)
+    wall = time.perf_counter() - t0
+    xs = np.linspace(*cfg.domain_x, 513)
+    et = np.asarray(eps_fn(xs))
+    return {
+        "config": "advdiff_eps_field_reduced_sparse_f64cpu",
+        "dtype": "float64",
+        "wall_s": round(wall, 2),
+        "n_sensors": 35,
+        "eps_field_rel_l2_fit": float(
+            np.linalg.norm(np.asarray(ef(xs)) - et) / np.linalg.norm(et)
+        ),
+        "method": "reduced-field (lbfgsb through differentiable expm; no network)",
+    }
+
+
+def burgers_viscosity_record():
+    """Viscosity identification for the nonlinear family
+    (inverse.reduced_identify_burgers)."""
+    from hpvpinns_tpu.inverse import reduced_identify_burgers
+
+    prob = hv.build(hv.BurgersConfig(dtype="float64"))
+    t0 = time.perf_counter()
+    nu_hat, info = reduced_identify_burgers(prob)
+    wall = time.perf_counter() - t0
+    nu_true = prob.config.nu
+    return {
+        "config": "burgers_viscosity_reduced_f64cpu",
+        "dtype": "float64",
+        "wall_s": round(wall, 2),
+        "nu": nu_hat,
+        "nu_true": nu_true,
+        "nu_rel_err": abs(nu_hat - nu_true) / nu_true,
+        "n_forward_solves": info["n_solves"],
+        "method": "reduced (brent over exact nonlinear solves; no network)",
+    }
 
 
 def reduced_2d_record():
