@@ -58,6 +58,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--layers", type=str, help="comma-separated widths, e.g. 1,20,20,1")
     p.add_argument("--n-quad", type=int, dest="n_quad")
     p.add_argument("--outdir", default=None, help="artifact directory")
+    p.add_argument("--gap", action="store_true",
+                   help="after training, print the VPINN-gap report: network vs "
+                   "exact vs the spectral-element direct solve of the same weak "
+                   "form (galerkin.vpinn_gap_*; f64 CPU, seconds)")
     p.add_argument("--plots", action="store_true", help="write the reference plot set")
     p.add_argument("--record", metavar="PATH", help="write a results record (.npz/.mat)")
     p.add_argument("--mesh", action="store_true", help="shard elements over all devices")
@@ -580,6 +584,22 @@ def cmd_run(args) -> int:
                 _np.linalg.norm(eh - et) / _np.linalg.norm(et)
             )
     print(json.dumps(summary))
+
+    if getattr(args, "gap", False):
+        from hpvpinns_tpu import galerkin as _gk
+
+        gap_fns = {
+            "poisson1d": _gk.vpinn_gap_1d,
+            "poisson2d": _gk.vpinn_gap_2d,
+            "advdiff": _gk.vpinn_gap_advdiff,
+            "advdiff2d": _gk.vpinn_gap_advdiff2d,
+            "burgers": _gk.vpinn_gap_burgers,
+        }
+        gfn = gap_fns.get(prob.name)
+        if gfn is None:
+            print(json.dumps({"gap": f"no direct solver for {prob.name}"}))
+        else:
+            print(json.dumps({"gap": gfn(prob, res.eval_params)}))
 
     outdir = args.outdir or f"results/{prob.name}"
     if args.plots:

@@ -154,3 +154,24 @@ def test_identify_cli_reduced_and_als(capsys):
     assert rc == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["eps_field_rel_l2"] < 2e-3
+
+
+def test_run_gap_flag(capsys):
+    """--gap prints the VPINN-gap report (net vs exact vs direct solve)."""
+    import json
+
+    from hpvpinns_tpu.cli import main
+
+    # the hp grid: a degree-40 single element cannot resolve tanh(80x)
+    rc = main(
+        "run poisson1d --dtype float64 --iterations 100 --quiet --gap "
+        "--grid=-1,-0.1,0.1,1".split()
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    gap = json.loads(lines[-1])["gap"]
+    # tanh(80x) at p=40 on the hp grid: direct solve ~6e-5 (layer-limited)
+    assert gap["rel_l2_galerkin_vs_exact"] < 1e-3
+    assert set(gap) == {
+        "rel_l2_net_vs_exact", "rel_l2_galerkin_vs_exact", "rel_l2_net_vs_galerkin"
+    }
