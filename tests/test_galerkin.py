@@ -235,3 +235,49 @@ def test_exp_decay_detection():
     assert r == pytest.approx(2.5, rel=1e-9)
     f_non = lambda x, t: np.sin(np.pi * x) * np.exp(-t) + t * x  # noqa: E731
     assert _detect_exp_decay(f_non, (xs,)) is None
+
+
+def test_solver_beats_f64_series_against_mpmath_truth():
+    """50-digit oracle for the benchmark series: the direct solver matches
+    the high-precision truth to ~1e-12-class at the point where the f64
+    series loses ~6 digits to exp(V/2D) cancellation (the measured basis for
+    'the solver is more accurate than the reference's own exact formula')."""
+    from mpmath import cos as mcos
+    from mpmath import cosh, exp, mp, mpf
+    from mpmath import pi as mppi
+    from mpmath import sin as msin
+    from mpmath import sinh
+
+    from hpvpinns_tpu.galerkin import solve_advdiff
+    from hpvpinns_tpu.problems.advdiff import u_exact
+
+    mp.dps = 50
+    D, V = mpf("0.1") / mppi, mpf(1)
+
+    def u_mp(x, t, trunc=800):
+        x, t = mpf(x), mpf(t)
+        c0 = 16 * mppi**2 * D**3 * V * exp(V / D / 2 * (x - V * t / 2))
+        s1 = mpf(0)
+        for p in range(trunc + 1):
+            n = (-1) ** p * 2 * p * msin(p * mppi * x) * exp(-D * p**2 * mppi**2 * t)
+            d = V**4 + 8 * (V * mppi * D) ** 2 * (p**2 + 1) + 16 * (mppi * D) ** 4 * (p**2 - 1) ** 2
+            s1 += n / d
+        s2 = mpf(0)
+        for p in range(trunc + 1):
+            n = (-1) ** p * (2 * p + 1) * mcos((p + mpf("0.5")) * mppi * x) * exp(
+                -D * (2 * p + 1) ** 2 * mppi**2 * t / 4
+            )
+            d = V**4 + (V * mppi * D) ** 2 * (8 * p**2 + 8 * p + 10) + (mppi * D) ** 4 * (
+                4 * p**2 + 4 * p - 3
+            ) ** 2
+            s2 += n / d
+        return float(c0 * (sinh(V / D / 2) * s1 + cosh(V / D / 2) * s2))
+
+    x0, t0 = 0.9, 0.25  # inside the outflow layer: worst series cancellation
+    truth = u_mp(x0, t0)
+    f64_series = float(u_exact(np.array([[x0]]), np.array([[t0]]), 0.1 / np.pi, 1.0, 800)[0, 0])
+    axis = Interval1D.uniform(-1.0, 1.0, 1)
+    sol = solve_advdiff(axis, 52, lambda x: -np.sin(np.pi * x), float(0.1 / np.pi), 1.0)
+    u_solver = float(sol(np.array([x0]), np.array([t0]))[0])
+    assert abs(f64_series - truth) > 1e-6  # the series HAS lost digits here
+    assert abs(u_solver - truth) < 1e-9  # the solver has not
