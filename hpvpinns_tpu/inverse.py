@@ -635,6 +635,7 @@ def reduced_identify_field(
     p: int = 24,
     eps_init: float = 0.1,
     maxiter: int = 300,
+    smooth_reg: float = 0.0,
 ):
     """Differentiable reduced-formulation FIELD identification: eps(x) by
     gradient-based optimization THROUGH the exact forward solver.
@@ -651,6 +652,10 @@ def reduced_identify_field(
 
       clean sparse (7x5 sensors):  2.4e-2   (ALS diverges; neural ~0.12)
       noisy 1e-3, dense (19x20):   9.6e-2   (ALS 0.26)
+      noisy 1e-3, SPARSE (7x5):    0.11 with smooth_reg ~1e-5 (0.58
+                                   unregularized — the penalty int s'(x)^2
+                                   on the LOG field is the sparse+noisy
+                                   lever)
       clean dense:                 ~1e-2    (ALS wins there: 4e-4 — its
                                    weak-form rows act as dense physics
                                    sensors; the reduced misfit only sees
@@ -751,7 +756,12 @@ def reduced_identify_field(
 
         C = jax.lax.map(one, J["ts"])
         pred = jnp.einsum("tn,ns->ts", C, J["Bs"])[ts_inv, jnp.arange(len(ds))]
-        return jnp.sum((pred - J["ds"]) ** 2)
+        m = jnp.sum((pred - J["ds"]) ** 2)
+        if smooth_reg > 0:
+            # Tikhonov smoothness on the LOG field (mean s'(x)^2 over the
+            # quadrature grid) — the measured sparse+noisy lever
+            m = m + smooth_reg * jnp.mean((J["dP"].T @ s) ** 2)
+        return m
 
     mis_grad = jax.jit(jax.value_and_grad(misfit))
     from scipy.optimize import minimize

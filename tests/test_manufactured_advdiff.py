@@ -445,3 +445,27 @@ def test_reduced_identify_field_homogeneous_benchmark():
     eh = np.asarray(eps_fn(xs))
     et = prob.extras["eps_true"]
     assert abs(np.mean(eh) - et) / et < 0.05
+
+
+def test_reduced_identify_field_smooth_reg_noisy_sparse():
+    """smooth_reg (log-field Tikhonov) is the sparse+noisy lever: measured
+    0.58 -> ~0.12 at 7x5 stations with 1e-3 sensor noise."""
+    from hpvpinns_tpu.inverse import reduced_identify_field
+
+    eps_fn_true = lambda x: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * x))  # noqa: E731
+    vfn = lambda x: 1.0 + 0.0 * x  # noqa: E731
+    cfg = hv.AdvDiffConfig(
+        dtype="float64",
+        sensor_stations=tuple(float(s) for s in np.linspace(-0.95, 0.95, 7)),
+        n_sensors_per_station=5, sensor_noise_std=1e-3,
+    )
+    u_fn, f_fn = advdiff.make_manufactured(cfg, vfn, epsilon=eps_fn_true, profile="cos")
+    prob = advdiff.build(cfg, u_fn=u_fn, f_fn=f_fn, velocity_fn=vfn, epsilon_fn=eps_fn_true)
+    xs = np.linspace(-1.0, 1.0, 513)
+    et = np.asarray(eps_fn_true(xs))
+    _, ef_reg, _ = reduced_identify_field(prob, eps_order=6, p=20, smooth_reg=1e-5)
+    err_reg = np.linalg.norm(np.asarray(ef_reg(xs)) - et) / np.linalg.norm(et)
+    _, ef_raw, _ = reduced_identify_field(prob, eps_order=6, p=20)
+    err_raw = np.linalg.norm(np.asarray(ef_raw(xs)) - et) / np.linalg.norm(et)
+    assert err_reg < 0.25
+    assert err_reg < 0.5 * err_raw  # the penalty buys >= 2x here
