@@ -296,3 +296,86 @@ def adaptive_solve(
         rounds=records, problem=problem, result=res,
         best_round=best[1], best_params=best[2], best_problem=best[3],
     )
+
+
+def adaptive_galerkin_1d(
+    cfg,
+    rounds: int = 5,
+    theta: float = 0.7,
+    p: int = 12,
+    enrich: int = 4,
+    build_fn=None,
+):
+    """Classical adaptive spectral-element refinement: solve-estimate-mark-
+    refine with the DIRECT Galerkin solver (galerkin.solve_poisson1d) in the
+    solve slot — no network, no optimizer, no warm-start pathology.
+
+    This closes the measured round>=1 regression of the warm-started VPINN
+    loop on the steep 1D problem for the linear families: every round's
+    solution is the exact minimizer on its mesh, so refinement is
+    MONOTONE by construction (measured 5.5e-2 -> 2.9e-5 over 5 rounds at
+    p=12 starting from two uniform elements — MEASUREMENTS.md).  The VPINN
+    adaptive loop (adaptive_solve) remains the tool for problems without
+    assembled systems.
+
+    The indicator is the same hierarchical principle as
+    element_indicator: the weak residual of the solved u against the next
+    `enrich` bubble modes beyond the solution space (a Galerkin solution is
+    exactly orthogonal to its own test space).
+
+    Returns a list of per-round records {grid, n_elem, eta, rel_l2?}.
+    """
+    import hpvpinns_tpu as hv
+    from hpvpinns_tpu.galerkin import solve_poisson1d
+    from hpvpinns_tpu.geometry.mesh import Interval1D
+    from hpvpinns_tpu.spectral.basis import make_test_basis
+    from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+
+    if not isinstance(cfg, hv.Poisson1DConfig):
+        raise TypeError("adaptive_galerkin_1d supports Poisson1DConfig")
+    problem = (build_fn or hv.build)(cfg)
+    f_fn = problem.extras["f_rhs"]
+    u_ex = problem.exact
+    a_dom, b_dom = cfg.domain
+    bc = (float(np.asarray(u_ex(np.array(a_dom)))), float(np.asarray(u_ex(np.array(b_dom)))))
+
+    grid = (
+        np.asarray(problem.extras["mesh"].grid, dtype=np.float64)
+        if cfg.grid is not None or cfg.n_elements > 1
+        else np.linspace(a_dom, b_dom, 3)
+    )
+    Q = 2 * (p + enrich) + 10
+    xi, w = gauss_lobatto_jacobi(Q, 0.0, 0.0)
+    tb = make_test_basis(p - 1 + enrich, xi)
+    xs_err = np.linspace(a_dom, b_dom, 4001)
+    u_true = np.asarray(u_ex(xs_err)).reshape(-1)
+
+    records = []
+    for r in range(rounds):
+        mesh = Interval1D(grid)
+        sol = solve_poisson1d(mesh, p, f_fn, bc)
+        xe = mesh.map_points(xi)
+        jac = mesh.jacobians
+        eta = np.zeros(mesh.n_elem)
+        for e in range(mesh.n_elem):
+            up = sol.derivative(xe[e])
+            fv = np.asarray(f_fn(xe[e])).reshape(-1)
+            for n in range(p - 1, p - 1 + enrich):
+                # a(u_h, phi_n) - (f, phi_n): the d/dx jacobians cancel in
+                # the stiffness term; the load term carries jac_e
+                res = np.sum(w * up * tb.dphi[n]) - jac[e] * np.sum(w * fv * tb.phi[n])
+                eta[e] += res**2
+        rel = float(
+            np.linalg.norm(sol(xs_err) - u_true) / np.linalg.norm(u_true)
+        )
+        records.append({
+            "round": r,
+            "n_elem": int(mesh.n_elem),
+            "grid": [float(g) for g in grid],
+            "eta": [float(v) for v in eta],
+            "rel_l2": rel,
+        })
+        if r < rounds - 1:
+            marked = dorfler_mark(eta, theta)
+            grid = np.asarray(bisect_marked(mesh.grid, marked))
+    return records

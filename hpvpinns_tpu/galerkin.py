@@ -55,6 +55,22 @@ class SpectralElementSolution1D:
             u = u + np.sum(self.bubble[e] * tb.phi.T, axis=1)
         return u.reshape(x.shape)
 
+    def derivative(self, x):
+        """Exact du/dx at arbitrary points (analytic basis derivatives)."""
+        x = np.asarray(x, dtype=np.float64)
+        flat = x.reshape(-1)
+        e = self.mesh.locate(flat)
+        lo = self.mesh.grid[e]
+        hi = self.mesh.grid[e + 1]
+        jac = (hi - lo) / 2.0
+        xi = 2.0 * (flat - lo) / (hi - lo) - 1.0
+        n_b = self.p - 1
+        du = (self.nodal[e + 1] - self.nodal[e]) / 2.0
+        if n_b > 0:
+            tb = make_test_basis(n_b, xi)
+            du = du + np.sum(self.bubble[e] * tb.dphi.T, axis=1)
+        return (du / jac).reshape(x.shape)
+
 
 def solve_poisson1d(
     mesh: Interval1D,

@@ -291,3 +291,23 @@ def test_adaptive_inverse_tracks_epsilon_per_round():
     for r in out.rounds:
         assert np.isfinite(r["epsilon"])
         assert r["eps_true"] == pytest.approx(0.1 / np.pi)
+
+
+def test_adaptive_galerkin_1d_monotone_on_steep_benchmark():
+    """Classical adaptive spectral elements (direct solver in the loop):
+    monotone-by-construction refinement on the tanh(80x) benchmark — the
+    regression-free answer to the warm-started VPINN loop's round>=1
+    instability (linear problems only)."""
+    recs = adaptive.adaptive_galerkin_1d(
+        hv.Poisson1DConfig(dtype="float64", n_elements=2), rounds=5
+    )
+    rels = [r["rel_l2"] for r in recs]
+    assert rels[0] > 1e-2
+    assert rels[-1] < 1e-4  # 5.5e-2 -> ~3e-5 measured
+    assert all(b <= a * 1.05 for a, b in zip(rels, rels[1:]))  # monotone
+    # refinement localizes at the layer: every new boundary is near x = 0
+    g0 = set(np.round(recs[0]["grid"], 12))
+    new_pts = [g for g in recs[-1]["grid"] if round(float(g), 12) not in g0]
+    assert new_pts and all(abs(g) <= 0.51 for g in new_pts)
+    with pytest.raises(TypeError, match="Poisson1DConfig"):
+        adaptive.adaptive_galerkin_1d(hv.BurgersConfig())
