@@ -379,3 +379,79 @@ def adaptive_galerkin_1d(
             marked = dorfler_mark(eta, theta)
             grid = np.asarray(bisect_marked(mesh.grid, marked))
     return records
+
+
+def adaptive_galerkin_2d(
+    cfg,
+    rounds: int = 4,
+    theta: float = 0.6,
+    p: int = 8,
+    enrich: int = 2,
+    build_fn=None,
+):
+    """2D classical adaptive spectral elements: solve-estimate-mark-refine
+    with galerkin.solve_poisson2d in the solve slot and a p-ENRICHMENT
+    indicator (eta_e = the element L2 mass of u_{p+enrich} - u_p — error
+    estimation by hierarchical comparison; two sub-second direct solves per
+    round).  Tensor structure preserved by per-axis Dörfler marking, as in
+    the VPINN loop.  Monotone for the same reason as the 1D variant.
+
+    Returns per-round records {grid_x, grid_y, n_elem, eta, rel_l2}.
+    """
+    import hpvpinns_tpu as hv
+    from hpvpinns_tpu.galerkin import coons_lift, solve_poisson2d
+    from hpvpinns_tpu.geometry.mesh import Interval1D, TensorMesh2D
+    from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+
+    if not isinstance(cfg, hv.Poisson2DConfig):
+        raise TypeError("adaptive_galerkin_2d supports Poisson2DConfig")
+    problem = (build_fn or hv.build)(cfg)
+    f_fn = problem.extras["f_rhs"]
+    u_ex = problem.exact
+    lift = coons_lift(u_ex, cfg.domain_x, cfg.domain_y)
+
+    mesh = problem.extras["mesh"]
+    gx = np.asarray(mesh.axis_x.grid, dtype=np.float64)
+    gy = np.asarray(mesh.axis_y.grid, dtype=np.float64)
+
+    xq, wq = gauss_lobatto_jacobi(10, 0.0, 0.0)
+    n_err = 81
+    xs = np.linspace(*cfg.domain_x, n_err)
+    ys = np.linspace(*cfg.domain_y, n_err)
+    XE, YE = np.meshgrid(xs, ys, indexing="ij")
+    u_true = np.asarray(u_ex(XE, YE), dtype=np.float64)
+
+    records = []
+    for r in range(rounds):
+        m = TensorMesh2D(axis_x=Interval1D(gx), axis_y=Interval1D(gy))
+        sol_p = solve_poisson2d(m, p, f_fn, lift_fn=lift)
+        sol_q = solve_poisson2d(m, p + enrich, f_fn, lift_fn=lift)
+        # per-element L2 mass of the enrichment difference
+        Ex, Ey = m.shape
+        eta = np.zeros((Ex, Ey))
+        Xq = m.axis_x.map_points(xq)  # [Ex, Q]
+        Yq = m.axis_y.map_points(xq)  # [Ey, Q]
+        jx, jy = m.axis_x.jacobians, m.axis_y.jacobians
+        for ex in range(Ex):
+            for ey in range(Ey):
+                XX, YY = np.meshgrid(Xq[ex], Yq[ey], indexing="ij")
+                d = sol_q(XX, YY) - sol_p(XX, YY)
+                eta[ex, ey] = jx[ex] * jy[ey] * np.einsum(
+                    "q,r,qr->", wq, wq, d * d
+                )
+        u_h = sol_p(XE, YE)
+        rel = float(np.linalg.norm(u_h - u_true) / np.linalg.norm(u_true))
+        records.append({
+            "round": r,
+            "n_elem": int(Ex * Ey),
+            "grid_x": [float(g) for g in gx],
+            "grid_y": [float(g) for g in gy],
+            "eta": [float(v) for v in eta.reshape(-1)],
+            "rel_l2": rel,
+        })
+        if r < rounds - 1:
+            mx = dorfler_mark(eta.sum(axis=1), theta)
+            my = dorfler_mark(eta.sum(axis=0), theta)
+            gx = np.asarray(bisect_marked(gx, mx))
+            gy = np.asarray(bisect_marked(gy, my))
+    return records

@@ -311,3 +311,29 @@ def test_adaptive_galerkin_1d_monotone_on_steep_benchmark():
     assert new_pts and all(abs(g) <= 0.51 for g in new_pts)
     with pytest.raises(TypeError, match="Poisson1DConfig"):
         adaptive.adaptive_galerkin_1d(hv.BurgersConfig())
+
+
+def test_adaptive_galerkin_2d_monotone_and_localized():
+    """2D direct-solver adaptive loop (p-enrichment indicator): monotone on
+    a manufactured x-front, with new x-boundaries bracketing the front."""
+    import functools
+
+    from hpvpinns_tpu.problems import poisson2d
+
+    k = 20.0
+    u = lambda x, y: np.tanh(k * x) * np.sin(np.pi * y)  # noqa: E731
+    f = lambda x, y: (  # noqa: E731
+        -2 * k * k * np.tanh(k * x) / np.cosh(k * x) ** 2
+        - np.pi**2 * np.tanh(k * x)
+    ) * np.sin(np.pi * y)
+    cfg = hv.Poisson2DConfig(dtype="float64", n_elements_x=2, n_elements_y=2)
+    recs = adaptive.adaptive_galerkin_2d(
+        cfg, rounds=3, p=8, build_fn=functools.partial(poisson2d.build, u_fn=u, f_fn=f)
+    )
+    rels = [r["rel_l2"] for r in recs]
+    assert rels[-1] < 2e-4 and all(b <= a * 1.05 for a, b in zip(rels, rels[1:]))
+    g0 = set(np.round(recs[0]["grid_x"], 12))
+    new_x = [g for g in recs[-1]["grid_x"] if round(float(g), 12) not in g0]
+    assert new_x and all(abs(g) <= 0.51 for g in new_x)  # front-localized
+    with pytest.raises(TypeError, match="Poisson2DConfig"):
+        adaptive.adaptive_galerkin_2d(hv.Poisson1DConfig())
