@@ -591,6 +591,7 @@ def cmd_run(args) -> int:
         gap_fns = {
             "poisson1d": _gk.vpinn_gap_1d,
             "poisson2d": _gk.vpinn_gap_2d,
+            "poisson3d": _gk.vpinn_gap_3d,
             "advdiff": _gk.vpinn_gap_advdiff,
             "advdiff2d": _gk.vpinn_gap_advdiff2d,
             "burgers": _gk.vpinn_gap_burgers,

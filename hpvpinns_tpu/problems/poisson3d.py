@@ -187,5 +187,5 @@ def build(
         exact=u_ex,
         test_points=test_points,
         test_values=test_values,
-        extras={"mesh": mesh, "test_grid_shape": (nt, nt, nt)},
+        extras={"mesh": mesh, "f_rhs": f_rh, "test_grid_shape": (nt, nt, nt)},
     )

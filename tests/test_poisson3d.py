@@ -146,3 +146,48 @@ def test_poisson3d_hard_bc_exact_on_faces():
     # trains
     res = hv.train(prob, hv.TrainConfig(iterations=20, check_every=10), verbose=False)
     assert np.isfinite(res.final_aux["loss"])
+
+
+def test_solve_poisson3d_fast_diagonalization_spectral():
+    """3D direct solver (per-axis generalized eigen + elementwise divide):
+    spectral in p against the manufactured exact, non-homogeneous x-face
+    Dirichlet data through the transfinite lift."""
+    from hpvpinns_tpu.galerkin import solve_poisson3d
+    from hpvpinns_tpu.geometry.mesh import TensorMesh3D
+    from hpvpinns_tpu.problems.poisson3d import f_rhs, u_exact
+
+    mesh = TensorMesh3D.uniform(-1, 1, 2, -1, 1, 2, -1, 1, 2)
+
+    def lift(x, y, z):
+        ua = np.asarray(u_exact(np.full_like(x, -1.0), y, z))
+        ub = np.asarray(u_exact(np.full_like(x, 1.0), y, z))
+        s = (x + 1.0) / 2.0
+        return (1 - s) * ua + s * ub
+
+    xs = np.linspace(-1, 1, 13)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    ue = u_exact(X, Y, Z)
+    errs = {}
+    for p in (8, 12):
+        sol = solve_poisson3d(mesh, p, f_rhs, lift_fn=lift)
+        errs[p] = np.linalg.norm(sol(X, Y, Z) - ue) / np.linalg.norm(ue)
+    assert errs[12] < 5e-5
+    assert errs[12] < errs[8] / 10  # spectral decay
+
+
+def test_vpinn_gap_3d_report():
+    from hpvpinns_tpu.galerkin import vpinn_gap_3d
+
+    cfg = hv.Poisson3DConfig(
+        dtype="float64",
+        train=hv.TrainConfig(iterations=150, lbfgs_iterations=0, check_every=50),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    gap = vpinn_gap_3d(prob, res.eval_params, p=10, n_points=13)
+    assert gap["rel_l2_galerkin_vs_exact"] < 1e-3
+    assert np.isfinite(gap["rel_l2_net_vs_galerkin"])
+    import jax as _jax
+    p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="poisson3d"):
+        vpinn_gap_3d(p1, p1.init_params(_jax.random.key(0)))
