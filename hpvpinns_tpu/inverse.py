@@ -46,6 +46,51 @@ def legendre_field(coef: np.ndarray, domain=(-1.0, 1.0)):
     return eps_fn
 
 
+def _weak_fit_arrays(problem):
+    """Shared float64 host views of an advdiff problem's weak-form tensors
+    plus the sum-factorized contraction closure — the common substrate of
+    the linear-fit/ALS machinery."""
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.ops.contract import contract_2d
+
+    el = problem.data["elements"]
+    bx, bt = problem.data["basis_x"], problem.data["basis_t"]
+
+    def C(bxm, btm, g):
+        return np.asarray(contract_2d(jnp.asarray(bxm), jnp.asarray(btm), jnp.asarray(g)))
+
+    return {
+        "el": el,
+        "x": np.asarray(el.x, dtype=np.float64),
+        "jac": (np.asarray(el.jac_x) * np.asarray(el.jac_y)).astype(np.float64)[:, None, None],
+        "jt": np.asarray(el.jac_y, dtype=np.float64)[:, None, None],
+        "wphi_x": np.asarray(bx.wphi, dtype=np.float64),
+        "wdphi_x": np.asarray(bx.wdphi, dtype=np.float64),
+        "wphi_t": np.asarray(bt.wphi, dtype=np.float64),
+        "mask": np.asarray(el.mask, dtype=np.float64),
+        "f_proj": np.asarray(el.f_proj, dtype=np.float64),
+        "C": C,
+    }
+
+
+def _u_fields(problem, params, u_fn=None):
+    """(u_t, u_x) of the frozen ansatz (or an override) on the quadrature
+    grid, host float64."""
+    import jax
+
+    from hpvpinns_tpu.ops.fields import scalar_fields_2d
+
+    el = problem.data["elements"]
+    if u_fn is None:
+        u_fn = lambda X: problem.apply(params, X)  # noqa: E731
+    flds = jax.jit(lambda x, y: scalar_fields_2d(u_fn, x, y, first_y_only=True))(el.x, el.y)
+    return (
+        np.asarray(flds["uy"], dtype=np.float64),
+        np.asarray(flds["ux"], dtype=np.float64),
+    )
+
+
 def fit_epsilon_field(problem, params, order: int = 8, reg: float = 0.0, u_fn=None):
     """Recover a space-dependent diffusion field eps(x) by linear least
     squares against the frozen trained solution.
@@ -60,48 +105,28 @@ def fit_epsilon_field(problem, params, order: int = 8, reg: float = 0.0, u_fn=No
     Returns (coef [order], eps_fn, info) where info carries the per-row
     residual norms before/after.
     """
-    import jax
-    import jax.numpy as jnp
-
-    from hpvpinns_tpu.ops.contract import contract_2d
-    from hpvpinns_tpu.ops.fields import scalar_fields_2d
-
     if problem.name != "advdiff":
         raise ValueError(f"fit_epsilon_field supports advdiff problems, got {problem.name!r}")
     cfg = problem.config
     el = problem.data["elements"]
-    bx, bt = problem.data["basis_x"], problem.data["basis_t"]
-
-    if u_fn is None:
-        u_fn = lambda X: problem.apply(params, X)
-    flds = jax.jit(lambda x, y: scalar_fields_2d(u_fn, x, y, first_y_only=True))(el.x, el.y)
-    ut = np.asarray(flds["uy"], dtype=np.float64)
-    ux = np.asarray(flds["ux"], dtype=np.float64)
+    ut, ux = _u_fields(problem, params, u_fn)
 
     v_of = problem.extras.get("v_of")
     V = np.asarray(v_of(params, el.x), dtype=np.float64) if v_of else cfg.velocity
 
-    x = np.asarray(el.x, dtype=np.float64)  # [E, Qt, Qx]
+    W = _weak_fit_arrays(problem)
+    jac, jt, mask, C = W["jac"], W["jt"], W["mask"], W["C"]
+    wphi_x, wdphi_x, wphi_t = W["wphi_x"], W["wdphi_x"], W["wphi_t"]
     a_dom, b_dom = cfg.domain_x
     half = (b_dom - a_dom) / 2.0
-    xi = (x - (a_dom + b_dom) / 2.0) / half
+    xi = (W["x"] - (a_dom + b_dom) / 2.0) / half
     P = jacobi_all(order - 1, 0.0, 0.0, xi)  # [J, E, Qt, Qx]
     dP = np.stack(
         [djacobi(j, 0.0, 0.0, xi, 1) / half for j in range(order)]
     )  # d/dx
 
-    jac = (np.asarray(el.jac_x) * np.asarray(el.jac_y)).astype(np.float64)[:, None, None]
-    jt = np.asarray(el.jac_y, dtype=np.float64)[:, None, None]
-    wphi_x = np.asarray(bx.wphi, dtype=np.float64)
-    wdphi_x = np.asarray(bx.wdphi, dtype=np.float64)
-    wphi_t = np.asarray(bt.wphi, dtype=np.float64)
-    mask = np.asarray(el.mask, dtype=np.float64)
-
-    def C(bxm, btm, g):
-        return np.asarray(contract_2d(jnp.asarray(bxm), jnp.asarray(btm), jnp.asarray(g)))
-
     # rhs: the eps-free part of the form-1 residual (= f_proj - advection part)
-    b_vec = (np.asarray(el.f_proj, dtype=np.float64) - jac * C(wphi_x, wphi_t, ut + V * ux)) * mask
+    b_vec = (W["f_proj"] - jac * C(wphi_x, wphi_t, ut + V * ux)) * mask
     # columns: the eps-dependent part per Legendre mode
     cols = []
     for j in range(order):
@@ -168,48 +193,29 @@ def fit_coefficient_fields(
     import jax
     import jax.numpy as jnp
 
-    from hpvpinns_tpu.ops.contract import contract_2d
-    from hpvpinns_tpu.ops.fields import scalar_fields_2d
-
     if problem.name != "advdiff":
         raise ValueError(f"fit_coefficient_fields supports advdiff problems, got {problem.name!r}")
     cfg = problem.config
     el = problem.data["elements"]
-    bx, bt = problem.data["basis_x"], problem.data["basis_t"]
+    ut, ux = _u_fields(problem, params, u_fn)
 
-    if u_fn is None:
-        u_fn = lambda X: problem.apply(params, X)
-    flds = jax.jit(lambda x, y: scalar_fields_2d(u_fn, x, y, first_y_only=True))(el.x, el.y)
-    ut = np.asarray(flds["uy"], dtype=np.float64)
-    ux = np.asarray(flds["ux"], dtype=np.float64)
-
-    x = np.asarray(el.x, dtype=np.float64)
+    W = _weak_fit_arrays(problem)
+    jac, jt, mask, C = W["jac"], W["jt"], W["mask"], W["C"]
+    wphi_x, wdphi_x, wphi_t = W["wphi_x"], W["wdphi_x"], W["wphi_t"]
     a_dom, b_dom = cfg.domain_x
     half = (b_dom - a_dom) / 2.0
-    xi = (x - (a_dom + b_dom) / 2.0) / half
+    xi = (W["x"] - (a_dom + b_dom) / 2.0) / half
     n_modes = max(eps_order, vel_order)
     P = jacobi_all(n_modes - 1, 0.0, 0.0, xi)
     dP = np.stack([djacobi(j, 0.0, 0.0, xi, 1) / half for j in range(n_modes)])
 
-    jac = (np.asarray(el.jac_x) * np.asarray(el.jac_y)).astype(np.float64)[:, None, None]
-    jt = np.asarray(el.jac_y, dtype=np.float64)[:, None, None]
-    wphi_x = np.asarray(bx.wphi, dtype=np.float64)
-    wdphi_x = np.asarray(bx.wdphi, dtype=np.float64)
-    wphi_t = np.asarray(bt.wphi, dtype=np.float64)
-    mask = np.asarray(el.mask, dtype=np.float64)
-
-    def C(bxm, btm, g):
-        return np.asarray(contract_2d(jnp.asarray(bxm), jnp.asarray(btm), jnp.asarray(g)))
-
     if vel_order > 0:
         # rhs holds only the coefficient-free physics (time derivative)
-        b_vec = (np.asarray(el.f_proj, dtype=np.float64) - jac * C(wphi_x, wphi_t, ut)) * mask
+        b_vec = (W["f_proj"] - jac * C(wphi_x, wphi_t, ut)) * mask
     else:
         v_of = problem.extras.get("v_of")
         V = np.asarray(v_of(params, el.x), dtype=np.float64) if v_of else cfg.velocity
-        b_vec = (
-            np.asarray(el.f_proj, dtype=np.float64) - jac * C(wphi_x, wphi_t, ut + V * ux)
-        ) * mask
+        b_vec = (W["f_proj"] - jac * C(wphi_x, wphi_t, ut + V * ux)) * mask
 
     cols, blocks = [], []
     for j in range(eps_order):  # diffusion block (IBP pair)
@@ -287,9 +293,6 @@ def als_identify(
     Returns (u_fn, eps_coef, eps_fn, info): u_fn(X [P,2]) -> [P,1] evaluates
     the recovered solution; info carries the per-round trajectories.
     """
-    import jax.numpy as jnp
-
-    from hpvpinns_tpu.ops.contract import contract_2d
     from hpvpinns_tpu.spectral.basis import make_test_basis
 
     if problem.name != "advdiff":
@@ -327,22 +330,16 @@ def als_identify(
     PSI = PSI.reshape((time_order,) + shape)
     dPSI = dPSI.reshape((time_order,) + shape)
 
-    jac = (np.asarray(el.jac_x) * np.asarray(el.jac_y)).astype(np.float64)[:, None, None]
-    jt = np.asarray(el.jac_y, dtype=np.float64)[:, None, None]
-    wphi_x = np.asarray(bx.wphi, dtype=np.float64)
-    wdphi_x = np.asarray(bx.wdphi, dtype=np.float64)
-    wphi_t = np.asarray(bt.wphi, dtype=np.float64)
-    mask = np.asarray(el.mask, dtype=np.float64)
-
-    def C(bxm, btm, g):
-        return np.asarray(contract_2d(jnp.asarray(bxm), jnp.asarray(btm), jnp.asarray(g)))
+    W = _weak_fit_arrays(problem)
+    jac, jt, mask, C = W["jac"], W["jt"], W["mask"], W["C"]
+    wphi_x, wdphi_x, wphi_t = W["wphi_x"], W["wdphi_x"], W["wphi_t"]
 
     v_of = problem.extras.get("v_of")
     params0 = problem.init_params(__import__("jax").random.key(0))
     V = np.asarray(v_of(params0, el.x), dtype=np.float64) if v_of else cfg.velocity
     V = np.broadcast_to(np.asarray(V, dtype=np.float64), shape)
 
-    b_weak = (np.asarray(el.f_proj, dtype=np.float64) * mask).reshape(-1)
+    b_weak = (W["f_proj"] * mask).reshape(-1)
     n_c = space_order * time_order
 
     # Data rows from the problem's own sampled data (boundary + IC + sensors).
@@ -378,9 +375,7 @@ def als_identify(
         dP_leg = np.stack(
             [djacobi(j, 0.0, 0.0, xi, 1) / half for j in range(eps_order)]
         )
-        b_vec = (
-            np.asarray(el.f_proj, dtype=np.float64) - jac * C(wphi_x, wphi_t, ut + V * ux)
-        ) * mask
+        b_vec = (W["f_proj"] - jac * C(wphi_x, wphi_t, ut + V * ux)) * mask
         cols = []
         for j in range(eps_order):
             Aj = jac * C(wphi_x, wphi_t, dP_leg[j] * ux) + jt * C(
