@@ -371,6 +371,12 @@ def _advdiff_problem_from_args(cfg, args):
             eps_arg = eps_field_fn
         else:
             eps_arg = float(eps_spec)
+            # fold the scalar truth into gamma so eps_true (= gamma/pi) and
+            # every downstream report reflect the SUPPLIED truth, not the
+            # benchmark default
+            import math
+
+            cfg = dataclasses.replace(cfg, gamma=eps_arg * math.pi)
     profile = getattr(args, "manufactured_profile", None) or "sin"
     u_fn, f_fn = _advdiff.make_manufactured(cfg, vfn, epsilon=eps_arg, profile=profile)
     return _advdiff.build(

@@ -175,3 +175,21 @@ def test_run_gap_flag(capsys):
     assert set(gap) == {
         "rel_l2_net_vs_exact", "rel_l2_galerkin_vs_exact", "rel_l2_net_vs_galerkin"
     }
+
+
+def test_identify_scalar_manufactured_epsilon_truth_report(capsys):
+    """Regression: a scalar --manufactured-epsilon must become the problem's
+    reported eps_true (folded into gamma), and the reduced route identifies
+    it under a VARIABLE known velocity field."""
+    import json
+
+    from hpvpinns_tpu.cli import main
+
+    rc = main(
+        "identify advdiff --manufactured-velocity 1.0,0.3 "
+        "--manufactured-epsilon 0.0318".split()
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["epsilon_true"] == pytest.approx(0.0318)
+    assert s["epsilon_rel_err"] < 1e-5
