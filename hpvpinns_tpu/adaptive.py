@@ -312,11 +312,15 @@ def adaptive_galerkin_1d(
 
     This closes the measured round>=1 regression of the warm-started VPINN
     loop on the steep 1D problem for the linear families: every round's
-    solution is the exact minimizer on its mesh, so refinement is
-    MONOTONE by construction (measured 5.5e-2 -> 2.9e-5 over 5 rounds at
-    p=12 starting from two uniform elements — MEASUREMENTS.md).  The VPINN
-    adaptive loop (adaptive_solve) remains the tool for problems without
-    assembled systems.
+    solution is the exact minimizer on its mesh, so the ENERGY error is
+    monotone by Galerkin optimality under nested refinement (measured
+    3.15 -> 2.37 -> 0.93 across the first bisections).  rel-L2 tracks it —
+    5.5e-2 -> 2.9e-5 over 5 rounds at theta=0.7 — but can transiently blip
+    when a Dörfler tie is half-marked on an under-resolved layer
+    (Aubin-Nitsche pollution; measured at theta=0.5, energy still
+    decreasing), hence the 0.7 default.  The VPINN adaptive loop
+    (adaptive_solve) remains the tool for problems without assembled
+    systems.
 
     The indicator is the same hierarchical principle as
     element_indicator: the weak residual of the solved u against the next

@@ -192,12 +192,18 @@ def build_parser() -> argparse.ArgumentParser:
         "problem", choices=["poisson1d", "poisson2d", "burgers", "advdiff", "advdiff2d"]
     )
     ad.add_argument("--rounds", type=int, default=3)
-    ad.add_argument("--theta", type=float, default=0.5, help="Dörfler bulk fraction")
+    ad.add_argument("--theta", type=float, default=None,
+                    help="Dörfler bulk fraction (default 0.5; 0.7 for "
+                    "--solver galerkin — ties must be fully marked)")
     ad.add_argument("--mode", choices=["h", "p"], default="h",
                     help="h: bisect marked elements; p: raise their test order")
     ad.add_argument("--axes", choices=["x", "xt"], default="x",
                     help="space-time families: mark the space axis only (default) "
                     "or BOTH axes (moving fronts / sharp transients)")
+    ad.add_argument("--solver", choices=["vpinn", "galerkin"], default="vpinn",
+                    help="'galerkin' runs the classical direct-solver loop "
+                    "(poisson1d/2d; monotone by construction, sub-second "
+                    "rounds, f64 CPU) instead of the warm-started VPINN loop")
     ad.add_argument("--budget-growth", type=float, default=1.0, dest="budget_growth",
                     help="scale the per-round optimization budget by this factor each "
                     "round (refined meshes are harder to optimize; ~1.5-2 keeps rounds "
@@ -667,6 +673,29 @@ def cmd_adapt(args) -> int:
 
     _enable_compile_cache()
     cfg = _PRESETS[args.problem]()
+    if getattr(args, "solver", "vpinn") == "galerkin":
+        if args.problem not in ("poisson1d", "poisson2d"):
+            raise SystemExit("--solver galerkin supports poisson1d/poisson2d")
+        cfg = dc.replace(cfg, dtype="float64")
+        _maybe_enable_x64(cfg.dtype)
+        fn = (
+            adaptive.adaptive_galerkin_1d
+            if args.problem == "poisson1d"
+            else adaptive.adaptive_galerkin_2d
+        )
+        theta = args.theta if args.theta is not None else 0.7
+        recs = fn(cfg, rounds=args.rounds, theta=theta)
+        os.makedirs(args.outdir, exist_ok=True)
+        path = os.path.join(args.outdir, "adapt_rounds.json")
+        with open(path, "w") as f:
+            json.dump(recs, f, indent=1)
+        print(json.dumps({
+            "solver": "galerkin",
+            "rel_l2_trajectory": [r["rel_l2"] for r in recs],
+            "n_elem_trajectory": [r["n_elem"] for r in recs],
+            "record": path,
+        }))
+        return 0
     over = {k: v for k, v in vars(args).items()
             if k in ("n_quad", "dtype", "n_elements", "hard_bc", "n_test") and v is not None}
     if "n_elements" in over and not hasattr(cfg, "n_elements"):
@@ -687,7 +716,8 @@ def cmd_adapt(args) -> int:
     }
     train = dc.replace(cfg.train, **train_over) if train_over else cfg.train
     out = adaptive.adaptive_solve(
-        cfg, rounds=args.rounds, theta=args.theta, train_cfg=train,
+        cfg, rounds=args.rounds,
+        theta=args.theta if args.theta is not None else 0.5, train_cfg=train,
         mode=args.mode, axes=args.axes, budget_growth=args.budget_growth,
         verbose=True,
     )
