@@ -459,3 +459,74 @@ def adaptive_galerkin_2d(
             gx = np.asarray(bisect_marked(gx, mx))
             gy = np.asarray(bisect_marked(gy, my))
     return records
+
+
+def adaptive_galerkin_advdiff(
+    cfg,
+    rounds: int = 4,
+    theta: float = 0.7,
+    p: int = 16,
+    enrich: int = 4,
+    n_eval_t: int = 11,
+):
+    """Space-axis adaptive refinement for the space-time advdiff family with
+    the DIRECT solver (galerkin.solve_advdiff) in the loop and the
+    p-enrichment indicator (space-time L2 mass of u_{p+enrich} - u_p per
+    x-element, integrated over a uniform time sample).  Forward problems
+    only (eps frozen at the problem's truth).  Monotone in practice for the
+    same Galerkin-optimality reason as the Poisson loops; resolves the
+    outflow layer the benchmark develops at the right wall.
+
+    Returns per-round records {grid_x, n_elem, eta, rel_l2}.
+    """
+    import hpvpinns_tpu as hv
+    from hpvpinns_tpu.galerkin import solve_advdiff
+    from hpvpinns_tpu.geometry.mesh import Interval1D
+    from hpvpinns_tpu.spectral.quadrature import gauss_lobatto_jacobi
+
+    if not isinstance(cfg, hv.AdvDiffConfig):
+        raise TypeError("adaptive_galerkin_advdiff supports AdvDiffConfig")
+    cfg = dataclasses.replace(cfg, inverse=False)
+    problem = hv.build(cfg)
+    exact = problem.exact
+    eps = problem.extras.get("epsilon_fn") or problem.extras["eps_true"]
+    vfn = problem.extras.get("velocity_fn")
+    vel = vfn if vfn is not None else cfg.velocity
+    f_fn = problem.extras.get("f_rhs")
+    a_dom, b_dom = cfg.domain_x
+    u0 = lambda x: np.asarray(  # noqa: E731
+        exact(x.reshape(-1, 1), np.zeros((x.size, 1)))
+    ).reshape(x.shape)
+
+    grid = np.linspace(a_dom, b_dom, 3)
+    xq, wq = gauss_lobatto_jacobi(12, 0.0, 0.0)
+    ts = np.linspace(0.0, cfg.t_final, n_eval_t)
+    xs_err = np.linspace(a_dom, b_dom, 401)
+    XE, TE = np.meshgrid(xs_err, ts, indexing="ij")
+    u_true = np.asarray(exact(XE.reshape(-1, 1), TE.reshape(-1, 1))).reshape(XE.shape)
+
+    records = []
+    for r in range(rounds):
+        axis = Interval1D(grid)
+        sol_p = solve_advdiff(axis, p, u0, eps, vel, f_fn=f_fn)
+        sol_q = solve_advdiff(axis, p + enrich, u0, eps, vel, f_fn=f_fn)
+        Xq = axis.map_points(xq)  # [E, Q]
+        jac = axis.jacobians
+        eta = np.zeros(axis.n_elem)
+        for e in range(axis.n_elem):
+            XX, TT = np.meshgrid(Xq[e], ts, indexing="ij")
+            d = sol_q(XX, TT) - sol_p(XX, TT)
+            eta[e] = jac[e] * np.einsum("q,qt->", wq, d * d) / n_eval_t
+        u_h = sol_p(XE, TE)
+        rel = float(np.linalg.norm(u_h - u_true) / np.linalg.norm(u_true))
+        records.append({
+            "round": r,
+            "n_elem": int(axis.n_elem),
+            "grid_x": [float(g) for g in grid],
+            "eta": [float(v) for v in eta],
+            "rel_l2": rel,
+        })
+        if r < rounds - 1:
+            marked = dorfler_mark(eta, theta)
+            grid = np.asarray(bisect_marked(axis.grid, marked))
+    return records

@@ -337,3 +337,23 @@ def test_adaptive_galerkin_2d_monotone_and_localized():
     assert new_x and all(abs(g) <= 0.51 for g in new_x)  # front-localized
     with pytest.raises(TypeError, match="Poisson2DConfig"):
         adaptive.adaptive_galerkin_2d(hv.Poisson1DConfig())
+
+
+def test_adaptive_galerkin_advdiff_resolves_outflow_layer():
+    """Space-time classical adaptive loop: monotone on the benchmark, new
+    boundaries marching toward the x=1 outflow layer; the terminal rel-L2
+    plateaus at ~1e-5 — the f64 Fourier-series oracle's OWN proven accuracy
+    floor (test_galerkin.py::test_solver_beats_f64_series...)."""
+    recs = adaptive.adaptive_galerkin_advdiff(
+        hv.AdvDiffConfig(dtype="float64"), rounds=3, p=12
+    )
+    rels = [r["rel_l2"] for r in recs]
+    assert rels[0] < 2e-3
+    assert rels[-1] < 1e-4
+    assert all(b <= a * 1.05 for a, b in zip(rels, rels[1:]))
+    # refinement marches toward the outflow layer (right half)
+    g0 = set(np.round(recs[0]["grid_x"], 12))
+    new_x = [g for g in recs[-1]["grid_x"] if round(float(g), 12) not in g0]
+    assert new_x and all(g >= -0.51 for g in new_x)
+    with pytest.raises(TypeError, match="AdvDiffConfig"):
+        adaptive.adaptive_galerkin_advdiff(hv.Poisson1DConfig())
