@@ -357,3 +357,20 @@ def test_adaptive_galerkin_advdiff_resolves_outflow_layer():
     assert new_x and all(g >= -0.51 for g in new_x)
     with pytest.raises(TypeError, match="AdvDiffConfig"):
         adaptive.adaptive_galerkin_advdiff(hv.Poisson1DConfig())
+
+
+def test_adaptive_galerkin_burgers_discovers_front_grid():
+    """Nonlinear classical loop: monotone on the Cole-Hopf benchmark, every
+    inserted boundary zooming geometrically into the x=0 front (the
+    automatic version of BURGERS_SOLVER_GRID)."""
+    recs = adaptive.adaptive_galerkin_burgers(
+        hv.BurgersConfig(dtype="float64"), rounds=3, p=10, n_steps=200
+    )
+    rels = [r["rel_l2"] for r in recs]
+    assert rels[-1] < rels[0] / 5
+    assert all(b <= a * 1.05 for a, b in zip(rels, rels[1:]))
+    g0 = set(np.round(recs[0]["grid_x"], 12))
+    new_x = [g for g in recs[-1]["grid_x"] if round(float(g), 12) not in g0]
+    assert new_x and all(abs(g) <= 0.26 for g in new_x)  # front-bracketing
+    with pytest.raises(TypeError, match="BurgersConfig"):
+        adaptive.adaptive_galerkin_burgers(hv.Poisson1DConfig())
