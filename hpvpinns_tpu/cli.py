@@ -202,8 +202,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "or BOTH axes (moving fronts / sharp transients)")
     ad.add_argument("--solver", choices=["vpinn", "galerkin"], default="vpinn",
                     help="'galerkin' runs the classical direct-solver loop "
-                    "(poisson1d/2d; monotone by construction, sub-second "
-                    "rounds, f64 CPU) instead of the warm-started VPINN loop")
+                    "(poisson1d/2d, advdiff, burgers; monotone energy error, "
+                    "seconds per round, f64 CPU) instead of the warm-started "
+                    "VPINN loop")
     ad.add_argument("--budget-growth", type=float, default=1.0, dest="budget_growth",
                     help="scale the per-round optimization budget by this factor each "
                     "round (refined meshes are harder to optimize; ~1.5-2 keeps rounds "
@@ -674,15 +675,19 @@ def cmd_adapt(args) -> int:
     _enable_compile_cache()
     cfg = _PRESETS[args.problem]()
     if getattr(args, "solver", "vpinn") == "galerkin":
-        if args.problem not in ("poisson1d", "poisson2d"):
-            raise SystemExit("--solver galerkin supports poisson1d/poisson2d")
+        fns = {
+            "poisson1d": adaptive.adaptive_galerkin_1d,
+            "poisson2d": adaptive.adaptive_galerkin_2d,
+            "advdiff": adaptive.adaptive_galerkin_advdiff,
+            "burgers": adaptive.adaptive_galerkin_burgers,
+        }
+        fn = fns.get(args.problem)
+        if fn is None:
+            raise SystemExit(
+                "--solver galerkin supports poisson1d/poisson2d/advdiff/burgers"
+            )
         cfg = dc.replace(cfg, dtype="float64")
         _maybe_enable_x64(cfg.dtype)
-        fn = (
-            adaptive.adaptive_galerkin_1d
-            if args.problem == "poisson1d"
-            else adaptive.adaptive_galerkin_2d
-        )
         theta = args.theta if args.theta is not None else 0.7
         recs = fn(cfg, rounds=args.rounds, theta=theta)
         os.makedirs(args.outdir, exist_ok=True)
