@@ -250,6 +250,9 @@ def build_parser() -> argparse.ArgumentParser:
                      "velocity (joint Nelder-Mead over exact solves)")
     idf.add_argument("--plots", action="store_true",
                      help="write the recovered-vs-true eps(x) panel")
+    idf.add_argument("--record", metavar="PATH",
+                     help="write the identified coefficients + eps(x) curve "
+                     "as an .npz record")
     idf.add_argument("--outdir", default="results/identify")
 
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
@@ -522,6 +525,23 @@ def cmd_identify(args) -> int:
         )
     summary["wall_time_s"] = round(_time.perf_counter() - t0, 2)
     print(json.dumps(summary))
+    if getattr(args, "record", None):
+        import os
+
+        xs_rec = np.linspace(*cfg.domain_x, 513)
+        rec = {
+            "coef": np.asarray(coef),
+            "x": xs_rec,
+            "eps": np.asarray(eps_fn(xs_rec)).reshape(-1),
+            "method": np.asarray(summary["method"]),
+        }
+        efn_r = prob.extras.get("epsilon_fn")
+        if efn_r is not None:
+            rec["eps_true"] = np.asarray(efn_r(xs_rec)).reshape(-1)
+        os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
+        path = args.record if args.record.endswith(".npz") else args.record + ".npz"
+        np.savez(path, **rec)
+        print(json.dumps({"record": path}))
     if args.plots:
         from hpvpinns_tpu import viz
 

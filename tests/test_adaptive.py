@@ -374,3 +374,19 @@ def test_adaptive_galerkin_burgers_discovers_front_grid():
     assert new_x and all(abs(g) <= 0.26 for g in new_x)  # front-bracketing
     with pytest.raises(TypeError, match="BurgersConfig"):
         adaptive.adaptive_galerkin_burgers(hv.Poisson1DConfig())
+
+
+def test_adaptive_cli_galerkin_solver(capsys, tmp_path):
+    from hpvpinns_tpu.cli import main
+
+    rc = main(
+        f"adapt poisson1d --solver galerkin --rounds 3 --outdir {tmp_path}".split()
+    )
+    assert rc == 0
+    import json
+
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["solver"] == "galerkin"
+    rels = s["rel_l2_trajectory"]
+    assert rels[-1] < rels[0]
+    assert (tmp_path / "adapt_rounds.json").exists()

@@ -193,3 +193,19 @@ def test_identify_scalar_manufactured_epsilon_truth_report(capsys):
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["epsilon_true"] == pytest.approx(0.0318)
     assert s["epsilon_rel_err"] < 1e-5
+
+
+def test_identify_record_artifact(capsys, tmp_path):
+    import json
+
+    import numpy as np
+
+    from hpvpinns_tpu.cli import main
+
+    rc = main(f"identify advdiff --record {tmp_path}/rec".split())
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["record"].endswith("rec.npz")
+    d = np.load(tmp_path / "rec.npz")
+    assert set(d.files) >= {"coef", "x", "eps", "method"}
+    assert d["eps"].shape == (513,)
