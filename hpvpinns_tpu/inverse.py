@@ -843,3 +843,111 @@ def reduced_identify_burgers(
         "misfit": float(res.fun), "n_solves": n_solves[0],
         "n_sensors": len(ds), "method": "brent-bounded",
     }
+
+
+def fit_epsilon_field2d(
+    problem, params, order_x: int = 5, order_y: int = 5,
+    reg: float = 1e-8, u_fn=None,
+):
+    """2D diffusivity-MAP recovery: the advdiff2d form-1 weak residual is
+    AFFINE in eps(x, y), so a tensor-Legendre expansion
+    eps = sum_jk c_jk P_j(x) P_k(y) is one column-equilibrated lstsq at the
+    frozen solution — the 2-space-dimension twin of fit_epsilon_field
+    (beyond the reference, whose coefficient is a single scalar).
+
+    Returns (coef [order_x, order_y], eps_fn(x, y), info).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.ops.contract import contract_3d
+    from hpvpinns_tpu.ops.fields import scalar_fields_3d
+
+    if problem.name != "advdiff2d":
+        raise ValueError(
+            f"fit_epsilon_field2d supports advdiff2d problems, got {problem.name!r}"
+        )
+    cfg = problem.config
+    el = problem.data["elements"]
+    bx, by, bt = problem.data["basis_x"], problem.data["basis_y"], problem.data["basis_t"]
+
+    if u_fn is None:
+        u_fn = lambda X: problem.apply(params, X)  # noqa: E731
+    flds = jax.jit(
+        lambda x, y, z: scalar_fields_3d(u_fn, x, y, z, second=False)
+    )(el.x, el.y, el.z)
+    ut = np.asarray(flds["uz"], dtype=np.float64)
+    ux = np.asarray(flds["ux"], dtype=np.float64)
+    uy = np.asarray(flds["uy"], dtype=np.float64)
+
+    vx, vy = problem.extras["v_of"](params)
+    vx, vy = float(np.asarray(vx)), float(np.asarray(vy))
+
+    x = np.asarray(el.x, dtype=np.float64)
+    y = np.asarray(el.y, dtype=np.float64)
+    (ax_, bx_), (ay_, by_) = cfg.domain_x, cfg.domain_y
+    hx, hy = (bx_ - ax_) / 2.0, (by_ - ay_) / 2.0
+    xi = (x - (ax_ + bx_) / 2.0) / hx
+    et = (y - (ay_ + by_) / 2.0) / hy
+    Px = jacobi_all(order_x - 1, 0.0, 0.0, xi)
+    dPx = np.stack([djacobi(j, 0.0, 0.0, xi, 1) / hx for j in range(order_x)])
+    Py = jacobi_all(order_y - 1, 0.0, 0.0, et)
+    dPy = np.stack([djacobi(k, 0.0, 0.0, et, 1) / hy for k in range(order_y)])
+
+    jac = (np.asarray(el.jac_x) * np.asarray(el.jac_y) * np.asarray(el.jac_z)).astype(
+        np.float64
+    )[:, None, None, None]
+    jx = (np.asarray(el.jac_y) * np.asarray(el.jac_z)).astype(np.float64)[:, None, None, None]
+    jy = (np.asarray(el.jac_x) * np.asarray(el.jac_z)).astype(np.float64)[:, None, None, None]
+    wphi_x = np.asarray(bx.wphi, dtype=np.float64)
+    wdphi_x = np.asarray(bx.wdphi, dtype=np.float64)
+    wphi_y = np.asarray(by.wphi, dtype=np.float64)
+    wdphi_y = np.asarray(by.wdphi, dtype=np.float64)
+    wphi_t = np.asarray(bt.wphi, dtype=np.float64)
+    mask = np.asarray(el.mask, dtype=np.float64)
+
+    def C(bxm, bym, btm, g):
+        return np.asarray(
+            contract_3d(jnp.asarray(bxm), jnp.asarray(bym), jnp.asarray(btm), jnp.asarray(g))
+        )
+
+    b_vec = (
+        np.asarray(el.f_proj, dtype=np.float64)
+        - jac * C(wphi_x, wphi_y, wphi_t, ut + vx * ux + vy * uy)
+    ) * mask
+    cols = []
+    for j in range(order_x):
+        for k in range(order_y):
+            P = Px[j] * Py[k]
+            A_jk = (
+                jac * C(wphi_x, wphi_y, wphi_t, (dPx[j] * Py[k]) * ux + (Px[j] * dPy[k]) * uy)
+                + jx * C(wdphi_x, wphi_y, wphi_t, P * ux)
+                + jy * C(wphi_x, wdphi_y, wphi_t, P * uy)
+            )
+            cols.append((A_jk * mask).reshape(-1))
+    A = np.stack(cols, axis=1)
+    b_flat = b_vec.reshape(-1)
+
+    cs = np.linalg.norm(A, axis=0)
+    cs[cs == 0] = 1.0
+    A_s = A / cs
+    lam = reg * (A_s * A_s).sum() / max(A.shape[0], 1)
+    A_aug = np.vstack([A_s, np.sqrt(lam) * np.eye(A.shape[1])])
+    b_aug = np.concatenate([b_flat, np.zeros(A.shape[1])])
+    coef, *_ = np.linalg.lstsq(A_aug, b_aug, rcond=None)
+    coef = (coef / cs).reshape(order_x, order_y)
+
+    def eps_fn(X, Y):
+        xi_p = (np.asarray(X, dtype=np.float64) - (ax_ + bx_) / 2.0) / hx
+        et_p = (np.asarray(Y, dtype=np.float64) - (ay_ + by_) / 2.0) / hy
+        Pj = np.asarray(jacobi_all(order_x - 1, 0.0, 0.0, xi_p.reshape(-1)))
+        Pk = np.asarray(jacobi_all(order_y - 1, 0.0, 0.0, et_p.reshape(-1)))
+        return np.einsum("jk,jp,kp->p", coef, Pj, Pk).reshape(np.shape(X))
+
+    info = {
+        "residual_before": float(np.linalg.norm(b_flat)),
+        "residual_after": float(np.linalg.norm(A @ coef.reshape(-1) - b_flat)),
+        "order_x": order_x,
+        "order_y": order_y,
+    }
+    return coef, eps_fn, info

@@ -363,7 +363,7 @@ _register(Elements3D)
 
 def advdiff2d_residual(
     u_fn, elems: Elements3D, bx: Basis1D, by: Basis1D, bt: Basis1D,
-    var_form: int, vx, vy, epsilon, fields_fn=None,
+    var_form: int, vx, vy, epsilon, fields_fn=None, epsilon_x=0.0, epsilon_y=0.0,
 ):
     """Res[e, m, k, r] for the 2D space-time advection-diffusion equation
 
@@ -383,8 +383,12 @@ def advdiff2d_residual(
                      + eps (jac/jac_y) C3(phi_r, phi'_k, phi_m, uy)
 
     vx/vy/epsilon may be traced scalars (trainable coefficients) or fields
-    broadcastable to [E, Qt, Qy, Qx] (form 0; form 1 supports field
-    velocities but scalar eps only, mirroring advdiff_residual's contract).
+    broadcastable to [E, Qt, Qy, Qx].  For a FIELD eps(x, y) under form 1,
+    the integration by parts of -eps (u_xx + u_yy) produces BOTH the
+    eps-weighted gradient terms and the eps_x u_x + eps_y u_y advection-like
+    terms (the 2D twin of advdiff_residual's variable-eps contract);
+    `epsilon_x`/`epsilon_y` are the analytic field derivatives (0 for the
+    scalar coefficient, which recovers the scalar formula exactly).
     """
     from hpvpinns_tpu.ops.contract import contract_3d
 
@@ -407,10 +411,11 @@ def advdiff2d_residual(
     elif var_form == 1:
         jx = (elems.jac_y * elems.jac_z)[:, None, None, None]
         jy = (elems.jac_x * elems.jac_z)[:, None, None, None]
+        adv1 = adv + epsilon_x * ux + epsilon_y * uy
         U = (
-            jac * contract_3d(bx.wphi, by.wphi, bt.wphi, adv)
-            + epsilon * jx * contract_3d(bx.wdphi, by.wphi, bt.wphi, ux)
-            + epsilon * jy * contract_3d(bx.wphi, by.wdphi, bt.wphi, uy)
+            jac * contract_3d(bx.wphi, by.wphi, bt.wphi, adv1)
+            + jx * contract_3d(bx.wdphi, by.wphi, bt.wphi, epsilon * ux)
+            + jy * contract_3d(bx.wphi, by.wdphi, bt.wphi, epsilon * uy)
         )
     else:
         raise ValueError(f"AdvDiff-2D var_form must be 0 or 1; got {var_form}")

@@ -43,15 +43,19 @@ def u_exact(x, y, t):
     return np.sin(np.pi * x) * np.sin(np.pi * y) * np.exp(-t)
 
 
-def make_forcing(cfg: AdvDiff2DConfig):
+def make_forcing(cfg: AdvDiff2DConfig, eps_fn=None):
     """f = u_t + vx u_x + vy u_y - eps (u_xx + u_yy) for the manufactured u
-    at the TRUE coefficients (host float64, projected offline)."""
+    at the TRUE coefficients (host float64, projected offline).  `eps_fn`
+    poses a TRUE space-dependent diffusivity MAP eps(x, y) — beyond the
+    family's scalar coefficient (generic array ops: called on host numpy
+    here and, for forward runs, on device arrays in the weak form)."""
     vx, vy = cfg.velocity
-    eps = cfg.gamma / np.pi
+    eps_scalar = cfg.gamma / np.pi
 
     def f_fn(X, Y, T):
         sx, cx = np.sin(np.pi * X), np.cos(np.pi * X)
         sy, cy = np.sin(np.pi * Y), np.cos(np.pi * Y)
+        eps = eps_fn(X, Y) if eps_fn is not None else eps_scalar
         return np.exp(-T) * (
             -sx * sy
             + vx * np.pi * cx * sy
@@ -98,10 +102,27 @@ def training_data(cfg: AdvDiff2DConfig, rng: np.random.Generator):
     return np.concatenate(pts), np.concatenate(vals)
 
 
-def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Problem:
+def build(
+    cfg: AdvDiff2DConfig,
+    rng: np.random.Generator | None = None,
+    epsilon_fn=None,
+) -> Problem:
+    """`epsilon_fn(x, y)` poses the manufactured problem at a TRUE
+    space-dependent diffusivity map (jnp-traceable, generic array ops):
+    the forcing, the forward weak form (exact autodiff eps_x/eps_y through
+    the IBP terms), and extras["epsilon_fn"] all carry it.  Identification
+    of the map itself is the two-phase linear fit
+    (inverse.fit_epsilon_field2d) — the family's trainable coefficient
+    stays the reference-style scalar."""
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
-    eps_true = cfg.gamma / np.pi
+    if epsilon_fn is not None:
+        _gx = np.linspace(*cfg.domain_x, 257)
+        _gy = np.linspace(*cfg.domain_y, 257)
+        _GX, _GY = np.meshgrid(_gx, _gy, indexing="ij")
+        eps_true = float(np.mean(np.asarray(epsilon_fn(_GX, _GY))))
+    else:
+        eps_true = cfg.gamma / np.pi
     if cfg.grid_x is not None or cfg.grid_y is not None or cfg.grid_t is not None:
         from hpvpinns_tpu.geometry.mesh import Interval1D
 
@@ -125,7 +146,7 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
     bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
     by = make_weighted_basis(cfg.n_test_y, xq, wq, dtype)
     bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
-    f_fn = make_forcing(cfg)
+    f_fn = make_forcing(cfg, eps_fn=epsilon_fn)
     elems = build_elements_3d(
         mesh, xq, wq, f_fn, cfg.n_test_x, cfg.n_test_y, cfg.n_test_t, dtype
     )
@@ -165,6 +186,16 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
             return v[0], v[1]
         return vx_true, vy_true
 
+    def _eps_args(params, x, y):
+        """(eps, eps_x, eps_y) for the weak form: the trainable scalar, or
+        the TRUE field with exact autodiff derivatives on forward runs."""
+        if epsilon_fn is not None and not inverse:
+            e = epsilon_fn(x, y)
+            _, ex = jax.jvp(lambda q: epsilon_fn(q, y), (x,), (jnp.ones_like(x),))
+            _, ey = jax.jvp(lambda q: epsilon_fn(x, q), (y,), (jnp.ones_like(y),))
+            return e, ex, ey
+        return eps_of(params), 0.0, 0.0
+
     def _fields_fn(params):
         if mode == "taylor":
             return lambda x, y, z, **kw: taylor_fields_3d(spec, params["net"], x, y, z, **kw)
@@ -179,10 +210,12 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
         source for adaptive refinement (adaptive.py)."""
         el = data["elements"]
         vx, vy = v_of(params)
+        e, ex, ey = _eps_args(params, el.x, el.y)
         res = advdiff2d_residual(
             lambda X: mlp_apply(spec, params["net"], X), el,
             data["basis_x"], data["basis_y"], data["basis_t"],
-            var_form, vx, vy, eps_of(params), fields_fn=_fields_fn(params),
+            var_form, vx, vy, e, fields_fn=_fields_fn(params),
+            epsilon_x=ex, epsilon_y=ey,
         )
         return res * el.mask
 
@@ -206,10 +239,11 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
             )
         bx_en, by_en, bt_en, elems_en, new_mask = _enriched_cache[key]
         vx, vy = v_of(params)
+        e, ex, ey = _eps_args(params, elems_en.x, elems_en.y)
         res = advdiff2d_residual(
             lambda X: mlp_apply(spec, params["net"], X), elems_en,
-            bx_en, by_en, bt_en, var_form, vx, vy, eps_of(params),
-            fields_fn=_fields_fn(params),
+            bx_en, by_en, bt_en, var_form, vx, vy, e,
+            fields_fn=_fields_fn(params), epsilon_x=ex, epsilon_y=ey,
         )
         return res * new_mask[None]
 
@@ -225,9 +259,11 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
         else:
             fields_fn = None
         vx, vy = v_of(params)
+        e, ex, ey = _eps_args(params, el.x, el.y)
         res = advdiff2d_residual(
             u_fn, el, data["basis_x"], data["basis_y"], data["basis_t"],
-            var_form, vx, vy, eps_of(params), fields_fn=fields_fn,
+            var_form, vx, vy, e, fields_fn=fields_fn,
+            epsilon_x=ex, epsilon_y=ey,
         )
         lossv = variational_loss(res, el.mask, el.n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
@@ -267,6 +303,7 @@ def build(cfg: AdvDiff2DConfig, rng: np.random.Generator | None = None) -> Probl
             "mesh": mesh,
             "residual_fn": residual_fn,
             "enriched_residual_fn": enriched_residual_fn,
+            "epsilon_fn": epsilon_fn,
             "eps_true": eps_true,
             "eps_domain_mean": lambda params: (
                 float(np.asarray(params["pde"]["epsilon"])) if inverse else eps_true

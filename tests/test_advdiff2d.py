@@ -150,3 +150,80 @@ def test_reduced_identify2d_three_scalars():
     p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff2d"):
         reduced_identify2d(p1)
+
+
+def test_variable_eps_map_zero_residual_and_forward_loss():
+    """The assembly extension for eps(x, y) MAPS: the exact manufactured
+    solution drives both weak forms to (near) zero at a genuinely varying
+    diffusivity field (form 0 pointwise; form 1 via the exact-autodiff
+    eps_x/eps_y IBP terms)."""
+    import jax
+
+    from hpvpinns_tpu.ops.assembly import advdiff2d_residual
+
+    eps_fn = lambda X, Y: (0.1 / jnp.pi) * (  # noqa: E731
+        1.0 + 0.3 * jnp.sin(jnp.pi * X) * jnp.cos(jnp.pi * Y / 2)
+    )
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", inverse=False, n_quad=12, n_test_x=6, n_test_y=6, n_test_t=6
+    )
+    prob = advdiff2d.build(cfg, epsilon_fn=eps_fn)
+    el = prob.data["elements"]
+    exact_u = lambda X: (  # noqa: E731
+        jnp.sin(jnp.pi * X[:, 0:1]) * jnp.sin(jnp.pi * X[:, 1:2]) * jnp.exp(-X[:, 2:3])
+    )
+    vx, vy = cfg.velocity
+    res0 = advdiff2d_residual(
+        exact_u, el, prob.data["basis_x"], prob.data["basis_y"], prob.data["basis_t"],
+        0, vx, vy, eps_fn(el.x, el.y),
+    )
+    assert float(jnp.abs(res0).max()) < 1e-14
+    e = eps_fn(el.x, el.y)
+    _, ex = jax.jvp(lambda q: eps_fn(q, el.y), (el.x,), (jnp.ones_like(el.x),))
+    _, ey = jax.jvp(lambda q: eps_fn(el.x, q), (el.y,), (jnp.ones_like(el.y),))
+    res1 = advdiff2d_residual(
+        exact_u, el, prob.data["basis_x"], prob.data["basis_y"], prob.data["basis_t"],
+        1, vx, vy, e, epsilon_x=ex, epsilon_y=ey,
+    )
+    assert float(jnp.abs(res1).max()) < 1e-6  # quadrature accuracy
+    # forward loss runs with the field truth (the _eps_args path)
+    cfg1 = hv.AdvDiff2DConfig(
+        dtype="float64", inverse=False, var_form=1, n_quad=8,
+        n_test_x=4, n_test_y=4, n_test_t=4, layers=(3, 8, 1),
+    )
+    prob1 = advdiff2d.build(cfg1, epsilon_fn=eps_fn)
+    params = prob1.init_params(jax.random.key(0))
+    loss, _ = prob1.loss_fn(params, prob1.data)
+    assert np.isfinite(float(loss))
+    assert prob1.extras["eps_true"] == pytest.approx(0.1 / np.pi, rel=1e-3)  # map mean
+
+
+def test_fit_epsilon_field2d_oracle_spectral():
+    """2D diffusivity-map linear fit: spectral at oracle u (1.7e-4 at
+    orders (8,8)); trained-u recovery measured at ~4% (MEASUREMENTS.md)."""
+    import jax
+
+    from hpvpinns_tpu.inverse import fit_epsilon_field2d
+
+    eps_fn = lambda X, Y: (0.1 / jnp.pi) * (  # noqa: E731
+        1.0 + 0.3 * jnp.sin(jnp.pi * X) * jnp.cos(jnp.pi * Y / 2)
+    )
+    cfg = hv.AdvDiff2DConfig(dtype="float64", n_quad=12, n_test_x=10, n_test_y=10, n_test_t=6)
+    prob = advdiff2d.build(cfg, epsilon_fn=eps_fn)
+    params = prob.init_params(jax.random.key(0))
+    oracle = lambda X: (  # noqa: E731
+        jnp.sin(jnp.pi * X[:, 0:1]) * jnp.sin(jnp.pi * X[:, 1:2]) * jnp.exp(-X[:, 2:3])
+    )
+    xs = np.linspace(-1, 1, 49)
+    XG, YG = np.meshgrid(xs, xs, indexing="ij")
+    ET = np.asarray(eps_fn(XG, YG))
+    errs = {}
+    for o in (4, 8):
+        _, ef, info = fit_epsilon_field2d(prob, params, order_x=o, order_y=o, u_fn=oracle)
+        errs[o] = np.linalg.norm(np.asarray(ef(XG, YG)) - ET) / np.linalg.norm(ET)
+        assert info["residual_after"] <= info["residual_before"]
+    assert errs[8] < 5e-4
+    assert errs[8] < errs[4] / 20
+    p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff2d"):
+        fit_epsilon_field2d(p1, p1.init_params(jax.random.key(0)))
