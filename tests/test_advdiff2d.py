@@ -227,3 +227,33 @@ def test_fit_epsilon_field2d_oracle_spectral():
     p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff2d"):
         fit_epsilon_field2d(p1, p1.init_params(jax.random.key(0)))
+
+
+def test_als_identify2d_map_recovery():
+    """Network-free 2D map identification: ~4-8% from clean dense sensing
+    (sin-profile observability bounded — MEASUREMENTS.md); the test-order >
+    basis-order size rule is what keeps the u-solve full-rank."""
+    from hpvpinns_tpu.inverse import als_identify2d
+
+    eps_fn = lambda X, Y: (0.1 / jnp.pi) * (  # noqa: E731
+        1.0 + 0.3 * jnp.sin(jnp.pi * X) * jnp.cos(jnp.pi * Y / 2)
+    )
+    st = [(x, y) for x in np.linspace(-0.8, 0.8, 7) for y in np.linspace(-0.8, 0.8, 7)]
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", n_quad=16, n_test_x=12, n_test_y=12, n_test_t=10,
+        sensor_stations=tuple((float(a), float(b)) for a, b in st),
+        n_sensors_per_station=20,
+    )
+    prob = advdiff2d.build(cfg, epsilon_fn=eps_fn)
+    uf, coef, ef, info = als_identify2d(prob, space_order=10, time_order=8, iters=3)
+    xs = np.linspace(-1, 1, 49)
+    XG, YG = np.meshgrid(xs, xs, indexing="ij")
+    ET = np.asarray(eps_fn(XG, YG))
+    err = np.linalg.norm(np.asarray(ef(XG, YG)) - ET) / np.linalg.norm(ET)
+    assert err < 0.12
+    u_hat = uf(prob.test_points).reshape(-1)
+    u_tr = np.asarray(prob.test_values).reshape(-1)
+    assert np.linalg.norm(u_hat - u_tr) / np.linalg.norm(u_tr) < 5e-3
+    p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
+    with pytest.raises(ValueError, match="advdiff2d"):
+        als_identify2d(p1)
