@@ -59,10 +59,12 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
         params, opt_state, aux = chunk(params, opt_state, data)
     except Exception as err:
         # scan-of-steps compile crash on some XLA builds (MEASUREMENTS.md):
-        # fall back to pipelined single-step jit, like the trainer does.
-        if "compile" not in str(err).lower():
+        # fall back to pipelined single-step jit, using the trainer's own
+        # predicate so the two paths can never drift apart.
+        from hpvpinns_tpu.training.trainer import _build_stepwise_chunk, _is_compile_crash
+
+        if not _is_compile_crash(err):
             raise
-        from hpvpinns_tpu.training.trainer import _build_stepwise_chunk
 
         chunk = _build_stepwise_chunk(prob.loss_fn, opt, chunk_len)
         params, opt_state, aux = chunk(params, opt_state, data)
