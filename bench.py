@@ -91,7 +91,7 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
     n_elem = el.x.shape[0]
     n_qpts = el.x.shape[1] * el.x.shape[2]
     steps_per_sec = steps / best_dt
-    return {
+    result = {
         "steps_per_sec": steps_per_sec,
         "residual_evals_per_sec": steps_per_sec * n_elem * n_qpts,
         "n_elem": n_elem,
@@ -99,10 +99,90 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
         "final_loss": float(loss),
         "device": str(jax.devices()[0]),
     }
+    result.update(_mfu_fields(chunk, chunk_len, steps_per_sec, (params, opt_state, data)))
+    return result
+
+
+# Nominal peak of the benched chip (TPU v5 lite: ~197 TFLOP/s bf16 MXU);
+# override with HPVPINN_PEAK_FLOPS for other hardware.
+_PEAK_FLOPS = float(os.environ.get("HPVPINN_PEAK_FLOPS", 197e12))
+
+
+def _mfu_fields(chunk, chunk_len: int, steps_per_sec: float, args) -> dict:
+    """FLOPs-accounted utilization: XLA's own cost analysis of the compiled
+    step graph (no hand counting), divided by the chip's nominal peak.
+    The MFU of this workload is intrinsically tiny — the measured floor
+    decomposition (benchmarks/MEASUREMENTS.md) shows the step is
+    launch/HBM-bound at these array sizes, not MXU-bound."""
+    try:
+        compiled = chunk.lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops_per_step = float(cost["flops"]) / chunk_len
+    except Exception:
+        return {}
+    flops_per_sec = flops_per_step * steps_per_sec
+    return {
+        "flops_per_step_xla": flops_per_step,
+        "flops_per_sec": flops_per_sec,
+        "mfu_vs_peak": flops_per_sec / _PEAK_FLOPS,
+        "peak_flops_assumed": _PEAK_FLOPS,
+    }
+
+
+def measure_ensemble_scaling(seed_counts=(1, 4, 8), steps: int = 100, trials: int = 3) -> list:
+    """Seed-fleet throughput: S stacked networks per step (training/
+    ensemble.py).  The step is overhead-bound at S=1, so seeds/s should
+    scale well below linearly in cost — the measured table feeds
+    benchmarks/MEASUREMENTS.md."""
+    import jax
+
+    from hpvpinns_tpu.training.ensemble import (
+        _build_ens_chunk,
+        _build_ens_stepwise_chunk,
+        init_ensemble,
+    )
+    from hpvpinns_tpu.training.trainer import _is_compile_crash, make_optimizer
+
+    import hpvpinns_tpu as hv
+
+    prob = build_bench_problem()
+    rows = []
+    chunk_len = 10
+    for s in seed_counts:
+        params = init_ensemble(prob, range(s))
+        opt = make_optimizer(hv.TrainConfig())
+        opt_state = opt.init(params)
+        chunk = _build_ens_chunk(prob.loss_fn, opt, chunk_len)
+        data = prob.data
+        try:
+            params, opt_state, aux = chunk(params, opt_state, data)
+        except Exception as err:
+            if not _is_compile_crash(err):
+                raise
+            chunk = _build_ens_stepwise_chunk(prob.loss_fn, opt, chunk_len)
+            params, opt_state, aux = chunk(params, opt_state, data)
+        jax.block_until_ready(aux["loss"])
+        best_dt = float("inf")
+        n_chunks = max(1, steps // chunk_len)
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                params, opt_state, aux = chunk(params, opt_state, data)
+            jax.block_until_ready(aux["loss"])
+            best_dt = min(best_dt, time.perf_counter() - t0)
+        sps = n_chunks * chunk_len / best_dt
+        rows.append({"seeds": s, "steps_per_sec": sps, "seed_steps_per_sec": sps * s})
+    return rows
 
 
 def main():
     result = measure_steps_per_sec()
+    try:
+        result["ensemble_scaling"] = measure_ensemble_scaling()
+    except Exception as err:  # scaling table is stderr detail, never fatal
+        result["ensemble_scaling_error"] = str(err)[:200]
 
     baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
     vs_baseline = None

@@ -45,6 +45,13 @@ from hpvpinns_tpu.config import (
 from hpvpinns_tpu.evaluate import evaluate as evaluate_problem
 from hpvpinns_tpu.evaluate import predict, rel_l2
 from hpvpinns_tpu.problems import build
-from hpvpinns_tpu.training import TrainResult, train
+from hpvpinns_tpu.training import (
+    EnsembleResult,
+    GNResult,
+    TrainResult,
+    gauss_newton,
+    train,
+    train_ensemble,
+)
 
 __version__ = "0.1.0"

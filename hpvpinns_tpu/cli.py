@@ -25,6 +25,10 @@ from hpvpinns_tpu import config as cfgmod
 def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--iterations", type=int, help="Adam iterations")
     p.add_argument("--lbfgs-iterations", type=int, help="L-BFGS phase iterations")
+    p.add_argument("--gn-iterations", type=int, dest="gn_iterations",
+                   help="Gauss-Newton/LM polish phase (accepted steps; "
+                   "second-order residual optimizer, breaks the first-order "
+                   "u~2e-3 plateau)")
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--threshold", type=float, help="early-stop loss threshold")
     p.add_argument("--seed", type=int)
@@ -211,6 +215,7 @@ def build_parser() -> argparse.ArgumentParser:
                     "comparable — MEASUREMENTS.md)")
     ad.add_argument("--iterations", type=int)
     ad.add_argument("--lbfgs-iterations", type=int)
+    ad.add_argument("--gn-iterations", type=int, dest="gn_iterations")
     ad.add_argument("--n-quad", type=int, dest="n_quad")
     ad.add_argument("--n-test", type=int, dest="n_test",
                     help="test functions per element (per axis for 2D/space-time)")
@@ -261,6 +266,7 @@ def build_parser() -> argparse.ArgumentParser:
     sw.add_argument("--values", required=True, help="comma-separated sweep values")
     sw.add_argument("--iterations", type=int)
     sw.add_argument("--lbfgs-iterations", type=int)
+    sw.add_argument("--gn-iterations", type=int, dest="gn_iterations")
     sw.add_argument("--n-quad", type=int, dest="n_quad")
     sw.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
     sw.add_argument("--outdir", default="results/sweep")
@@ -287,8 +293,8 @@ _QUALITY_PRESETS = {
 }
 
 _TRAIN_KEYS = (
-    "iterations", "lbfgs_iterations", "learning_rate", "threshold", "seed",
-    "checkpoint_dir", "checkpoint_every",
+    "iterations", "lbfgs_iterations", "gn_iterations", "learning_rate",
+    "threshold", "seed", "checkpoint_dir", "checkpoint_every",
 )
 
 
@@ -670,7 +676,8 @@ def cmd_sweep(args) -> int:
     cfg = dataclasses.replace(cfg, **over)
     _maybe_enable_x64(cfg.dtype)
     train_over = {
-        k: v for k, v in vars(args).items() if k in ("iterations", "lbfgs_iterations") and v is not None
+        k: v for k, v in vars(args).items()
+        if k in ("iterations", "lbfgs_iterations", "gn_iterations") and v is not None
     }
     train = dataclasses.replace(cfg.train, **train_over) if train_over else cfg.train
     values = [int(v) for v in args.values.split(",")]
@@ -737,7 +744,7 @@ def cmd_adapt(args) -> int:
     _maybe_enable_x64(cfg.dtype)
     train_over = {
         k: v for k, v in vars(args).items()
-        if k in ("iterations", "lbfgs_iterations") and v is not None
+        if k in ("iterations", "lbfgs_iterations", "gn_iterations") and v is not None
     }
     train = dc.replace(cfg.train, **train_over) if train_over else cfg.train
     out = adaptive.adaptive_solve(

@@ -24,6 +24,11 @@ class TrainConfig:
     lbfgs_iterations: int = 0  # optional second-phase L-BFGS (full batch);
     # 0 disables.  The reference is Adam-only; L-BFGS is the standard
     # full-batch accelerator for variational/PINN losses (BASELINE.json).
+    gn_iterations: int = 0  # optional third-phase Gauss-Newton/LM polish on
+    # the stacked residual vector (training/gauss_newton.py); counts ACCEPTED
+    # LM steps.  Measured to break the first-order u~2e-3 plateau: the loss
+    # drops to the discretization floor in O(100) steps (MEASUREMENTS.md).
+    gn_damping_init: float = 1e-3  # initial LM damping lambda
     threshold: Optional[float] = None  # early stop when loss < threshold
     check_every: int = 10  # host-side loss poll cadence (reference: 10)
     log_every: int = 100  # console print cadence (reference: 100)

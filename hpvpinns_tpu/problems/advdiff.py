@@ -516,6 +516,16 @@ def build(
                         aux["vel_c2"] = params["pde"]["vel_coef"][2]
         return loss, aux
 
+    if inverse and cfg.epsilon_reg > 0 and eps_model in ("quadratic", "mlp"):
+        def reg_resvec_fn(params, data):
+            """Tikhonov penalty as least-squares residuals: sum(r^2) equals
+            the loss_fn's lossr term exactly (Gauss-Newton support)."""
+            el = data["elements"]
+            ex = eps_x_of(params, el.x) * jnp.ones_like(el.x)
+            return jnp.sqrt(cfg.epsilon_reg / ex.size) * ex.reshape(-1)
+    else:
+        reg_resvec_fn = None
+
     # Dense space-time test grid: 256 x-points, time step 0.01 (AdvDiff.py:448-450).
     xt = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 256)
     tt = np.arange(0, cfg.t_final + 0.01, 0.01)
@@ -551,6 +561,7 @@ def build(
             "mesh": mesh,
             "residual_fn": residual_fn,
             "enriched_residual_fn": enriched_residual_fn,
+            "reg_resvec_fn": reg_resvec_fn,
             "eps_true": eps_true,
             "eps_of": eps_of,
             "eps_domain_mean": eps_domain_mean,

@@ -144,7 +144,9 @@ def build(
             return composite(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
-    def loss_fn(params, data, axis_name=None):
+    def residual_fn(params, data):
+        """Masked weak residual Res[e, m, k, r] (indicator source + the
+        Gauss-Newton residual block, training/gauss_newton.py)."""
         u_fn_ = make_u_fn(params)
         el = data["elements"]
         if mode == "taylor":
@@ -159,6 +161,12 @@ def build(
             u_fn_, el, data["basis_x"], data["basis_y"], data["basis_z"], var_form,
             fields_fn=fields_fn,
         )
+        return res * el.mask
+
+    def loss_fn(params, data, axis_name=None):
+        u_fn_ = make_u_fn(params)
+        el = data["elements"]
+        res = residual_fn(params, data)
         lossv = variational_loss(res, el.mask, el.n_test)
         if axis_name is not None:
             lossv = jax.lax.psum(lossv, axis_name)
@@ -187,5 +195,6 @@ def build(
         exact=u_ex,
         test_points=test_points,
         test_values=test_values,
-        extras={"mesh": mesh, "f_rhs": f_rh, "test_grid_shape": (nt, nt, nt)},
+        extras={"mesh": mesh, "f_rhs": f_rh, "residual_fn": residual_fn,
+                "test_grid_shape": (nt, nt, nt)},
     )

@@ -1,0 +1,231 @@
+"""Gauss-Newton / Levenberg-Marquardt optimizer on the VPINN residual vector.
+
+The hp-VPINN objective is a textbook nonlinear least-squares problem: with the
+masked weak residuals Res[e, n] (Poisson-1D.py:94-96) and the boundary/data
+mismatch (Poisson-1D.py:98-100), the training loss
+
+    loss = sum_e mean_n Res[e, n]^2 + w_b * mean_b (u_b - u(x_b))^2
+
+is exactly ||r(theta)||^2 for the stacked residual vector
+
+    r = [ Res[e, n] / sqrt(n_test_e) ,  sqrt(w_b / N_b) * (u(x_b) - u_b) ].
+
+The networks are tiny (P <~ 10^4 parameters) and the residual count M is a few
+thousand, so the full Jacobian J = dr/dtheta [M, P] is cheap to form by
+batched reverse-mode AD, and the damped normal equations solve on one chip (or
+the f64 CPU) in milliseconds.  First-order optimizers (the reference's Adam,
+Poisson-1D.py:102-107; this framework's Adam + L-BFGS trainer) were measured
+to plateau at u ~ 2e-3 rel-L2 independent of budget (benchmarks/
+MEASUREMENTS.md) — the curvature of the squared-residual bowl is exactly what
+Gauss-Newton models and what gradient methods crawl through.
+
+Algorithm: Levenberg-Marquardt with lambda*I damping and Nielsen's
+gain-ratio trust-region control.  Per accepted iterate: one jitted
+residual+Jacobian evaluation; per candidate step: one P x P (or, when the
+system is underdetermined, M x M dual) Cholesky solve and one jitted loss
+evaluation.  Rejected steps reuse (r, J) and only re-solve with a larger
+damping, so stalls are cheap.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+
+def make_residual_vector(problem) -> Callable:
+    """(params, data) -> flat residual vector r with sum(r^2) == loss.
+
+    Requires the problem to expose `extras["residual_fn"]` (masked weak
+    residual with leading element axis) — all six shipped families do.
+    Problems may register `extras["reg_resvec_fn"]` for extra quadratic
+    regularization terms (e.g. the advdiff epsilon-field Tikhonov penalty);
+    without it, configs whose loss contains such terms are rejected rather
+    than silently optimizing a different objective.
+    """
+    residual_fn = problem.extras.get("residual_fn")
+    if residual_fn is None:
+        raise ValueError(
+            f"problem {problem.name!r} exposes no extras['residual_fn']; "
+            "Gauss-Newton needs the weak-residual vector"
+        )
+    if getattr(problem.config, "scheme", "VPINNs") != "VPINNs":
+        raise ValueError("Gauss-Newton supports the variational scheme only")
+    reg_fn = problem.extras.get("reg_resvec_fn")
+    wb = getattr(problem.config, "lossb_weight", 1.0)
+
+    def resvec(params, data):
+        el = data["elements"]
+        res = residual_fn(params, data)  # masked, [E, ...]
+        n_elem = res.shape[0]
+        rv = (res.reshape(n_elem, -1) / jnp.sqrt(el.n_test)[:, None]).reshape(-1)
+        ub_pred = problem.apply(params, data["xb"])
+        n_b = data["ub"].size
+        rb = jnp.sqrt(wb / n_b) * (ub_pred - data["ub"]).reshape(-1)
+        parts = [rv, rb]
+        if reg_fn is not None:
+            parts.append(reg_fn(params, data).reshape(-1))
+        return jnp.concatenate(parts)
+
+    return resvec
+
+
+@dataclass
+class GNResult:
+    params: Any
+    history: Dict[str, np.ndarray]
+    iterations_run: int
+    accepted: int
+    wall_time_s: float
+    stopped: str  # "iterations" | "gtol" | "ftol" | "damping"
+    final_aux: Dict[str, float] = field(default_factory=dict)
+
+
+def _build_kernels(resvec, unravel, data, n_params: int, n_res: int):
+    """Jitted LM computational kernels over the FLAT parameter vector."""
+
+    def r_of(theta):
+        return resvec(unravel(theta), data)
+
+    # Forward-mode when the parameter count is the smaller dimension,
+    # reverse-mode otherwise: both produce J[M, P]; the vmapped pass count is
+    # min(M, P).
+    jac = jax.jacfwd(r_of) if n_params <= n_res else jax.jacrev(r_of)
+
+    @jax.jit
+    def r_and_J(theta):
+        return r_of(theta), jac(theta)
+
+    @jax.jit
+    def loss_of(theta):
+        r = r_of(theta)
+        return jnp.sum(r * r)
+
+    dual = n_res < n_params  # underdetermined: min-norm GN step via JJ^T
+
+    @jax.jit
+    def lm_step(r, J, lam):
+        """delta = -argmin ||r + J d||^2 + lam ||d||^2 and the predicted
+        squared-residual decrease of the undamped model."""
+        if dual:
+            A = J @ J.T + lam * jnp.eye(J.shape[0], dtype=J.dtype)
+            c = jax.scipy.linalg.cho_factor(A)
+            delta = -J.T @ jax.scipy.linalg.cho_solve(c, r)
+        else:
+            g = J.T @ r
+            A = J.T @ J + lam * jnp.eye(J.shape[1], dtype=J.dtype)
+            c = jax.scipy.linalg.cho_factor(A)
+            delta = -jax.scipy.linalg.cho_solve(c, g)
+        pred = r + J @ delta
+        pred_decrease = jnp.sum(r * r) - jnp.sum(pred * pred)
+        grad_inf = jnp.max(jnp.abs(J.T @ r))
+        return delta, pred_decrease, grad_inf
+
+    return r_and_J, loss_of, lm_step
+
+
+def gauss_newton(
+    problem,
+    params,
+    data=None,
+    iterations: int = 100,
+    damping_init: float = 1e-3,
+    damping_max: float = 1e12,
+    gtol: float = 0.0,
+    ftol: float = 0.0,
+    verbose: bool = True,
+    log_every: int = 10,
+) -> GNResult:
+    """Levenberg-Marquardt polish of a (usually pre-trained) parameter pytree.
+
+    `iterations` counts ACCEPTED steps; each costs one Jacobian build.  The
+    damping lambda adapts by Nielsen's gain-ratio rule: accepted steps with
+    gain ratio rho shrink lambda by max(1/3, 1-(2 rho-1)^3), rejections grow
+    it geometrically (2, 4, 8, ...) until the model is trusted again.
+    Stops on gtol (inf-norm of J^T r), ftol (relative loss decrease), an
+    exhausted damping range, or the iteration budget.
+    """
+    data = problem.data if data is None else data
+    resvec = make_residual_vector(problem)
+    # Defensive copy (same contract as trainer.train: callers keep their tree)
+    params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    theta, unravel = ravel_pytree(params)
+
+    probe = resvec(params, data)
+    # The LM objective must BE the training loss: ||r||^2 == loss, verified
+    # numerically so a problem whose loss grows a term the residual vector
+    # misses (e.g. an unregistered regularizer) fails loudly here.
+    loss_probe = float(problem.loss_fn(params, data)[0])
+    if not np.isclose(float(jnp.sum(probe * probe)), loss_probe, rtol=1e-4, atol=1e-12):
+        raise ValueError(
+            f"residual-vector identity violated: sum(r^2)="
+            f"{float(jnp.sum(probe * probe)):.6e} vs loss={loss_probe:.6e}; "
+            "the problem's loss contains terms outside extras['residual_fn'] "
+            "+ boundary data (+ extras['reg_resvec_fn'])"
+        )
+    n_res, n_params = int(probe.size), int(theta.size)
+    r_and_J, loss_of, lm_step = _build_kernels(resvec, unravel, data, n_params, n_res)
+
+    aux_of = jax.jit(lambda th: problem.loss_fn(unravel(th), data)[1])
+
+    lam, nu = float(damping_init), 2.0
+    records = []
+    stopped = "iterations"
+    accepted = 0
+    t0 = time.perf_counter()
+
+    r, J = r_and_J(theta)
+    loss = float(jnp.sum(r * r))
+    it = 0
+    while accepted < iterations:
+        it += 1
+        delta, pred_dec, grad_inf = lm_step(r, J, jnp.asarray(lam, dtype=theta.dtype))
+        if float(grad_inf) <= gtol:
+            stopped = "gtol"
+            break
+        theta_try = theta + delta
+        loss_try = float(loss_of(theta_try))
+        pred = float(pred_dec)
+        rho = (loss - loss_try) / pred if pred > 0 else -1.0
+        if rho > 0 and np.isfinite(loss_try):  # accept
+            rel_dec = (loss - loss_try) / max(loss, 1e-300)
+            theta, loss = theta_try, loss_try
+            lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            nu = 2.0
+            accepted += 1
+            aux_host = {k: float(v) for k, v in aux_of(theta).items()}
+            records.append({"iteration": accepted, "damping": lam, **aux_host})
+            if verbose and accepted % log_every == 0:
+                print(
+                    f"GN it {accepted}: loss {loss:.6e}, lam {lam:.1e}, "
+                    f"|g|_inf {float(grad_inf):.2e}"
+                )
+            if ftol > 0 and rel_dec < ftol:
+                stopped = "ftol"
+                break
+            r, J = r_and_J(theta)
+        else:  # reject: inflate damping, reuse (r, J)
+            lam, nu = lam * nu, 2.0 * nu
+            if lam > damping_max:
+                stopped = "damping"
+                break
+
+    params = unravel(theta)
+    aux_host = {k: float(v) for k, v in aux_of(theta).items()}
+    keys = sorted({k for rec in records for k in rec})
+    history = {k: np.asarray([rec.get(k, np.nan) for rec in records]) for k in keys}
+    return GNResult(
+        params=params,
+        history=history,
+        iterations_run=it,
+        accepted=accepted,
+        wall_time_s=time.perf_counter() - t0,
+        stopped=stopped,
+        final_aux=aux_host,
+    )

@@ -305,6 +305,42 @@ def train(
         # a resume from the final checkpoint restarts Adam with fresh moments.
         opt_state = opt.init(params)
 
+    if cfg.gn_iterations > 0 and not stopped:
+        # Third-phase Gauss-Newton/Levenberg-Marquardt on the residual
+        # vector: second-order curvature for the final descent to the
+        # discretization floor (training/gauss_newton.py).
+        from hpvpinns_tpu.training.gauss_newton import gauss_newton
+
+        gn = gauss_newton(
+            problem,
+            params,
+            data=data,
+            iterations=cfg.gn_iterations,
+            damping_init=cfg.gn_damping_init,
+            verbose=verbose,
+            log_every=max(1, cfg.log_every // 10),
+        )
+        params = gn.params
+        offset = state["it"]
+        n_gn = len(gn.history.get("iteration", ()))
+        for i in range(n_gn):
+            records.append(
+                {
+                    k: (offset + gn.history[k][i] if k == "iteration" else float(gn.history[k][i]))
+                    for k in gn.history
+                }
+            )
+        state["it"] += gn.iterations_run
+        state["aux"] = gn.final_aux
+        # LM only ever accepts loss decreases, so the GN endpoint supersedes
+        # any Adam/L-BFGS-phase best snapshot it undercuts.
+        if gn.final_aux.get("loss", np.inf) < min_loss:
+            best_params = None
+            min_loss = gn.final_aux["loss"]
+        opt_state = opt.init(params)
+        if cfg.threshold is not None and gn.final_aux.get("loss", np.inf) < cfg.threshold:
+            stopped = True
+
     it = state["it"]
     aux_host = state["aux"]
     t_warm, it_warm = state["t_warm"], state["it_warm"]

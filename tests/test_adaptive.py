@@ -47,6 +47,7 @@ def _layer_build(cfg):
     return poisson1d.build(cfg, u_fn=u, f_fn=f)
 
 
+@pytest.mark.slow
 def test_adaptive_loop_targets_the_layer():
     """The enriched (hierarchical) indicator marks the under-resolved
     layer-containing middle element — the plain in-basis residual is blind

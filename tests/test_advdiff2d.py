@@ -134,6 +134,7 @@ def test_forward_mode_has_no_pde_params():
     assert np.isfinite(float(loss)) and "epsilon" not in aux
 
 
+@pytest.mark.slow
 def test_reduced_identify2d_three_scalars():
     """Network-free (eps, vx, vy) identification for the 2D family: NM over
     exact tensor-product forward solves — all three to ~1e-5-class from the

@@ -128,6 +128,7 @@ def test_fused_backward_1d_sin(setup):
     )
 
 
+@pytest.mark.slow
 def test_wide_and_mixed_width_gradients():
     """Widths > 128 and mixed widths pad to one uniform tile width; the
     backward kernel's scratch must follow (regression for a hardcoded

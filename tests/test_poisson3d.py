@@ -92,6 +92,7 @@ def test_3d_shards_on_mesh():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_3d_trains_toward_solution():
     cfg = hv.Poisson3DConfig(
         dtype="float64",

@@ -230,6 +230,7 @@ def test_bfloat16_trains():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_advdiff_inverse_lbfgs_recovers_epsilon():
     """Adam + L-BFGS identifies the diffusion coefficient to a few percent
     (measured: eps=0.0326 vs true 0.0318 at the 5k+10k budget)."""
@@ -271,6 +272,7 @@ def test_hard_bc_ansatz():
     )
 
 
+@pytest.mark.slow
 def test_epsilon_field_model_scalar_parity():
     """epsilon_model='scalar' is exact reference parity; var_form 1's
     epsilon-inside-integrand refactor must not change scalar results."""

@@ -160,6 +160,7 @@ def test_distributed_initialize_single_process():
     assert initialize() == info
 
 
+@pytest.mark.slow
 def test_gspmd_burgers_and_advdiff_shard():
     """The newer space-time families shard over the element mesh with
     identical losses (nonlinear weak form + trainable-coefficient pytrees

@@ -11,6 +11,7 @@ from hpvpinns_tpu.evaluate import strong_residual
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_strong_residual_small_for_good_1d_fit():
     """A well-trained hp network's strong residual drops far below the
     untrained one (full config + L-BFGS phase; weak-form training drives the

@@ -52,7 +52,7 @@ def test_taylor_first_y_only_contract():
 @pytest.mark.parametrize("problem_cfg", [
     hv.Poisson1DConfig(dtype="float64", n_quad=12, n_test=6),
     hv.Poisson2DConfig(dtype="float64", n_quad=6),
-    hv.AdvDiffConfig(dtype="float64"),
+    pytest.param(hv.AdvDiffConfig(dtype="float64"), marks=pytest.mark.slow),
 ])
 def test_losses_and_grads_mode_invariant(problem_cfg):
     """Loss and gradients must be identical under deriv_mode 'taylor' vs 'jvp'
@@ -132,6 +132,7 @@ def test_firsts_only_matches_full_fields_across_engines():
         np.testing.assert_allclose(np.asarray(fj[key]), np.asarray(full[key]), rtol=1e-10, atol=1e-13, err_msg=key)
 
 
+@pytest.mark.slow
 def test_form1_losses_unchanged_by_firsts_only_fast_path():
     """The firsts_only fast path is a pure optimization: form-1 losses and
     grads for poisson2d/advdiff/burgers must equal the jvp engine's."""
