@@ -156,8 +156,9 @@ def _refined_config(
         # axes="xt" also marks time.
         if mode == "p":
             raise ValueError(
-                "p-adaptivity is not supported for space-time families "
-                "(no per-element test counts)"
+                "p-adaptivity is not supported for the advdiff2d family "
+                "(no per-element test counts on the 3D tensor assembly yet; "
+                "the 1-space-dim space-time families support h/p/hp)"
             )
         Ex, Ey, Et = mesh.shape
         eta3 = eta.reshape(Ex, Ey, Et)
@@ -176,22 +177,49 @@ def _refined_config(
         # front in x; the time axis is smooth) — this automates the
         # front-clustered grid the burgers_quality preset hand-specifies
         # (MEASUREMENTS.md: that one meshing decision is worth 16x in error
-        # at identical budget).  axes="xt" ALSO bisects the marked time
+        # at identical budget).  axes="xt" ALSO refines the marked time
         # intervals (moving fronts / sharp transients).
-        if mode == "p":
-            raise ValueError(
-                "p-adaptivity is not supported for space-time families "
-                "(no per-element test counts)"
-            )
         Ex, Et = mesh.shape
         eta2 = eta.reshape(Ex, Et)  # flat order e = ex * Et + et
         mx = dorfler_mark(eta2.sum(axis=1), theta)
+        if mode == "p":
+            # per-AXIS test-order enrichment on the existing ragged
+            # n_test_*_per_elem masks (the reference's p-nonuniformity array,
+            # Poisson-1D.py:268, lifted to the space-time tensor basis)
+            ntx = (
+                np.asarray(cfg.n_test_x_per_elem)
+                if cfg.n_test_x_per_elem is not None
+                else np.full(Ex, cfg.n_test_x)
+            )
+            ntx = np.where(mx, ntx + p_step, ntx)
+            new = {"n_test_x_per_elem": tuple(int(v) for v in ntx)}
+            if "t" in axes:
+                mt = dorfler_mark(eta2.sum(axis=0), theta)
+                ntt = (
+                    np.asarray(cfg.n_test_t_per_elem)
+                    if cfg.n_test_t_per_elem is not None
+                    else np.full(Et, cfg.n_test_t)
+                )
+                ntt = np.where(mt, ntt + p_step, ntt)
+                new["n_test_t_per_elem"] = tuple(int(v) for v in ntt)
+            return dataclasses.replace(cfg, **new)
         gx = bisect_marked(mesh.axis_x.grid, mx)
         new = {"grid_x": gx, "n_elements_x": len(gx) - 1}
+        # bisecting an axis interval splits the per-element order arrays too
+        if cfg.n_test_x_per_elem is not None:
+            ntx = np.asarray(cfg.n_test_x_per_elem)
+            new["n_test_x_per_elem"] = tuple(
+                int(w) for i, v in enumerate(ntx) for w in ((v, v) if mx[i] else (v,))
+            )
         if "t" in axes:
             mt = dorfler_mark(eta2.sum(axis=0), theta)
             gt = bisect_marked(mesh.axis_y.grid, mt)
             new.update(grid_t=gt, n_elements_t=len(gt) - 1)
+            if cfg.n_test_t_per_elem is not None:
+                ntt = np.asarray(cfg.n_test_t_per_elem)
+                new["n_test_t_per_elem"] = tuple(
+                    int(w) for i, v in enumerate(ntt) for w in ((v, v) if mt[i] else (v,))
+                )
         return dataclasses.replace(cfg, **new)
     raise TypeError(
         f"adaptive refinement supports Poisson/Burgers/AdvDiff configs, got {type(cfg).__name__}"
@@ -289,8 +317,11 @@ def adaptive_solve(
                 f"eta_max/min={eta.max() / max(eta.min(), 1e-300):.1f}"
             )
         if r < rounds - 1:
+            # mode="hp": alternate h (even rounds) and p (odd rounds) —
+            # bisect where the indicator bites, then enrich the orders there.
+            round_mode = mode if mode in ("h", "p") else ("h" if r % 2 == 0 else "p")
             cfg = _refined_config(
-                cfg, problem, eta, theta, mode=mode, p_step=p_step, axes=axes
+                cfg, problem, eta, theta, mode=round_mode, p_step=p_step, axes=axes
             )
     return AdaptiveResult(
         rounds=records, problem=problem, result=res,

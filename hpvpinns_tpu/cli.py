@@ -69,6 +69,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--plots", action="store_true", help="write the reference plot set")
     p.add_argument("--record", metavar="PATH", help="write a results record (.npz/.mat)")
     p.add_argument("--mesh", action="store_true", help="shard elements over all devices")
+    p.add_argument("--seeds", type=int, default=None,
+                   help="train N seeds as one vmapped ensemble (Adam phase; "
+                   "reports per-seed metrics + best member)")
     p.add_argument("--quiet", action="store_true")
     _add_train_flags(p)
 
@@ -199,8 +202,9 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--theta", type=float, default=None,
                     help="Dörfler bulk fraction (default 0.5; 0.7 for "
                     "--solver galerkin — ties must be fully marked)")
-    ad.add_argument("--mode", choices=["h", "p"], default="h",
-                    help="h: bisect marked elements; p: raise their test order")
+    ad.add_argument("--mode", choices=["h", "p", "hp"], default="h",
+                    help="h: bisect marked elements; p: raise their test "
+                    "order; hp: alternate h (even rounds) and p (odd rounds)")
     ad.add_argument("--axes", choices=["x", "xt"], default="x",
                     help="space-time families: mark the space axis only (default) "
                     "or BOTH axes (moving fronts / sharp transients)")
@@ -253,6 +257,12 @@ def build_parser() -> argparse.ArgumentParser:
                      dest="identify_velocity",
                      help="reduced method: ALSO identify the scalar advection "
                      "velocity (joint Nelder-Mead over exact solves)")
+    idf.add_argument("--uncertainty", action="store_true",
+                     help="attach error bars: closed-form Gauss-Newton/Fisher "
+                     "CI for the reduced routes, residual bootstrap for als "
+                     "(uncertainty.py; calibration measured in MEASUREMENTS.md)")
+    idf.add_argument("--boot", type=int, default=12,
+                     help="bootstrap replicates for --uncertainty with als")
     idf.add_argument("--plots", action="store_true",
                      help="write the recovered-vs-true eps(x) panel")
     idf.add_argument("--record", metavar="PATH",
@@ -400,6 +410,72 @@ def _advdiff_problem_from_args(cfg, args):
     )
 
 
+def _identify2d_map_als(args) -> int:
+    """identify advdiff2d --method als: network-free 2D diffusivity-MAP
+    recovery on the family's manufactured map benchmark
+    eps(x, y) = (0.1/pi)(1 + 0.3 sin(pi x) cos(pi y/2)) — the measured
+    clean-dense regime is ~4-8% map rel-L2 (MEASUREMENTS.md; size rule:
+    test orders must exceed the u-basis orders)."""
+    import time as _time
+
+    import numpy as np
+
+    import hpvpinns_tpu as hv
+    from hpvpinns_tpu.inverse import als_identify2d
+    from hpvpinns_tpu.problems import advdiff2d
+
+    _maybe_enable_x64("float64")
+    import jax.numpy as jnp
+
+    eps_map = lambda X, Y: (0.1 / jnp.pi) * (  # noqa: E731
+        1.0 + 0.3 * jnp.sin(jnp.pi * X) * jnp.cos(jnp.pi * Y / 2)
+    )
+    n_st = args.stations or 7
+    st = [
+        (float(a), float(b))
+        for a in np.linspace(-0.8, 0.8, n_st)
+        for b in np.linspace(-0.8, 0.8, n_st)
+    ]
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", n_quad=16, n_test_x=12, n_test_y=12, n_test_t=10,
+        sensor_stations=tuple(st),
+        n_sensors_per_station=args.sensors_per_station or 20,
+        sensor_noise_std=args.sensor_noise_std or 0.0,
+    )
+    prob = advdiff2d.build(cfg, epsilon_fn=eps_map)
+    order = args.eps_order or 5
+    t0 = _time.perf_counter()
+    u_fn, coef, eps_fn, info = als_identify2d(prob, eps_order=order, iters=4)
+    xs = np.linspace(-1, 1, 101)
+    XG, YG = np.meshgrid(xs, xs, indexing="ij")
+    ET = np.asarray(eps_map(XG, YG))
+    EH = np.asarray(eps_fn(XG, YG))
+    rel = float(np.linalg.norm(EH - ET) / np.linalg.norm(ET))
+    summary = {
+        "problem": "advdiff2d", "method": "als (2D map)",
+        "eps_order": order, "n_sensors": len(st) * (args.sensors_per_station or 20),
+        "eps_map_rel_l2": rel,
+        "wall_time_s": round(_time.perf_counter() - t0, 2),
+    }
+    print(json.dumps(summary))
+    if getattr(args, "record", None):
+        import os
+
+        os.makedirs(os.path.dirname(args.record) or ".", exist_ok=True)
+        path = args.record if args.record.endswith(".npz") else args.record + ".npz"
+        np.savez(path, coef=np.asarray(coef), x=xs, y=xs, eps=EH, eps_true=ET)
+        print(json.dumps({"record": path}))
+    if args.plots:
+        from hpvpinns_tpu import viz
+
+        path = viz.plot_identified_map2d(
+            eps_fn, args.outdir, eps_true_fn=eps_map,
+            domain_x=cfg.domain_x, domain_y=cfg.domain_y,
+        )
+        print(json.dumps({"plots": [path]}))
+    return 0
+
+
 def cmd_identify(args) -> int:
     import numpy as np
 
@@ -430,11 +506,13 @@ def cmd_identify(args) -> int:
         }))
         return 0
     if args.problem == "advdiff2d":
-        if args.method != "reduced" or getattr(args, "manufactured_velocity", None):
+        if getattr(args, "manufactured_velocity", None):
             raise SystemExit(
-                "identify advdiff2d supports --method reduced on the family's "
-                "own manufactured benchmark"
+                "identify advdiff2d runs on the family's own manufactured "
+                "benchmark (no --manufactured-velocity)"
             )
+        if args.method == "als":
+            return _identify2d_map_als(args)
         cfg2 = hv.AdvDiff2DConfig(dtype="float64")
         if args.sensor_noise_std is not None:
             cfg2 = dataclasses.replace(cfg2, sensor_noise_std=args.sensor_noise_std)
@@ -497,6 +575,18 @@ def cmd_identify(args) -> int:
                 n_gradient_evals=info["n_evals"],
                 misfit=info["misfit"],
             )
+            if getattr(args, "uncertainty", False):
+                from hpvpinns_tpu import uncertainty as uq
+
+                ci = uq.reduced_field_ci(coef, info, domain=cfg.domain_x)
+                xs_b = np.linspace(*cfg.domain_x, 257)
+                band = ci["std_fn"](xs_b)
+                summary["uncertainty"] = {
+                    "method": "fisher (exact-jacobian)",
+                    "sigma_est": ci["sigma"],
+                    "eps_band_std_mean": float(np.mean(band)),
+                    "eps_band_std_max": float(np.max(band)),
+                }
         else:
             coef, eps_fn, info = reduced_identify(
                 prob, eps_order=order,
@@ -515,12 +605,42 @@ def cmd_identify(args) -> int:
             et = prob.extras["eps_true"]
             summary["epsilon_true"] = et
             summary["epsilon_rel_err"] = abs(float(coef[0]) - et) / et
+            if getattr(args, "uncertainty", False):
+                from hpvpinns_tpu import uncertainty as uq
+
+                ci = uq.reduced_scalar_ci(
+                    prob, coef, velocity=info.get("velocity")
+                )
+                summary["uncertainty"] = {
+                    "method": "gauss-newton (fd-sensitivity)",
+                    "params": ci["params"],
+                    "std": ci["std"],
+                    "ci95": ci["ci95"],
+                    "sigma_est": ci["sigma"],
+                    "truth_covered": bool(
+                        ci["ci95"][0][0] <= et <= ci["ci95"][0][1]
+                    ),
+                }
     else:
         from hpvpinns_tpu.inverse import als_identify
 
         order = args.eps_order or 8
         u_fn, coef, eps_fn, info = als_identify(prob, eps_order=order)
         summary["eps_coef"] = [float(c) for c in coef]
+        if getattr(args, "uncertainty", False):
+            from hpvpinns_tpu import uncertainty as uq
+
+            boot = uq.als_bootstrap(
+                prob, coef, u_fn, n_boot=args.boot, eps_order=order
+            )
+            xs_b = np.linspace(*cfg.domain_x, 257)
+            band = boot["std_fn"](xs_b)
+            summary["uncertainty"] = {
+                "method": f"residual-bootstrap (B={args.boot})",
+                "coef_std": [float(s) for s in boot["coef_std"]],
+                "eps_band_std_mean": float(np.mean(band)),
+                "eps_band_std_max": float(np.max(band)),
+            }
     efn = prob.extras.get("epsilon_fn")
     if efn is not None:
         xs = np.linspace(*cfg.domain_x, 513)
@@ -571,6 +691,34 @@ def cmd_run(args) -> int:
         from hpvpinns_tpu.parallel.sharding import element_mesh
 
         mesh = element_mesh()
+    if getattr(args, "seeds", None) and args.seeds > 1:
+        # Seed-fleet study: one vmapped run over S stacked networks
+        # (training/ensemble.py), reporting per-seed metrics + the best
+        # member as the run result.
+        import numpy as _np
+
+        ens = hv.train_ensemble(
+            prob, cfg.train, seeds=range(args.seeds), verbose=not args.quiet
+        )
+        per_seed = []
+        for i in range(args.seeds):
+            m = hv.evaluate_problem(prob, ens.member(i))
+            m["seed"] = i
+            m["final_loss"] = float(ens.final_aux["loss"][i])
+            per_seed.append(m)
+        rel = _np.asarray([m["rel_l2"] for m in per_seed])
+        print(json.dumps({
+            "problem": prob.name, "seeds": args.seeds,
+            "iterations": ens.iterations_run,
+            "wall_time_s": round(ens.wall_time_s, 3),
+            "steps_per_sec": round(ens.steps_per_sec, 1),
+            "seed_steps_per_sec": round(ens.seed_steps_per_sec, 1),
+            "rel_l2_min": float(rel.min()), "rel_l2_median": float(_np.median(rel)),
+            "rel_l2_max": float(rel.max()),
+            "best_seed": int(_np.argmin(rel)),
+            "per_seed": per_seed,
+        }))
+        return 0
     res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
     metrics = hv.evaluate_problem(prob, res.eval_params)
     summary = {

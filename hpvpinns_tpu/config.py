@@ -164,6 +164,9 @@ class AdvDiffConfig:
     # boundaries (adaptive refinement; overrides n_elements_t)
     n_test_x: int = 5
     n_test_t: int = 5
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    # per x-axis element (adaptive p-refinement; overrides n_test_x)
+    n_test_t_per_elem: Optional[Tuple[int, ...]] = None
     n_quad: int = 10
     n_bound: int = 80  # per side/initial edge (AdvDiff.py:357-384)
     lossb_weight: float = 10.0  # folded into lossb in the reference (AdvDiff.py:184)
@@ -288,6 +291,9 @@ class BurgersConfig:
     # boundaries (adaptive time-axis marking; overrides n_elements_t)
     n_test_x: int = 8
     n_test_t: int = 8
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    # per x-axis element (adaptive p-refinement; overrides n_test_x)
+    n_test_t_per_elem: Optional[Tuple[int, ...]] = None
     n_quad: int = 16
     n_bound: int = 80  # per side/initial edge (LHS, matching AdvDiff's layout)
     lossb_weight: float = 10.0

@@ -156,11 +156,14 @@ def fit_epsilon_field(problem, params, order: int = 8, reg: float = 0.0, u_fn=No
     coef, *_ = np.linalg.lstsq(A_aug, b_aug, rcond=None)
     res_before = float(np.linalg.norm(b_flat))
     res_after = float(np.linalg.norm(A @ coef - b_flat))
-    return (
-        coef,
-        legendre_field(coef, cfg.domain_x),
-        {"residual_before": res_before, "residual_after": res_after, "order": order},
-    )
+    info = {
+        "residual_before": res_before, "residual_after": res_after, "order": order,
+        # the raw linear system, for the closed-form covariance of the
+        # estimate (uncertainty.lstsq_covariance)
+        "A": A, "b": b_flat,
+        "reg_gram": (lam * (L.T @ L)) if reg > 0 else None,
+    }
+    return coef, legendre_field(coef, cfg.domain_x), info
 
 
 def fit_coefficient_fields(
@@ -727,7 +730,10 @@ def reduced_identify_field(
     ).items()}
     I = jnp.eye(T_adv.shape[0])
 
-    def misfit(s):
+    def predict(s):
+        """Sensor predictions [n_sensors] for log-Legendre coefficients s —
+        the differentiable forward map (exposed via info["predict"] for the
+        Fisher/CRLB analysis in uncertainty.py)."""
         eps_q = jnp.exp(J["P"].T @ s)
         epsx_q = eps_q * (J["dP"].T @ s)
         Op = (
@@ -750,7 +756,10 @@ def reduced_identify_field(
                 return jexpm(A * t) @ J["c0"]
 
         C = jax.lax.map(one, J["ts"])
-        pred = jnp.einsum("tn,ns->ts", C, J["Bs"])[ts_inv, jnp.arange(len(ds))]
+        return jnp.einsum("tn,ns->ts", C, J["Bs"])[ts_inv, jnp.arange(len(ds))]
+
+    def misfit(s):
+        pred = predict(s)
         m = jnp.sum((pred - J["ds"]) ** 2)
         if smooth_reg > 0:
             # Tikhonov smoothness on the LOG field (mean s'(x)^2 over the
@@ -783,6 +792,7 @@ def reduced_identify_field(
 
     return s_coef, eps_fn, {
         "misfit": float(res.fun), "n_evals": n_evals[0], "method": "lbfgsb-adjoint",
+        "predict": predict, "sensor_values": ds, "n_sensors": int(len(ds)),
     }
 
 

@@ -268,10 +268,18 @@ def build(
         )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
-    ntx = np.full(mesh.axis_x.n_elem, cfg.n_test_x)
-    ntt = np.full(mesh.axis_y.n_elem, cfg.n_test_t)
-    bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
-    bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
+    ntx = (
+        np.asarray(cfg.n_test_x_per_elem)
+        if cfg.n_test_x_per_elem is not None
+        else np.full(mesh.axis_x.n_elem, cfg.n_test_x)
+    )
+    ntt = (
+        np.asarray(cfg.n_test_t_per_elem)
+        if cfg.n_test_t_per_elem is not None
+        else np.full(mesh.axis_y.n_elem, cfg.n_test_t)
+    )
+    bx = make_weighted_basis(int(ntx.max()), xq, wq, dtype)
+    bt = make_weighted_basis(int(ntt.max()), xq, wq, dtype)
     elems = build_elements_2d(mesh, xq, wq, xq, wq, f_fn, ntx, ntt, dtype)
 
     Xb, ub = training_data(cfg, rng, u_data_fn=u_fn)

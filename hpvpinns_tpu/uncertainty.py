@@ -1,0 +1,251 @@
+"""Uncertainty quantification for the inverse-identification suite.
+
+The reference's only inverse validation is a plot of the recovered epsilon
+against the known truth (AdvDiff.py:544-545); every route in inverse.py
+returns a point estimate.  This module attaches error bars:
+
+  * **Linear routes** (fit_epsilon_field / fit_coefficient_fields / the ALS
+    eps-solve): the estimate is a least-squares solve c = argmin||Ac - b||^2
+    (+ Tikhonov), so the classical closed-form covariance applies:
+    Cov = sigma^2 (A'A + G)^{-1} A'A (A'A + G)^{-1} with the residual-based
+    noise estimate sigma^2 = RSS / (rows - dof).  The delta method maps
+    coefficient covariance to a pointwise field band.
+  * **Reduced routes** (Brent / Nelder-Mead over exact forward solves, and
+    the differentiable log-field route): nonlinear least squares, so the
+    Gauss-Newton/Fisher approximation Cov = sigma^2 (S'S)^{-1} with the
+    sensor sensitivity S = d(pred)/d(theta) — by central finite differences
+    of the forward solver for the scalar/(eps, V) routes, by EXACT jax
+    jacobian of the exposed `predict` closure for the field route.  With
+    known sensor noise the same S'S gives the Cramer-Rao lower bound, which
+    certifies whether an observed error level is information-limited.
+  * **ALS**: no single linear system owns the estimate (u and eps alternate),
+    so a residual bootstrap over the sensor rows re-runs the whole
+    alternation B times and reports percentile intervals.
+
+Caveat stated plainly: the linear-route "noise" is the frozen-u
+approximation error, which is neither iid nor mean-zero across weak rows —
+the closed-form band is therefore an approximation whose calibration is
+MEASURED (benchmarks/MEASUREMENTS.md uncertainty-calibration table) rather
+than assumed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from hpvpinns_tpu.spectral.jacobi import jacobi_all
+
+
+def lstsq_covariance(A: np.ndarray, b: np.ndarray, coef: np.ndarray,
+                     reg_gram: Optional[np.ndarray] = None):
+    """Covariance of a (possibly Tikhonov-regularized) lstsq estimate.
+
+    A [M, J], b [M], coef [J] = the solution that was actually returned;
+    reg_gram = the lam * L'L matrix added to the normal equations (None for
+    plain lstsq).  Returns (cov [J, J], sigma2).
+    """
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64).reshape(-1)
+    coef = np.asarray(coef, dtype=np.float64).reshape(-1)
+    M, J = A.shape
+    resid = A @ coef - b
+    dof = max(M - J, 1)
+    sigma2 = float(resid @ resid) / dof
+    AtA = A.T @ A
+    H = AtA if reg_gram is None else AtA + np.asarray(reg_gram, dtype=np.float64)
+    Hinv = np.linalg.pinv(H)
+    cov = sigma2 * (Hinv @ AtA @ Hinv)
+    return cov, sigma2
+
+
+def legendre_field_band(coef: np.ndarray, cov: np.ndarray, domain=(-1.0, 1.0)):
+    """Delta-method pointwise std of eps(x) = sum_j c_j P_j(xi(x)).
+
+    Returns std_fn(x) -> same-shape array of 1-sigma field uncertainties.
+    """
+    coef = np.asarray(coef, dtype=np.float64)
+    cov = np.asarray(cov, dtype=np.float64)
+    a, b = domain
+    half = (b - a) / 2.0
+
+    def std_fn(x):
+        x = np.asarray(x, dtype=np.float64)
+        xi = (x.reshape(-1) - (a + b) / 2.0) / half
+        P = np.asarray(jacobi_all(len(coef) - 1, 0.0, 0.0, xi))  # [J, P]
+        var = np.einsum("jp,jk,kp->p", P, cov, P)
+        return np.sqrt(np.maximum(var, 0.0)).reshape(np.shape(x))
+
+    return std_fn
+
+
+def _interior_sensors(problem):
+    """(Xs [N, 2], ds [N]) — the interior sensor rows of an advdiff problem
+    (boundary/IC rows carry no coefficient information); the same selection
+    reduced_identify uses."""
+    cfg = problem.config
+    Xb = np.asarray(problem.data["xb"], dtype=np.float64)
+    ub = np.asarray(problem.data["ub"], dtype=np.float64).reshape(-1)
+    a_dom, b_dom = cfg.domain_x
+    sel = (Xb[:, 1] > 1e-12) & (Xb[:, 0] > a_dom + 1e-12) & (Xb[:, 0] < b_dom - 1e-12)
+    return Xb[sel], ub[sel]
+
+
+def reduced_scalar_ci(problem, coef, info=None, p: int = 40,
+                      velocity: Optional[float] = None, rel_step: float = 1e-4,
+                      noise_std: Optional[float] = None):
+    """Gauss-Newton covariance for the scalar reduced routes.
+
+    coef: the returned [1] epsilon (or pass velocity= for the joint (eps, V)
+    route).  Sensitivities by central finite differences of the exact
+    forward solver (2 solves per parameter).  sigma^2 from the residuals at
+    the optimum unless the true sensor `noise_std` is given, in which case
+    the returned interval is the Cramer-Rao bound at that noise level.
+
+    Returns a dict: {"std": [..], "ci95": [(lo, hi), ..], "sigma": ...,
+    "params": ["epsilon"(, "velocity")], "crlb": bool}.
+    """
+    from hpvpinns_tpu.galerkin import solve_advdiff
+
+    cfg = problem.config
+    mesh = problem.extras["mesh"]
+    exact = problem.exact
+    vfn = problem.extras.get("velocity_fn")
+    f_fn = problem.extras.get("f_rhs")
+    Xs, ds = _interior_sensors(problem)
+    u0 = lambda x: np.asarray(  # noqa: E731
+        exact(x.reshape(-1, 1), np.zeros((x.size, 1)))
+    ).reshape(x.shape)
+
+    eps_hat = float(np.atleast_1d(coef)[0])
+    theta = [eps_hat]
+    names = ["epsilon"]
+    if velocity is not None:
+        theta.append(float(velocity))
+        names.append("velocity")
+
+    def predict(th):
+        eps = th[0]
+        vel = th[1] if len(th) > 1 else (vfn if vfn is not None else cfg.velocity)
+        sol = solve_advdiff(mesh.axis_x, p, u0, eps, vel, f_fn=f_fn)
+        return np.asarray(sol(Xs[:, 0], Xs[:, 1]), dtype=np.float64).reshape(-1)
+
+    pred0 = predict(theta)
+    resid = pred0 - ds
+    n, k = len(ds), len(theta)
+    cols = []
+    for i in range(k):
+        h = rel_step * max(abs(theta[i]), 1e-8)
+        tp, tm = list(theta), list(theta)
+        tp[i] += h
+        tm[i] -= h
+        cols.append((predict(tp) - predict(tm)) / (2 * h))
+    S = np.stack(cols, axis=1)  # [n, k]
+
+    crlb = noise_std is not None
+    sigma2 = noise_std**2 if crlb else float(resid @ resid) / max(n - k, 1)
+    cov = sigma2 * np.linalg.pinv(S.T @ S)
+    std = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    return {
+        "params": names,
+        "std": [float(s) for s in std],
+        "ci95": [(float(t - 1.96 * s), float(t + 1.96 * s)) for t, s in zip(theta, std)],
+        "sigma": float(np.sqrt(sigma2)),
+        "n_sensors": n,
+        "crlb": crlb,
+    }
+
+
+def reduced_field_ci(s_coef, info, domain=(-1.0, 1.0),
+                     noise_std: Optional[float] = None):
+    """Fisher/CRLB covariance of the differentiable log-field route.
+
+    Uses the EXACT jax jacobian of the sensor-prediction closure that
+    reduced_identify_field exposes as info["predict"].  The log-field
+    covariance maps to a pointwise eps(x) band by the delta method
+    (d eps / d s_j = eps(x) P_j(x)).
+
+    Returns {"cov_s", "sigma", "std_fn", "crlb"}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    predict = info["predict"]
+    ds = np.asarray(info["sensor_values"], dtype=np.float64)
+    s_coef = np.asarray(s_coef, dtype=np.float64)
+    S = np.asarray(jax.jacfwd(predict)(jnp.asarray(s_coef)), dtype=np.float64)
+    pred0 = np.asarray(predict(jnp.asarray(s_coef)), dtype=np.float64)
+    n, k = S.shape
+    crlb = noise_std is not None
+    resid = pred0 - ds
+    sigma2 = noise_std**2 if crlb else float(resid @ resid) / max(n - k, 1)
+    cov_s = sigma2 * np.linalg.pinv(S.T @ S)
+
+    a, b = domain
+    half = (b - a) / 2.0
+
+    def std_fn(x):
+        x = np.asarray(x, dtype=np.float64)
+        xi = (x.reshape(-1) - (a + b) / 2.0) / half
+        P = np.asarray(jacobi_all(len(s_coef) - 1, 0.0, 0.0, xi))  # [J, P]
+        eps = np.exp(P.T @ s_coef)
+        var = eps**2 * np.einsum("jp,jk,kp->p", P, cov_s, P)
+        return np.sqrt(np.maximum(var, 0.0)).reshape(np.shape(x))
+
+    return {"cov_s": cov_s, "sigma": float(np.sqrt(sigma2)), "std_fn": std_fn,
+            "n_sensors": n, "crlb": crlb}
+
+
+def als_bootstrap(problem, eps_coef, u_fn, n_boot: int = 16, seed: int = 0,
+                  **als_kwargs):
+    """Residual bootstrap for the ALS field estimate.
+
+    The sensor residuals of the recovered solution are recentred and
+    resampled onto the sensor readings; the FULL alternation re-runs per
+    replicate.  Returns {"coef_samples" [B, J], "coef_std" [J], "std_fn"}
+    with the percentile-free (sample-std) field band.
+    """
+    from hpvpinns_tpu.inverse import als_identify, legendre_field
+
+    rng = np.random.default_rng(seed)
+    cfg = problem.config
+    Xb = np.asarray(problem.data["xb"], dtype=np.float64)
+    ub = np.asarray(problem.data["ub"], dtype=np.float64).reshape(-1)
+    a_dom, b_dom = cfg.domain_x
+    sel = (Xb[:, 1] > 1e-12) & (Xb[:, 0] > a_dom + 1e-12) & (Xb[:, 0] < b_dom - 1e-12)
+    pred_s = np.asarray(u_fn(Xb[sel])).reshape(-1)
+    resid = ub[sel] - pred_s
+    resid = resid - resid.mean()
+
+    import jax.numpy as jnp
+
+    samples = []
+    for _ in range(n_boot):
+        ub_b = ub.copy()
+        ub_b[sel] = pred_s + rng.choice(resid, size=resid.size, replace=True)
+        data_b = dict(problem.data)
+        data_b["ub"] = jnp.asarray(ub_b.reshape(np.asarray(problem.data["ub"]).shape))
+        prob_b = _with_data(problem, data_b)
+        _, coef_b, _, _ = als_identify(prob_b, **als_kwargs)
+        samples.append(coef_b)
+    samples = np.stack(samples)
+    coef_std = samples.std(axis=0, ddof=1)
+
+    def std_fn(x):
+        x = np.asarray(x, dtype=np.float64)
+        vals = np.stack([
+            np.asarray(legendre_field(s, cfg.domain_x)(x)).reshape(-1)
+            for s in samples
+        ])
+        return vals.std(axis=0, ddof=1).reshape(np.shape(x))
+
+    return {"coef_samples": samples, "coef_std": coef_std, "std_fn": std_fn,
+            "n_boot": n_boot}
+
+
+def _with_data(problem, data):
+    """Shallow Problem copy with replaced data pytree."""
+    import dataclasses
+
+    return dataclasses.replace(problem, data=data)

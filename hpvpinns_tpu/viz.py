@@ -375,6 +375,42 @@ def plot_3d_slices(problem: Problem, params, outdir: str, z_values=None, fmt: st
     return paths
 
 
+def plot_identified_map2d(
+    eps_fn, outdir: str, eps_true_fn=None,
+    domain_x=(-1.0, 1.0), domain_y=(-1.0, 1.0), fmt: str = "pdf",
+):
+    """Recovered eps(x, y) map — and, when the truth is known, the truth and
+    the pointwise |error| — as contour panels (the 2D-map twin of
+    plot_identified_field; contour-plot parity convention Poisson-2D.py:
+    437-534).  Used by cli `identify advdiff2d --plots`."""
+    plt = _plt()
+    xs = np.linspace(*domain_x, 201)
+    ys = np.linspace(*domain_y, 201)
+    XG, YG = np.meshgrid(xs, ys, indexing="ij")
+    EH = np.asarray(eps_fn(XG, YG)).reshape(XG.shape)
+    n_panels = 3 if eps_true_fn is not None else 1
+    fig, axes = plt.subplots(1, n_panels, figsize=(6 * n_panels, 5))
+    axes = np.atleast_1d(axes)
+    cs = axes[0].contourf(XG, YG, EH, levels=60, cmap="jet")
+    fig.colorbar(cs, ax=axes[0])
+    axes[0].set_title("identified $\\epsilon(x, y)$")
+    if eps_true_fn is not None:
+        ET = np.asarray(eps_true_fn(XG, YG)).reshape(XG.shape)
+        cs = axes[1].contourf(XG, YG, ET, levels=60, cmap="jet")
+        fig.colorbar(cs, ax=axes[1])
+        axes[1].set_title("true $\\epsilon(x, y)$")
+        cs = axes[2].contourf(XG, YG, np.abs(EH - ET), levels=60, cmap="jet")
+        fig.colorbar(cs, ax=axes[2])
+        rel = np.linalg.norm(EH - ET) / np.linalg.norm(ET)
+        axes[2].set_title(f"$|\\epsilon - \\hat\\epsilon|$ (rel-L2 {rel:.2e})")
+    for ax in axes:
+        ax.set_xlabel("$x$")
+        ax.set_ylabel("$y$")
+    path = _save(fig, outdir, "identified_map2d", fmt)
+    plt.close(fig)
+    return path
+
+
 def plot_identified_field(eps_fn, outdir: str, eps_true_fn=None, domain=(-1.0, 1.0), fmt: str = "pdf"):
     """Recovered eps(x) (and the truth, when known) for the network-free
     identification routes (cli `identify --plots`)."""

@@ -3,6 +3,7 @@
 
 import functools
 
+import jax
 import numpy as np
 import pytest
 
@@ -391,3 +392,72 @@ def test_adaptive_cli_galerkin_solver(capsys, tmp_path):
     rels = s["rel_l2_trajectory"]
     assert rels[-1] < rels[0]
     assert (tmp_path / "adapt_rounds.json").exists()
+
+
+def test_spacetime_p_mode_raises_axis_orders():
+    """p-adaptivity for the space-time families (the round-2 restriction
+    lifted): marked x-axis intervals get +p_step test order, t likewise
+    under axes='xt'; rebuilt problems stay consistent."""
+    import dataclasses
+
+    from hpvpinns_tpu.adaptive import _refined_config, element_indicator
+
+    cfg = hv.BurgersConfig(
+        dtype="float64", n_elements_x=3, n_elements_t=2, n_quad=10,
+        n_test_x=4, n_test_t=4, layers=(2, 8, 8, 1),
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    eta = element_indicator(prob, params)
+    cfg2 = _refined_config(cfg, prob, eta, theta=0.5, mode="p", p_step=3, axes="xt")
+    ntx = np.asarray(cfg2.n_test_x_per_elem)
+    ntt = np.asarray(cfg2.n_test_t_per_elem)
+    assert ntx.shape == (3,) and ntt.shape == (2,)
+    assert set(ntx) <= {4, 7} and 7 in ntx  # at least one marked
+    assert set(ntt) <= {4, 7}
+    prob2 = hv.build(cfg2)
+    assert np.isfinite(float(prob2.loss_fn(params, prob2.data)[0]))
+    # masks encode the ragged counts exactly
+    el = prob2.data["elements"]
+    expect = (ntx[:, None] * ntt[None, :]).reshape(-1).astype(float)
+    np.testing.assert_allclose(np.asarray(el.n_test), expect)
+
+
+def test_spacetime_h_after_p_splits_order_arrays():
+    """h-bisection with ragged per-element orders present must split the
+    order arrays alongside the grid (same length invariant)."""
+    from hpvpinns_tpu.adaptive import _refined_config, element_indicator
+
+    cfg = hv.AdvDiffConfig(
+        dtype="float64", n_elements_x=3, n_elements_t=2, n_quad=8,
+        n_test_x_per_elem=(3, 6, 3), n_test_t_per_elem=(4, 3),
+        layers=(2, 8, 1), inverse=False,
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    eta = element_indicator(prob, params)
+    cfg2 = _refined_config(cfg, prob, eta, theta=0.5, mode="h", axes="xt")
+    assert len(cfg2.n_test_x_per_elem) == len(cfg2.grid_x) - 1
+    assert len(cfg2.n_test_t_per_elem) == len(cfg2.grid_t) - 1
+    prob2 = hv.build(cfg2)
+    assert np.isfinite(float(prob2.loss_fn(params, prob2.data)[0]))
+
+
+def test_adaptive_hp_alternation_runs():
+    """mode='hp' alternates h and p rounds on a space-time family end to
+    end (tiny budgets; structural check)."""
+    from hpvpinns_tpu import adaptive
+
+    cfg = hv.BurgersConfig(
+        dtype="float64", n_elements_x=2, n_elements_t=1, n_quad=8,
+        n_test_x=3, n_test_t=3, layers=(2, 8, 1),
+        train=hv.TrainConfig(iterations=30, check_every=10),
+    )
+    out = adaptive.adaptive_solve(cfg, rounds=3, mode="hp", axes="x", verbose=False)
+    assert len(out.rounds) == 3
+    # round 0 -> h split (more elements), round 1 -> p enrich (orders up)
+    assert out.rounds[1]["n_elem"] > out.rounds[0]["n_elem"]
+    nt1 = np.asarray(out.rounds[1]["n_test_per_elem"])
+    nt2 = np.asarray(out.rounds[2]["n_test_per_elem"])
+    assert out.rounds[2]["n_elem"] == out.rounds[1]["n_elem"]
+    assert nt2.sum() > nt1.sum()
