@@ -111,6 +111,28 @@ def parity_records(q: int):
     )
     records.append(run("advdiff_lbfgs_f64cpu", cfg))
 
+    # Gauss-Newton/LM third-phase rows (round 3): the second-order residual
+    # optimizer that breaks the first-order u~2e-3 plateau
+    # (training/gauss_newton.py; measured study in MEASUREMENTS.md).
+    cfg = replace(
+        hv.poisson1d_quality(),
+        dtype="float64",
+        n_test=50,
+        train=hv.TrainConfig(
+            iterations=1000 // q, gn_iterations=max(10, 200 // q), check_every=200,
+        ),
+    )
+    records.append(run("poisson1d_gn_f64cpu", cfg))
+
+    cfg = replace(
+        hv.advdiff_of_record(),
+        dtype="float64",
+        train=hv.TrainConfig(
+            iterations=1500 // q, gn_iterations=max(10, 150 // q), check_every=300,
+        ),
+    )
+    records.append(run("advdiff_gn_f64cpu", cfg))
+
     # Joint eps + velocity identification (beyond reference).
     cfg = replace(
         hv.advdiff_of_record(),
