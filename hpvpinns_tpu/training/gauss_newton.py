@@ -127,7 +127,29 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int):
         grad_inf = jnp.max(jnp.abs(J.T @ r))
         return delta, pred_decrease, grad_inf
 
-    return r_and_J, loss_of, lm_step
+    def lm_step_host(r, J, lam):
+        """Host float64 variant of lm_step: the normal equations square the
+        Jacobian's condition number, which on f32 chips stalls LM early
+        (MEASUREMENTS.md on-chip caveat).  Pulling (r, J) to the host and
+        solving in f64 removes the solve-precision half of that stall; the
+        f32 Jacobian's own accuracy remains the floor."""
+        import scipy.linalg as sla
+
+        r64 = np.asarray(r, dtype=np.float64)
+        J64 = np.asarray(J, dtype=np.float64)
+        if dual:
+            A = J64 @ J64.T + lam * np.eye(J64.shape[0])
+            delta = -J64.T @ sla.cho_solve(sla.cho_factor(A), r64)
+        else:
+            g = J64.T @ r64
+            A = J64.T @ J64 + lam * np.eye(J64.shape[1])
+            delta = -sla.cho_solve(sla.cho_factor(A), g)
+        pred = r64 + J64 @ delta
+        pred_decrease = float(r64 @ r64 - pred @ pred)
+        grad_inf = float(np.max(np.abs(J64.T @ r64)))
+        return jnp.asarray(delta, dtype=r.dtype), pred_decrease, grad_inf
+
+    return r_and_J, loss_of, lm_step, lm_step_host
 
 
 def gauss_newton(
@@ -141,6 +163,7 @@ def gauss_newton(
     ftol: float = 0.0,
     verbose: bool = True,
     log_every: int = 10,
+    host_solve: Optional[bool] = None,
 ) -> GNResult:
     """Levenberg-Marquardt polish of a (usually pre-trained) parameter pytree.
 
@@ -150,6 +173,10 @@ def gauss_newton(
     it geometrically (2, 4, 8, ...) until the model is trusted again.
     Stops on gtol (inf-norm of J^T r), ftol (relative loss decrease), an
     exhausted damping range, or the iteration budget.
+
+    `host_solve` solves the damped normal equations on the host in float64
+    (default: automatically ON for sub-f64 parameters — the measured fix
+    for the f32-on-chip damping stall; f64 runs keep the on-device solve).
     """
     data = problem.data if data is None else data
     resvec = make_residual_vector(problem)
@@ -170,7 +197,13 @@ def gauss_newton(
             "+ boundary data (+ extras['reg_resvec_fn'])"
         )
     n_res, n_params = int(probe.size), int(theta.size)
-    r_and_J, loss_of, lm_step = _build_kernels(resvec, unravel, data, n_params, n_res)
+    r_and_J, loss_of, lm_step, lm_step_host = _build_kernels(
+        resvec, unravel, data, n_params, n_res
+    )
+    if host_solve is None:
+        host_solve = jnp.dtype(theta.dtype) != jnp.dtype(jnp.float64)
+    if host_solve:
+        lm_step = lm_step_host
 
     aux_of = jax.jit(lambda th: problem.loss_fn(unravel(th), data)[1])
 

@@ -141,3 +141,20 @@ def test_gn_inverse_epsilon():
     err_adam = abs(adam.final_aux["epsilon"] - eps_true) / eps_true
     assert err_gn < err_adam
     assert err_gn < 0.01, f"GN epsilon rel err {err_gn:.3e}"
+
+
+def test_host_solve_variant_f32():
+    """host_solve=True (the f32-chip conditioning fix) solves the damped
+    normal equations on the host in f64; it must auto-enable for f32
+    parameters and match-or-beat the on-device f32 solve."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float32", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
+        train=hv.TrainConfig(iterations=200, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    g_dev = gauss_newton(prob, res.params, iterations=25, verbose=False,
+                         host_solve=False)
+    g_host = gauss_newton(prob, res.params, iterations=25, verbose=False)
+    assert g_host.final_aux["loss"] <= 3.0 * g_dev.final_aux["loss"]
+    assert g_host.final_aux["loss"] < 1e-3 * res.final_aux["loss"]
