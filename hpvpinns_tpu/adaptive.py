@@ -154,22 +154,49 @@ def _refined_config(
         # 2D-space + time family (element axes x, y, t; flat order
         # e = (ex*Ey + ey)*Et + et).  axes="x" marks the SPACE axes (x, y);
         # axes="xt" also marks time.
-        if mode == "p":
-            raise ValueError(
-                "p-adaptivity is not supported for the advdiff2d family "
-                "(no per-element test counts on the 3D tensor assembly yet; "
-                "the 1-space-dim space-time families support h/p/hp)"
-            )
         Ex, Ey, Et = mesh.shape
         eta3 = eta.reshape(Ex, Ey, Et)
         mx = dorfler_mark(eta3.sum(axis=(1, 2)), theta)
         my = dorfler_mark(eta3.sum(axis=(0, 2)), theta)
+        if mode == "p":
+            def bumped(per_elem, uniform, n, marked):
+                nt = (
+                    np.asarray(per_elem) if per_elem is not None
+                    else np.full(n, uniform)
+                )
+                return tuple(int(v) for v in np.where(marked, nt + p_step, nt))
+
+            new = {
+                "n_test_x_per_elem": bumped(cfg.n_test_x_per_elem, cfg.n_test_x, Ex, mx),
+                "n_test_y_per_elem": bumped(cfg.n_test_y_per_elem, cfg.n_test_y, Ey, my),
+            }
+            if "t" in axes:
+                mt = dorfler_mark(eta3.sum(axis=(0, 1)), theta)
+                new["n_test_t_per_elem"] = bumped(
+                    cfg.n_test_t_per_elem, cfg.n_test_t, Et, mt
+                )
+            return dataclasses.replace(cfg, **new)
+
+        def split_orders(per_elem, marked):
+            if per_elem is None:
+                return None
+            nt = np.asarray(per_elem)
+            return tuple(
+                int(w) for i, v in enumerate(nt) for w in ((v, v) if marked[i] else (v,))
+            )
+
         gx = bisect_marked(mesh.axis_x.grid, mx)
         gy = bisect_marked(mesh.axis_y.grid, my)
         new = {"grid_x": gx, "grid_y": gy}
+        if (sx := split_orders(cfg.n_test_x_per_elem, mx)) is not None:
+            new["n_test_x_per_elem"] = sx
+        if (sy := split_orders(cfg.n_test_y_per_elem, my)) is not None:
+            new["n_test_y_per_elem"] = sy
         if "t" in axes:
             mt = dorfler_mark(eta3.sum(axis=(0, 1)), theta)
             new["grid_t"] = bisect_marked(mesh.axis_z.grid, mt)
+            if (st := split_orders(cfg.n_test_t_per_elem, mt)) is not None:
+                new["n_test_t_per_elem"] = st
         return dataclasses.replace(cfg, **new)
     if isinstance(cfg, (hv.BurgersConfig, hv.AdvDiffConfig)):
         # Space-time families (element axes x, t).  Default axes="x" refines

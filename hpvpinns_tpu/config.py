@@ -243,6 +243,10 @@ class AdvDiff2DConfig:
     n_test_x: int = 5
     n_test_y: int = 5
     n_test_t: int = 5
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    # per axis element (adaptive p-refinement; overrides n_test_*)
+    n_test_y_per_elem: Optional[Tuple[int, ...]] = None
+    n_test_t_per_elem: Optional[Tuple[int, ...]] = None
     n_quad: int = 8  # per axis per element
     n_bound: int = 80  # per face (4 side walls + the t = 0 face)
     lossb_weight: float = 10.0

@@ -143,13 +143,15 @@ def build(
             0.0, cfg.t_final, cfg.n_elements_t,
         )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
-    bx = make_weighted_basis(cfg.n_test_x, xq, wq, dtype)
-    by = make_weighted_basis(cfg.n_test_y, xq, wq, dtype)
-    bt = make_weighted_basis(cfg.n_test_t, xq, wq, dtype)
+    ntx = cfg.n_test_x_per_elem if cfg.n_test_x_per_elem is not None else cfg.n_test_x
+    nty = cfg.n_test_y_per_elem if cfg.n_test_y_per_elem is not None else cfg.n_test_y
+    ntt = cfg.n_test_t_per_elem if cfg.n_test_t_per_elem is not None else cfg.n_test_t
+    nx_max, ny_max, nt_max = (int(np.max(v)) for v in (ntx, nty, ntt))
+    bx = make_weighted_basis(nx_max, xq, wq, dtype)
+    by = make_weighted_basis(ny_max, xq, wq, dtype)
+    bt = make_weighted_basis(nt_max, xq, wq, dtype)
     f_fn = make_forcing(cfg, eps_fn=epsilon_fn)
-    elems = build_elements_3d(
-        mesh, xq, wq, f_fn, cfg.n_test_x, cfg.n_test_y, cfg.n_test_t, dtype
-    )
+    elems = build_elements_3d(mesh, xq, wq, f_fn, ntx, nty, ntt, dtype)
 
     Xb, ub = training_data(cfg, rng)
     data = {
@@ -225,7 +227,7 @@ def build(
         """Weak residual against the tensor test modes NOT in the training
         basis — hierarchical a-posteriori estimation on the 3D space-time
         family.  Returns [E, M+e, K+e, R+e] with the trained block zeroed."""
-        n_x, n_y, n_t = cfg.n_test_x + enrich, cfg.n_test_y + enrich, cfg.n_test_t + enrich
+        n_x, n_y, n_t = nx_max + enrich, ny_max + enrich, nt_max + enrich
         key = (n_x, n_y, n_t)
         if key not in _enriched_cache:
             bx_en = make_weighted_basis(n_x, xq, wq, dtype)
@@ -233,7 +235,7 @@ def build(
             bt_en = make_weighted_basis(n_t, xq, wq, dtype)
             elems_en = build_elements_3d(mesh, xq, wq, f_fn, n_x, n_y, n_t, dtype)
             new_mask = np.ones((n_t, n_y, n_x))
-            new_mask[: cfg.n_test_t, : cfg.n_test_y, : cfg.n_test_x] = 0.0
+            new_mask[:nt_max, :ny_max, :nx_max] = 0.0
             _enriched_cache[key] = (
                 bx_en, by_en, bt_en, elems_en, jnp.asarray(new_mask, dtype=dtype)
             )

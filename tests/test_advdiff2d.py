@@ -258,3 +258,36 @@ def test_als_identify2d_map_recovery():
     p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="advdiff2d"):
         als_identify2d(p1)
+
+
+def test_advdiff2d_p_refinement_per_axis_orders():
+    """Per-axis-element test orders on the 3D tensor assembly (p-adaptivity
+    completed for every family): p-mode raises marked axis orders, h-mode
+    splits the order arrays with the grids."""
+    from hpvpinns_tpu.adaptive import _refined_config, element_indicator
+
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", n_elements_x=2, n_elements_y=2, n_elements_t=1,
+        n_quad=5, n_test_x=3, n_test_y=3, n_test_t=3, layers=(3, 8, 1),
+    )
+    prob = advdiff2d.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    eta = element_indicator(prob, params, enrich=2)
+    c2 = _refined_config(cfg, prob, eta, theta=0.5, mode="p", p_step=2, axes="xt")
+    assert len(c2.n_test_x_per_elem) == 2 and max(c2.n_test_x_per_elem) == 5
+    assert len(c2.n_test_t_per_elem) == 1
+    prob2 = advdiff2d.build(c2)
+    assert np.isfinite(float(prob2.loss_fn(params, prob2.data)[0]))
+    el = prob2.data["elements"]
+    ntx = np.asarray(c2.n_test_x_per_elem)
+    nty = np.asarray(c2.n_test_y_per_elem)
+    ntt = np.asarray(c2.n_test_t_per_elem)
+    expect = (ntx[:, None, None] * nty[None, :, None] * ntt[None, None, :]).reshape(-1)
+    np.testing.assert_allclose(np.asarray(el.n_test), expect.astype(float))
+
+    c3 = _refined_config(c2, prob2, element_indicator(prob2, params, enrich=2),
+                         theta=0.5, mode="h", axes="xt")
+    assert len(c3.n_test_x_per_elem) == len(c3.grid_x) - 1
+    assert len(c3.n_test_t_per_elem) == len(c3.grid_t) - 1
+    prob3 = advdiff2d.build(c3)
+    assert np.isfinite(float(prob3.loss_fn(params, prob3.data)[0]))
