@@ -707,7 +707,7 @@ def cmd_run(args) -> int:
             m["final_loss"] = float(ens.final_aux["loss"][i])
             per_seed.append(m)
         rel = _np.asarray([m["rel_l2"] for m in per_seed])
-        print(json.dumps({
+        summary = {
             "problem": prob.name, "seeds": args.seeds,
             "iterations": ens.iterations_run,
             "wall_time_s": round(ens.wall_time_s, 3),
@@ -717,7 +717,24 @@ def cmd_run(args) -> int:
             "rel_l2_max": float(rel.max()),
             "best_seed": int(_np.argmin(rel)),
             "per_seed": per_seed,
-        }))
+        }
+        if cfg.train.lbfgs_iterations > 0 or cfg.train.gn_iterations > 0:
+            # Phase-2 polish of the BEST member only: the ensemble settles
+            # the seed lottery under Adam; L-BFGS/Gauss-Newton then refine
+            # one winner instead of S.
+            import dataclasses as _dc
+
+            best = ens.member(int(_np.argmin(rel)))
+            polish_cfg = _dc.replace(cfg.train, iterations=0)
+            res_p = hv.train(prob, polish_cfg, params=best, verbose=not args.quiet)
+            mp = hv.evaluate_problem(prob, res_p.eval_params)
+            summary["polished"] = {
+                "seed": int(_np.argmin(rel)),
+                "lbfgs_iterations": cfg.train.lbfgs_iterations,
+                "gn_iterations": cfg.train.gn_iterations,
+                **mp,
+            }
+        print(json.dumps(summary))
         return 0
     res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
     metrics = hv.evaluate_problem(prob, res.eval_params)

@@ -270,3 +270,19 @@ def test_run_seeds_ensemble_cli(capsys):
     assert s["seeds"] == 3 and len(s["per_seed"]) == 3
     assert s["rel_l2_min"] <= s["rel_l2_median"] <= s["rel_l2_max"]
     assert s["seed_steps_per_sec"] == pytest.approx(3 * s["steps_per_sec"], rel=0.01)
+
+
+def test_run_seeds_polish_phase(capsys):
+    """--seeds with lbfgs/gn budgets polishes the best member (phase-2)."""
+    import json
+
+    from hpvpinns_tpu.cli import main
+
+    rc = main(
+        "run poisson1d --seeds 2 --iterations 60 --gn-iterations 12 "
+        "--n-quad 16 --n-test 8 --layers 1,10,10,1 --dtype float64 --quiet".split()
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["polished"]["gn_iterations"] == 12
+    assert s["polished"]["rel_l2"] <= s["rel_l2_min"]
