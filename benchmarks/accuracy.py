@@ -114,21 +114,24 @@ def parity_records(q: int):
     # Gauss-Newton/LM third-phase rows (round 3): the second-order residual
     # optimizer that breaks the first-order u~2e-3 plateau
     # (training/gauss_newton.py; measured study in MEASUREMENTS.md).
+    pre = hv.poisson1d_precision()  # the shipped GN preset IS the row config
     cfg = replace(
-        hv.poisson1d_quality(),
-        dtype="float64",
-        n_test=50,
-        train=hv.TrainConfig(
-            iterations=1000 // q, gn_iterations=max(10, 200 // q), check_every=200,
+        pre,
+        train=replace(
+            pre.train,
+            iterations=pre.train.iterations // q,
+            gn_iterations=max(10, pre.train.gn_iterations // q),
         ),
     )
     records.append(run("poisson1d_gn_f64cpu", cfg))
 
+    pre = hv.advdiff_precision()
     cfg = replace(
-        hv.advdiff_of_record(),
-        dtype="float64",
-        train=hv.TrainConfig(
-            iterations=1500 // q, gn_iterations=max(10, 150 // q), check_every=300,
+        pre,
+        train=replace(
+            pre.train,
+            iterations=pre.train.iterations // q,
+            gn_iterations=max(10, pre.train.gn_iterations // q),
         ),
     )
     records.append(run("advdiff_gn_f64cpu", cfg))

@@ -34,8 +34,10 @@ from hpvpinns_tpu.config import (
     Poisson3DConfig,
     TrainConfig,
     advdiff_of_record,
+    advdiff_precision,
     advdiff_quality,
     poisson1d_of_record,
+    poisson1d_precision,
     poisson1d_quality,
     poisson2d_of_record,
     poisson2d_quality,

@@ -48,9 +48,11 @@ def _grid_arg(s: str):
 
 def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument(
-        "--preset", choices=["record", "quality"], default="record",
+        "--preset", choices=["record", "quality", "precision"], default="record",
         help="'record' = the reference configuration of record; 'quality' = "
-        "the measured best time-to-accuracy configuration (MEASUREMENTS.md)",
+        "the measured best time-to-accuracy configuration (MEASUREMENTS.md); "
+        "'precision' = the f64-CPU Gauss-Newton points (poisson1d/advdiff: "
+        "u 1.09e-4 / eps 0.15%% — the measured accuracy frontier)",
     )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
@@ -302,6 +304,13 @@ _QUALITY_PRESETS = {
     "burgers": cfgmod.burgers_quality,
 }
 
+# f64-CPU Gauss-Newton accuracy-frontier points (MEASUREMENTS.md round-3 GN
+# study); only the families with a measured GN win ship a precision preset.
+_PRECISION_PRESETS = {
+    "poisson1d": cfgmod.poisson1d_precision,
+    "advdiff": cfgmod.advdiff_precision,
+}
+
 _TRAIN_KEYS = (
     "iterations", "lbfgs_iterations", "gn_iterations", "learning_rate",
     "threshold", "seed", "checkpoint_dir", "checkpoint_every",
@@ -309,7 +318,18 @@ _TRAIN_KEYS = (
 
 
 def _config_from_args(args) -> object:
-    table = _QUALITY_PRESETS if getattr(args, "preset", "record") == "quality" else _PRESETS
+    tier = getattr(args, "preset", "record")
+    if tier == "precision":
+        if args.problem not in _PRECISION_PRESETS:
+            raise SystemExit(
+                f"--preset precision is shipped for "
+                f"{sorted(_PRECISION_PRESETS)} only (the families with a "
+                f"measured Gauss-Newton win — MEASUREMENTS.md); "
+                f"got '{args.problem}'"
+            )
+        table = _PRECISION_PRESETS
+    else:
+        table = _QUALITY_PRESETS if tier == "quality" else _PRESETS
     cfg = table[args.problem]()
     if getattr(args, "preset", "record") == "quality" and getattr(args, "hard_bc", None):
         # the hard-BC quality points of record (MEASUREMENTS.md:
@@ -826,6 +846,9 @@ def cmd_presets() -> int:
         print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
     for name, factory in _QUALITY_PRESETS.items():
         print(f"== {name} (quality) ==")
+        print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
+    for name, factory in _PRECISION_PRESETS.items():
+        print(f"== {name} (precision) ==")
         print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
     return 0
 

@@ -394,6 +394,38 @@ def advdiff_quality() -> AdvDiffConfig:
     )
 
 
+def poisson1d_precision() -> Poisson1DConfig:
+    """GN-grade precision preset (round-3 Gauss-Newton study,
+    benchmarks/MEASUREMENTS.md): the quality hp grid with the test space
+    raised to p=50 and a 200-accepted-step Levenberg-Marquardt polish after
+    Adam-1000 (training/gauss_newton.py) — measured rel-L2 1.09e-4 in
+    ~80-140 s, 45x below the f32 chip quality point (4.9e-3).  Richer test
+    spaces were pointless before GN because first-order methods could not
+    minimize them; this preset pairs the two.  float64 runs on CPU (the axon
+    TPU backend rejects x64 programs); on-chip f32 GN stalls on Jacobian
+    conditioning (MEASUREMENTS.md) — use `--preset quality` there.
+    Reference trainer being superseded: Poisson-1D.py:201-224."""
+    return replace(
+        poisson1d_quality(),
+        dtype="float64",
+        n_test=50,
+        train=TrainConfig(iterations=1000, gn_iterations=200, check_every=200),
+    )
+
+
+def advdiff_precision() -> AdvDiffConfig:
+    """GN-grade identification preset (round-3 study, MEASUREMENTS.md): the
+    reference's own inverse configuration (AdvDiff.py:35-53) with a
+    150-accepted-step LM phase after Adam-1500 — identifies epsilon to 0.15%
+    of truth in ~10 s f64 CPU, 16x better than advdiff_quality (2.4% at
+    Adam5k+LBFGS10k) in a fraction of the budget.  The reference's sole
+    validation was a plot of the recovered epsilon (AdvDiff.py:544-545)."""
+    return AdvDiffConfig(
+        dtype="float64",
+        train=TrainConfig(iterations=1500, gn_iterations=150, check_every=300),
+    )
+
+
 def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
     """Measured 3D quality point (benchmarks/MEASUREMENTS.md): (3,48,48,48,1)
     net, 6^3 test fns, 10^3 quadrature points, 8 elements, Adam10k+LBFGS10k —
@@ -439,6 +471,8 @@ __all__ = [
     "poisson1d_quality",
     "poisson2d_quality",
     "advdiff_quality",
+    "poisson1d_precision",
+    "advdiff_precision",
     "poisson3d_quality",
     "poisson2d_scaled",
     "replace",

@@ -183,8 +183,8 @@ def test_adaptive_burgers_refines_space_axis():
     # space grid is a strict refinement of the starting grid
     g0, g1 = out.rounds[0]["grid_x"], out.rounds[1]["grid_x"]
     assert set(np.round(g0, 12)).issubset(set(np.round(g1, 12)))
-    with pytest.raises(ValueError, match="p-adaptivity"):
-        adaptive.adaptive_solve(cfg, rounds=2, mode="p", verbose=False)
+    # p-adaptivity for this family no longer raises (round-3 lift); its
+    # behavior is covered by test_spacetime_p_mode_raises_axis_orders.
 
 
 def test_adaptive_cli_burgers_flags(capsys, tmp_path):

@@ -88,6 +88,38 @@ def test_quality_presets():
     assert cfg.train.iterations == 7 and cfg.layers == (2, 48, 48, 48, 48, 1)
 
 
+def test_precision_presets():
+    """The f64-CPU Gauss-Newton accuracy-frontier points (round-3 GN study)
+    ship as `--preset precision` for the families with a measured win."""
+    cfg = _config_from_args(parse("run poisson1d --preset precision".split()))
+    assert cfg.dtype == "float64" and cfg.n_test == 50
+    assert cfg.grid == (-1.0, -0.1, 0.1, 1.0)  # the quality hp grid
+    assert cfg.train.iterations == 1000 and cfg.train.gn_iterations == 200
+
+    cfg = _config_from_args(parse("run advdiff --preset precision".split()))
+    assert cfg.dtype == "float64" and cfg.inverse
+    assert cfg.train.iterations == 1500 and cfg.train.gn_iterations == 150
+
+    # overrides still apply on top
+    cfg = _config_from_args(parse("run poisson1d --preset precision --gn-iterations 7".split()))
+    assert cfg.train.gn_iterations == 7 and cfg.n_test == 50
+
+    # families without a measured GN win refuse with a clear message
+    with pytest.raises(SystemExit, match="precision"):
+        _config_from_args(parse("run poisson2d --preset precision".split()))
+
+
+def test_precision_preset_runs_end_to_end(capsys):
+    """Tiny-budget structural pass through the Adam->GN precision path."""
+    rc = main(
+        "run poisson1d --preset precision --iterations 20 --gn-iterations 3 "
+        "--n-test 6 --n-quad 12 --layers 1,8,1 --quiet".split()
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert summary["problem"] == "poisson1d" and np.isfinite(summary["rel_l2"])
+
+
 def test_quality_preset_runs_end_to_end(capsys):
     rc = main(
         "run poisson2d --preset quality --iterations 20 --lbfgs-iterations 0 "
