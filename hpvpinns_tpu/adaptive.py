@@ -432,6 +432,7 @@ def adaptive_galerkin_1d(
         )
         records.append({
             "round": r,
+            "p": int(p),
             "n_elem": int(mesh.n_elem),
             "grid": [float(g) for g in grid],
             "eta": [float(v) for v in eta],
@@ -505,6 +506,7 @@ def adaptive_galerkin_2d(
         rel = float(np.linalg.norm(u_h - u_true) / np.linalg.norm(u_true))
         records.append({
             "round": r,
+            "p": int(p),
             "n_elem": int(Ex * Ey),
             "grid_x": [float(g) for g in gx],
             "grid_y": [float(g) for g in gy],
@@ -579,6 +581,7 @@ def adaptive_galerkin_advdiff(
         rel = float(np.linalg.norm(u_h - u_true) / np.linalg.norm(u_true))
         records.append({
             "round": r,
+            "p": int(p),
             "n_elem": int(axis.n_elem),
             "grid_x": [float(g) for g in grid],
             "eta": [float(v) for v in eta],
@@ -643,6 +646,7 @@ def adaptive_galerkin_burgers(
         )
         records.append({
             "round": r,
+            "p": int(p),
             "n_elem": int(axis.n_elem),
             "grid_x": [float(g) for g in grid],
             "eta": [float(v) for v in eta],

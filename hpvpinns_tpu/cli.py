@@ -904,7 +904,31 @@ def cmd_adapt(args) -> int:
         cfg = dc.replace(cfg, dtype="float64")
         _maybe_enable_x64(cfg.dtype)
         theta = args.theta if args.theta is not None else 0.7
-        recs = fn(cfg, rounds=args.rounds, theta=theta)
+        # The direct-solver loop has no optimizer and h-refines by
+        # construction; say so instead of silently ignoring flags
+        # (review finding: --mode p used to be dropped without a word).
+        ignored = [
+            name for name, flag in (
+                ("mode", "--mode"), ("axes", "--axes"),
+                ("iterations", "--iterations"),
+                ("lbfgs_iterations", "--lbfgs-iterations"),
+                ("gn_iterations", "--gn-iterations"),
+                ("budget_growth", "--budget-growth"), ("n_quad", "--n-quad"),
+                ("n_elements", "--n-elements"), ("hard_bc", "--hard-bc"),
+                ("dtype", "--dtype"),
+            )
+            if getattr(args, name, None) not in (None, False, "h", "x", 1.0)
+        ]
+        if ignored:
+            print(
+                "note: --solver galerkin ignores "
+                + ", ".join(ignored)
+                + " (direct solves, h-refinement, f64 CPU; use --n-test for "
+                "the solver's polynomial order)",
+                file=sys.stderr,
+            )
+        kw = {"p": args.n_test} if getattr(args, "n_test", None) else {}
+        recs = fn(cfg, rounds=args.rounds, theta=theta, **kw)
         os.makedirs(args.outdir, exist_ok=True)
         path = os.path.join(args.outdir, "adapt_rounds.json")
         with open(path, "w") as f:

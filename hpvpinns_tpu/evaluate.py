@@ -109,11 +109,18 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
     if problem.name == "advdiff2d":
         from hpvpinns_tpu.ops.fields import scalar_fields_3d
 
-        eps = (
-            params["pde"]["epsilon"]
-            if problem.config.inverse
-            else problem.extras["eps_true"]
-        )
+        eps_fn = problem.extras.get("epsilon_fn")
+        if problem.config.inverse:
+            eps = params["pde"]["epsilon"]
+        elif eps_fn is not None:
+            # manufactured eps(x, y) MAP: evaluate pointwise (eps_true is its
+            # domain MEAN — using it here made the forward-field strong
+            # residual wrong; the weak form's eps_x/eps_y terms are IBP
+            # bookkeeping of -eps*Lap(u), so no grad-eps term appears in the
+            # strong operator — problems/advdiff2d.py::make_forcing)
+            eps = jnp.asarray(eps_fn(X[:, 0:1], X[:, 1:2]), dtype=dtype)
+        else:
+            eps = problem.extras["eps_true"]
         vx, vy = problem.extras["v_of"](params)
         flds = scalar_fields_3d(u_fn, X[:, 0:1], X[:, 1:2], X[:, 2:3])
         r = (

@@ -291,12 +291,28 @@ def als_identify(
 
     Requires: 1D space-time advdiff problem with homogeneous side walls
     (the bubble basis vanishes there by construction — the benchmark's BC,
-    AdvDiff.py:351-353).
+    AdvDiff.py:351-353).  The velocity is treated as KNOWN: it is read from
+    the problem's initial parameters, so on a `velocity_trainable=True`
+    problem that is `velocity_init`, NOT the truth — ALS then identifies
+    eps against the wrong advection field (warned).  Use
+    `fit_coefficient_fields` / `reduced_identify` for joint (eps, V).
 
     Returns (u_fn, eps_coef, eps_fn, info): u_fn(X [P,2]) -> [P,1] evaluates
     the recovered solution; info carries the per-round trajectories.
     """
     from hpvpinns_tpu.spectral.basis import make_test_basis
+
+    if getattr(problem.config, "velocity_trainable", False):
+        import warnings
+
+        warnings.warn(
+            "als_identify treats the velocity as KNOWN but this problem has "
+            "velocity_trainable=True: the value used is velocity_init "
+            f"({problem.config.velocity_init}), not the truth. Identify "
+            "(eps, V) jointly with fit_coefficient_fields/reduced_identify "
+            "instead.",
+            stacklevel=2,
+        )
 
     if problem.name != "advdiff":
         raise ValueError(f"als_identify supports advdiff problems, got {problem.name!r}")
@@ -999,6 +1015,16 @@ def als_identify2d(
 
     if problem.name != "advdiff2d":
         raise ValueError(f"als_identify2d supports advdiff2d problems, got {problem.name!r}")
+    if getattr(problem.config, "velocity_trainable", False):
+        import warnings
+
+        warnings.warn(
+            "als_identify2d treats (vx, vy) as KNOWN but this problem has "
+            "velocity_trainable=True: the values used are velocity_init "
+            f"({problem.config.velocity_init}), not the truth. Identify "
+            "coefficients jointly with reduced_identify2d instead.",
+            stacklevel=2,
+        )
     cfg = problem.config
     el = problem.data["elements"]
     bx, by, bt = problem.data["basis_x"], problem.data["basis_y"], problem.data["basis_t"]

@@ -132,18 +132,30 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int):
         Jacobian's condition number, which on f32 chips stalls LM early
         (MEASUREMENTS.md on-chip caveat).  Pulling (r, J) to the host and
         solving in f64 removes the solve-precision half of that stall; the
-        f32 Jacobian's own accuracy remains the floor."""
+        f32 Jacobian's own accuracy remains the floor.
+
+        A failed Cholesky (roundoff can leave JJ^T + lam*I numerically
+        indefinite for ill-conditioned f32 Jacobians, and a non-finite J
+        poisons it outright) returns delta=None — the LM loop treats that
+        exactly like a rejected step and inflates lam, the standard LM
+        remedy, instead of crashing."""
         import scipy.linalg as sla
 
         r64 = np.asarray(r, dtype=np.float64)
         J64 = np.asarray(J, dtype=np.float64)
-        if dual:
-            A = J64 @ J64.T + lam * np.eye(J64.shape[0])
-            delta = -J64.T @ sla.cho_solve(sla.cho_factor(A), r64)
-        else:
-            g = J64.T @ r64
-            A = J64.T @ J64 + lam * np.eye(J64.shape[1])
-            delta = -sla.cho_solve(sla.cho_factor(A), g)
+        try:
+            if dual:
+                A = J64 @ J64.T + lam * np.eye(J64.shape[0])
+                delta = -J64.T @ sla.cho_solve(sla.cho_factor(A), r64)
+            else:
+                g = J64.T @ r64
+                A = J64.T @ J64 + lam * np.eye(J64.shape[1])
+                delta = -sla.cho_solve(sla.cho_factor(A), g)
+        except (np.linalg.LinAlgError, ValueError):
+            # LinAlgError: numerically indefinite A; ValueError: scipy's
+            # finite check on a NaN/Inf Jacobian.  Both mean "don't trust
+            # this step".
+            return None, 0.0, float("inf")
         pred = r64 + J64 @ delta
         pred_decrease = float(r64 @ r64 - pred @ pred)
         grad_inf = float(np.max(np.abs(J64.T @ r64)))
@@ -219,6 +231,12 @@ def gauss_newton(
     while accepted < iterations:
         it += 1
         delta, pred_dec, grad_inf = lm_step(r, J, jnp.asarray(lam, dtype=theta.dtype))
+        if delta is None:  # host factorization failed: reject, inflate damping
+            lam, nu = lam * nu, 2.0 * nu
+            if lam > damping_max:
+                stopped = "damping"
+                break
+            continue
         if float(grad_inf) <= gtol:
             stopped = "gtol"
             break

@@ -394,6 +394,25 @@ def test_adaptive_cli_galerkin_solver(capsys, tmp_path):
     assert (tmp_path / "adapt_rounds.json").exists()
 
 
+def test_adaptive_cli_galerkin_flags_note_and_p_passthrough(capsys, tmp_path):
+    """Optimizer-only flags on --solver galerkin produce a stderr note (not
+    silence); --n-test maps to the direct solver's polynomial order."""
+    from hpvpinns_tpu.cli import main
+
+    rc = main(
+        f"adapt poisson1d --solver galerkin --rounds 2 --n-test 6 --mode p "
+        f"--iterations 99 --outdir {tmp_path}".split()
+    )
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "ignores mode, iterations" in captured.err
+    import json
+
+    s = json.loads(captured.out.strip().splitlines()[-1])
+    recs = json.load(open(tmp_path / "adapt_rounds.json"))
+    assert s["solver"] == "galerkin" and recs[0]["p"] == 6
+
+
 def test_spacetime_p_mode_raises_axis_orders():
     """p-adaptivity for the space-time families (the round-2 restriction
     lifted): marked x-axis intervals get +p_step test order, t likewise

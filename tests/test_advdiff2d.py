@@ -291,3 +291,29 @@ def test_advdiff2d_p_refinement_per_axis_orders():
     assert len(c3.n_test_t_per_elem) == len(c3.grid_t) - 1
     prob3 = advdiff2d.build(c3)
     assert np.isfinite(float(prob3.loss_fn(params, prob3.data)[0]))
+
+
+def test_strong_residual_uses_manufactured_eps_map_pointwise():
+    """Forward advdiff2d with a NON-constant eps(x, y) map: the strong
+    residual at the exact manufactured solution must vanish pointwise.
+    Using the field's domain MEAN instead (the pre-fix behavior) leaves an
+    O((eps(x,y)-mean)*Lap u) error ~1e-1 at these coefficients."""
+    import dataclasses
+
+    from hpvpinns_tpu.evaluate import strong_residual
+
+    eps_fn = lambda X, Y: (0.1 / jnp.pi) * (1.0 + 0.5 * jnp.sin(jnp.pi * X))  # noqa: E731
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", inverse=False, n_test_x=4, n_test_y=4, n_test_t=3,
+        n_quad=8, layers=(3, 8, 1),
+    )
+    prob = advdiff2d.build(cfg, epsilon_fn=eps_fn)
+    exact = lambda params, X: (  # noqa: E731
+        jnp.sin(jnp.pi * X[:, 0:1]) * jnp.sin(jnp.pi * X[:, 1:2])
+        * jnp.exp(-X[:, 2:3])
+    )
+    probx = dataclasses.replace(prob, apply_override=exact)
+    params = prob.init_params(jax.random.key(0))
+    X = prob.test_points[::501]
+    r = strong_residual(probx, params, X)
+    assert np.max(np.abs(r)) < 1e-8  # exact-solution identity, f64

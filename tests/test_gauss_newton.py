@@ -158,3 +158,32 @@ def test_host_solve_variant_f32():
     g_host = gauss_newton(prob, res.params, iterations=25, verbose=False)
     assert g_host.final_aux["loss"] <= 3.0 * g_dev.final_aux["loss"]
     assert g_host.final_aux["loss"] < 1e-3 * res.final_aux["loss"]
+
+
+def test_host_lm_step_failed_cholesky_rejects_not_crashes():
+    """A numerically indefinite damped normal matrix (ill-conditioned or
+    non-finite f32 chip Jacobian) must surface as a REJECTED step
+    (delta=None -> the loop inflates lam), not a LinAlgError crash —
+    the on-chip `--seeds 8 --gn-iterations 60` regression."""
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.training.gauss_newton import _build_kernels, make_residual_vector
+
+    prob = hv.build(hv.Poisson1DConfig(
+        dtype="float64", n_test=4, n_quad=8, layers=(1, 6, 1)))
+    resvec = make_residual_vector(prob)
+    params = prob.init_params(jax.random.key(0))
+    from jax.flatten_util import ravel_pytree
+
+    theta, unravel = ravel_pytree(params)
+    r = resvec(params, prob.data)
+    *_, lm_step_host = _build_kernels(
+        resvec, unravel, prob.data, int(theta.size), int(r.size))
+    # A NaN Jacobian poisons the factorization outright
+    J_bad = jnp.full((int(r.size), int(theta.size)), jnp.nan)
+    delta, pred_dec, grad_inf = lm_step_host(r, J_bad, 1e-3)
+    assert delta is None and pred_dec == 0.0 and grad_inf == float("inf")
+    # and a healthy Jacobian still solves
+    J_ok = jnp.eye(int(r.size), int(theta.size))
+    delta, pred_dec, grad_inf = lm_step_host(r, J_ok, 1e-3)
+    assert delta is not None and np.all(np.isfinite(np.asarray(delta)))
