@@ -51,8 +51,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
         "--preset", choices=["record", "quality", "precision"], default="record",
         help="'record' = the reference configuration of record; 'quality' = "
         "the measured best time-to-accuracy configuration (MEASUREMENTS.md); "
-        "'precision' = the f64-CPU Gauss-Newton points (poisson1d/advdiff: "
-        "u 1.09e-4 / eps 0.15%% — the measured accuracy frontier)",
+        "'precision' = the Gauss-Newton accuracy frontier (poisson1d "
+        "u 1.09e-4 f64 / poisson2d 7.3e-5 ON CHIP / advdiff eps 0.15%% f64)",
     )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
@@ -308,6 +308,7 @@ _QUALITY_PRESETS = {
 # study); only the families with a measured GN win ship a precision preset.
 _PRECISION_PRESETS = {
     "poisson1d": cfgmod.poisson1d_precision,
+    "poisson2d": cfgmod.poisson2d_precision,  # ON-CHIP f32 (host-f64 LM solve)
     "advdiff": cfgmod.advdiff_precision,
 }
 

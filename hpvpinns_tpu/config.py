@@ -426,6 +426,19 @@ def advdiff_precision() -> AdvDiffConfig:
     )
 
 
+def poisson2d_precision(hard_bc: bool = True) -> Poisson2DConfig:
+    """GN-grade 2D accuracy frontier, ON CHIP (round-3 late measurement,
+    benchmarks/MEASUREMENTS.md): the quality configuration plus a
+    50-accepted-step LM phase whose damped normal equations solve on the
+    host in f64 (auto-enabled for f32 — training/gauss_newton.py).  Measured
+    single-chip f32: rel-L2 7.3e-5 hard-BC in ~9 min (4.2x below the
+    round-2 hard-BC record 3.1e-4; north-star <1e-3 beaten 13x), 2.9e-4
+    soft-BC.  The round-2 'GN is f64-CPU-only' caveat is obsolete: the f32
+    stall was the SOLVE precision, not the Jacobian's."""
+    base = poisson2d_quality(hard_bc=hard_bc)
+    return replace(base, train=replace(base.train, gn_iterations=50))
+
+
 def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
     """Measured 3D quality point (benchmarks/MEASUREMENTS.md): (3,48,48,48,1)
     net, 6^3 test fns, 10^3 quadrature points, 8 elements, Adam10k+LBFGS10k —
@@ -472,6 +485,7 @@ __all__ = [
     "poisson2d_quality",
     "advdiff_quality",
     "poisson1d_precision",
+    "poisson2d_precision",
     "advdiff_precision",
     "poisson3d_quality",
     "poisson2d_scaled",

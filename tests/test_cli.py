@@ -100,13 +100,18 @@ def test_precision_presets():
     assert cfg.dtype == "float64" and cfg.inverse
     assert cfg.train.iterations == 1500 and cfg.train.gn_iterations == 150
 
+    # the 2D frontier runs ON CHIP: f32 + hard-BC + GN-50 (host-f64 solve)
+    cfg = _config_from_args(parse("run poisson2d --preset precision".split()))
+    assert cfg.dtype == "float32" and cfg.hard_bc
+    assert cfg.train.gn_iterations == 50 and cfg.train.lbfgs_iterations == 20000
+
     # overrides still apply on top
     cfg = _config_from_args(parse("run poisson1d --preset precision --gn-iterations 7".split()))
     assert cfg.train.gn_iterations == 7 and cfg.n_test == 50
 
     # families without a measured GN win refuse with a clear message
     with pytest.raises(SystemExit, match="precision"):
-        _config_from_args(parse("run poisson2d --preset precision".split()))
+        _config_from_args(parse("run burgers --preset precision".split()))
 
 
 def test_precision_preset_runs_end_to_end(capsys):
