@@ -28,6 +28,7 @@ from hpvpinns_tpu.config import (
     AdvDiff2DConfig,
     AdvDiffConfig,
     BurgersConfig,
+    burgers_precision,
     burgers_quality,
     Poisson1DConfig,
     Poisson2DConfig,
@@ -40,8 +41,10 @@ from hpvpinns_tpu.config import (
     poisson1d_precision,
     poisson1d_quality,
     poisson2d_of_record,
+    poisson2d_precision,
     poisson2d_quality,
     poisson2d_scaled,
+    poisson3d_precision,
     poisson3d_quality,
 )
 from hpvpinns_tpu.evaluate import evaluate as evaluate_problem

@@ -310,6 +310,8 @@ _PRECISION_PRESETS = {
     "poisson1d": cfgmod.poisson1d_precision,
     "poisson2d": cfgmod.poisson2d_precision,  # ON-CHIP f32 (host-f64 LM solve)
     "advdiff": cfgmod.advdiff_precision,
+    "burgers": cfgmod.burgers_precision,  # ON-CHIP f32, nonlinear residual
+    "poisson3d": cfgmod.poisson3d_precision,  # ON-CHIP f32, chunked Jacobian
 }
 
 _TRAIN_KEYS = (

@@ -439,6 +439,19 @@ def poisson2d_precision(hard_bc: bool = True) -> Poisson2DConfig:
     return replace(base, train=replace(base.train, gn_iterations=50))
 
 
+def burgers_precision() -> BurgersConfig:
+    """GN-grade nonlinear space-time frontier, ON CHIP (round-3 late
+    measurement, benchmarks/MEASUREMENTS.md): the hand-clustered hard-BC
+    quality grid plus a 40-accepted-step LM phase (host-f64 normal-equation
+    solve, auto-enabled on f32).  Measured single-chip f32: rel-L2 1.58e-3
+    in ~6.5 min — 5.4x below the quality preset (8.6e-3) and 3.7x below the
+    adaptive h-loop record (5.9e-3).  Gauss-Newton handles the nonlinear
+    (convective) residual exactly like the linear families: r(theta) is
+    what it is; LM only needs its Jacobian."""
+    base = burgers_quality()
+    return replace(base, train=replace(base.train, gn_iterations=40))
+
+
 def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
     """Measured 3D quality point (benchmarks/MEASUREMENTS.md): (3,48,48,48,1)
     net, 6^3 test fns, 10^3 quadrature points, 8 elements, Adam10k+LBFGS10k —
@@ -453,6 +466,19 @@ def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
         hard_bc=hard_bc,
         train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
     )
+
+
+def poisson3d_precision(hard_bc: bool = True) -> Poisson3DConfig:
+    """GN-grade volumetric frontier, ON CHIP (round-3 late measurement,
+    benchmarks/MEASUREMENTS.md): quality + a 30-accepted-step LM phase.
+    The whole-Jacobian vmap OOMed the 16G chip (17.4G); the memory-bounded
+    lax.map block build (gauss_newton jac_chunk, auto-enabled) fits and
+    measures rel-L2 6.59e-3 in ~5 min f32 — 1.3x below the hard-BC quality
+    record (8.6e-3).  The more modest gain vs 1D/2D reflects the 6^3 test
+    space: at this p the weak objective's minimizer IS ~6e-3-class (same
+    mechanism as the measured p=30 -> p=50 1D study)."""
+    base = poisson3d_quality(hard_bc=hard_bc)
+    return replace(base, train=replace(base.train, gn_iterations=30))
 
 
 def poisson2d_scaled(n_elem_axis: int = 8, n_quad: int = 16, n_test: int = 10) -> Poisson2DConfig:
@@ -487,6 +513,8 @@ __all__ = [
     "poisson1d_precision",
     "poisson2d_precision",
     "advdiff_precision",
+    "burgers_precision",
+    "poisson3d_precision",
     "poisson3d_quality",
     "poisson2d_scaled",
     "replace",

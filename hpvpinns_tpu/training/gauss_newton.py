@@ -87,8 +87,16 @@ class GNResult:
     final_aux: Dict[str, float] = field(default_factory=dict)
 
 
-def _build_kernels(resvec, unravel, data, n_params: int, n_res: int):
-    """Jitted LM computational kernels over the FLAT parameter vector."""
+def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
+                   jac_chunk: Optional[int] = None):
+    """Jitted LM computational kernels over the FLAT parameter vector.
+
+    `jac_chunk` bounds the Jacobian build's peak memory: the min(M, P)
+    vmapped tangent/cotangent passes run as `lax.map` over blocks of that
+    many rows/columns, so only one block of intermediates is live at a time
+    (a whole-Jacobian vmap OOMed the 16G chip on poisson3d quality —
+    measured, 17.4G requested).  None = whole-Jacobian vmap (fastest) when
+    min(M, P) <= 2048, else blocks of 256."""
 
     def r_of(theta):
         return resvec(unravel(theta), data)
@@ -96,7 +104,37 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int):
     # Forward-mode when the parameter count is the smaller dimension,
     # reverse-mode otherwise: both produce J[M, P]; the vmapped pass count is
     # min(M, P).
-    jac = jax.jacfwd(r_of) if n_params <= n_res else jax.jacrev(r_of)
+    fwd = n_params <= n_res
+    n_pass = n_params if fwd else n_res
+    if jac_chunk is None:
+        jac_chunk = n_pass if n_pass <= 2048 else 256
+
+    if jac_chunk >= n_pass:
+        jac = jax.jacfwd(r_of) if fwd else jax.jacrev(r_of)
+    else:
+        # pad the pass count to a multiple of the chunk so lax.map sees a
+        # rectangular [n_blocks, chunk, n_pass] basis; padded rows are zero
+        # seeds (cheap) and are sliced off the result.
+        n_pad = -n_pass % jac_chunk
+        eye = jnp.eye(n_pass, dtype=jnp.result_type(float))
+        basis = jnp.concatenate(
+            [eye, jnp.zeros((n_pad, n_pass), dtype=eye.dtype)]
+        ).reshape(-1, jac_chunk, n_pass)
+
+        if fwd:
+            def jac(theta):
+                def block(seeds):  # [C, P] tangents -> [C, M] rows of J^T
+                    return jax.vmap(
+                        lambda v: jax.jvp(r_of, (theta,), (v,))[1]
+                    )(seeds)
+                cols = jax.lax.map(block, basis).reshape(-1, n_res)[:n_pass]
+                return cols.T  # [M, P]
+        else:
+            def jac(theta):
+                _, vjp = jax.vjp(r_of, theta)
+                def block(seeds):  # [C, M] cotangents -> [C, P] rows of J
+                    return jax.vmap(lambda v: vjp(v)[0])(seeds)
+                return jax.lax.map(block, basis).reshape(-1, n_params)[:n_pass]
 
     @jax.jit
     def r_and_J(theta):
@@ -176,6 +214,7 @@ def gauss_newton(
     verbose: bool = True,
     log_every: int = 10,
     host_solve: Optional[bool] = None,
+    jac_chunk: Optional[int] = None,
 ) -> GNResult:
     """Levenberg-Marquardt polish of a (usually pre-trained) parameter pytree.
 
@@ -210,7 +249,7 @@ def gauss_newton(
         )
     n_res, n_params = int(probe.size), int(theta.size)
     r_and_J, loss_of, lm_step, lm_step_host = _build_kernels(
-        resvec, unravel, data, n_params, n_res
+        resvec, unravel, data, n_params, n_res, jac_chunk=jac_chunk
     )
     if host_solve is None:
         host_solve = jnp.dtype(theta.dtype) != jnp.dtype(jnp.float64)

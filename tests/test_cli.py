@@ -109,9 +109,19 @@ def test_precision_presets():
     cfg = _config_from_args(parse("run poisson1d --preset precision --gn-iterations 7".split()))
     assert cfg.train.gn_iterations == 7 and cfg.n_test == 50
 
+    # the nonlinear family's frontier also runs ON CHIP (f32 + GN-40)
+    cfg = _config_from_args(parse("run burgers --preset precision".split()))
+    assert cfg.dtype == "float32" and cfg.hard_bc
+    assert cfg.train.gn_iterations == 40
+    assert cfg.grid_x == (-1.0, -0.3, -0.08, 0.08, 0.3, 1.0)
+
+    # the volumetric family ships too (chunked-Jacobian GN, 6.59e-3)
+    cfg = _config_from_args(parse("run poisson3d --preset precision".split()))
+    assert cfg.hard_bc and cfg.train.gn_iterations == 30
+
     # families without a measured GN win refuse with a clear message
     with pytest.raises(SystemExit, match="precision"):
-        _config_from_args(parse("run burgers --preset precision".split()))
+        _config_from_args(parse("run advdiff2d --preset precision".split()))
 
 
 def test_precision_preset_runs_end_to_end(capsys):

@@ -187,3 +187,43 @@ def test_host_lm_step_failed_cholesky_rejects_not_crashes():
     J_ok = jnp.eye(int(r.size), int(theta.size))
     delta, pred_dec, grad_inf = lm_step_host(r, J_ok, 1e-3)
     assert delta is not None and np.all(np.isfinite(np.asarray(delta)))
+
+
+def test_chunked_jacobian_matches_whole_vmap():
+    """The memory-bounded lax.map Jacobian (jac_chunk) must equal the
+    whole-Jacobian vmap build exactly, in both fwd (P<=M) and rev (M<P)
+    regimes — the poisson3d-quality OOM fix must not change the math."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from hpvpinns_tpu.training.gauss_newton import _build_kernels, make_residual_vector
+
+    # rev regime: params ~ 139 > residuals
+    prob = hv.build(hv.Poisson1DConfig(
+        dtype="float64", n_test=4, n_quad=8, layers=(1, 10, 1)))
+    resvec = make_residual_vector(prob)
+    params = prob.init_params(jax.random.key(1))
+    theta, unravel = ravel_pytree(params)
+    r = resvec(params, prob.data)
+    M, P = int(r.size), int(theta.size)
+    rJ_full, *_ = _build_kernels(resvec, unravel, prob.data, P, M)
+    rJ_chunk, *_ = _build_kernels(resvec, unravel, prob.data, P, M, jac_chunk=3)
+    _, J_full = rJ_full(theta)
+    _, J_chunk = rJ_chunk(theta)
+    assert J_full.shape == (M, P)
+    np.testing.assert_allclose(np.asarray(J_chunk), np.asarray(J_full), atol=1e-13)
+
+    # fwd regime: tiny net, rich test space -> P < M
+    prob2 = hv.build(hv.Poisson1DConfig(
+        dtype="float64", n_test=30, n_quad=40, layers=(1, 3, 1)))
+    resvec2 = make_residual_vector(prob2)
+    params2 = prob2.init_params(jax.random.key(2))
+    theta2, unravel2 = ravel_pytree(params2)
+    r2 = resvec2(params2, prob2.data)
+    M2, P2 = int(r2.size), int(theta2.size)
+    assert P2 < M2
+    rJ_full2, *_ = _build_kernels(resvec2, unravel2, prob2.data, P2, M2)
+    rJ_chunk2, *_ = _build_kernels(resvec2, unravel2, prob2.data, P2, M2, jac_chunk=4)
+    _, Jf = rJ_full2(theta2)
+    _, Jc = rJ_chunk2(theta2)
+    np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jf), atol=1e-13)
