@@ -343,6 +343,30 @@ def als_field_record():
     }
 
 
+def precision_records(q):
+    """The ON-CHIP Gauss-Newton accuracy-frontier rows (`--preset precision`;
+    MEASUREMENTS.md round-3 GN sweep: poisson2d 7.3e-5, burgers 1.58e-3,
+    poisson3d 6.59e-3).  f32 chip, host-f64 LM solve; ~20 min full budget."""
+
+    def scaled(cfg):
+        t = cfg.train
+        return replace(
+            cfg,
+            train=replace(
+                t,
+                iterations=t.iterations // q,
+                lbfgs_iterations=t.lbfgs_iterations // q,
+                gn_iterations=max(5, t.gn_iterations // q),
+            ),
+        )
+
+    return [
+        run("poisson2d_precision_f32_tpu", scaled(hv.poisson2d_precision())),
+        run("burgers_precision_f32_tpu", scaled(hv.burgers_precision())),
+        run("poisson3d_precision_f32_tpu", scaled(hv.poisson3d_precision())),
+    ]
+
+
 def merge_into(out_path: str, records):
     """Merge rows into ACCURACY.json by config name (parity rows coexist
     with the f32 TPU rows)."""
@@ -367,6 +391,11 @@ def main():
         help="run ONLY the float64-CPU configs-of-record parity set and merge "
         "the rows into ACCURACY.json",
     )
+    ap.add_argument(
+        "--precision", action="store_true",
+        help="run ONLY the on-chip Gauss-Newton precision-preset rows "
+        "(~20 min) and merge them into ACCURACY.json",
+    )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
     args = ap.parse_args()
     q = 10 if args.quick else 1
@@ -379,6 +408,12 @@ def main():
         records = parity_records(q)
         merge_into(args.out, records)
         print(f"merged {len(records)} parity rows into {args.out}", file=sys.stderr)
+        return
+
+    if args.precision:
+        records = precision_records(q)
+        merge_into(args.out, records)
+        print(f"merged {len(records)} precision rows into {args.out}", file=sys.stderr)
         return
 
     records = []
