@@ -470,15 +470,21 @@ def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
 
 def poisson3d_precision(hard_bc: bool = True) -> Poisson3DConfig:
     """GN-grade volumetric frontier, ON CHIP (round-3 late measurement,
-    benchmarks/MEASUREMENTS.md): quality + a 30-accepted-step LM phase.
-    The whole-Jacobian vmap OOMed the 16G chip (17.4G); the memory-bounded
-    lax.map block build (gauss_newton jac_chunk, auto-enabled) fits and
-    measures rel-L2 6.59e-3 in ~5 min f32 — 1.3x below the hard-BC quality
-    record (8.6e-3).  The more modest gain vs 1D/2D reflects the 6^3 test
-    space: at this p the weak objective's minimizer IS ~6e-3-class (same
-    mechanism as the measured p=30 -> p=50 1D study)."""
+    benchmarks/MEASUREMENTS.md): quality with the test space raised to 8^3
+    plus a 30-accepted-step LM phase.  The whole-Jacobian vmap OOMed the
+    16G chip (17.4G); the memory-bounded lax.map block build (gauss_newton
+    jac_chunk, auto-enabled) fits.  Measured f32 single chip: rel-L2
+    **1.06e-3 in ~17 min** — 8.1x below the hard-BC quality record
+    (8.6e-3).  At the quality p=6 the same GN phase gives only 6.59e-3 in
+    ~5 min: the 6^3 weak objective's own minimizer is ~6e-3-class, so p is
+    the lever GN unlocks (the measured 1D p=30 -> p=50 mechanism, now
+    confirmed volumetric)."""
     base = poisson3d_quality(hard_bc=hard_bc)
-    return replace(base, train=replace(base.train, gn_iterations=30))
+    return replace(
+        base,
+        n_test_x=8, n_test_y=8, n_test_z=8,
+        train=replace(base.train, gn_iterations=30),
+    )
 
 
 def poisson2d_scaled(n_elem_axis: int = 8, n_quad: int = 16, n_test: int = 10) -> Poisson2DConfig:
