@@ -29,6 +29,11 @@ def _add_train_flags(p: argparse.ArgumentParser):
                    help="Gauss-Newton/LM polish phase (accepted steps; "
                    "second-order residual optimizer, breaks the first-order "
                    "u~2e-3 plateau)")
+    p.add_argument("--gn-solve", dest="gn_solve",
+                   choices=("normal", "host", "qr"),
+                   help="LM step kernel: damped normal equations on device, "
+                   "host-f64 solve (default for sub-f64 runs), or pure-"
+                   "on-device QR of the augmented system")
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--threshold", type=float, help="early-stop loss threshold")
     p.add_argument("--seed", type=int)
@@ -315,8 +320,8 @@ _PRECISION_PRESETS = {
 }
 
 _TRAIN_KEYS = (
-    "iterations", "lbfgs_iterations", "gn_iterations", "learning_rate",
-    "threshold", "seed", "checkpoint_dir", "checkpoint_every",
+    "iterations", "lbfgs_iterations", "gn_iterations", "gn_solve",
+    "learning_rate", "threshold", "seed", "checkpoint_dir", "checkpoint_every",
 )
 
 

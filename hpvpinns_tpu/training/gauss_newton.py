@@ -165,6 +165,28 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         grad_inf = jnp.max(jnp.abs(J.T @ r))
         return delta, pred_decrease, grad_inf
 
+    @jax.jit
+    def lm_step_qr(r, J, lam):
+        """Pure-on-device damped step via QR of the AUGMENTED system
+        [J; sqrt(lam) I] — the textbook alternative to lm_step_host for
+        sub-f64 chips.  The augmented least-squares solve is backward-stable
+        at cond(J) rather than the normal equations' cond(J)^2, so the f32
+        LM loop keeps accepting steps without the per-candidate host pull of
+        the [M, P] Jacobian (~120 MB/step for the poisson2d precision config
+        over the tunneled relay).  The sqrt(lam)*I block makes the stacked
+        matrix full column rank for any M vs P, so no primal/dual branch is
+        needed: the solution equals the damped (min-norm when M < P) step.
+        """
+        p = J.shape[1]
+        A = jnp.concatenate([J, jnp.sqrt(lam) * jnp.eye(p, dtype=J.dtype)])
+        b = jnp.concatenate([r, jnp.zeros((p,), dtype=r.dtype)])
+        q, R = jnp.linalg.qr(A)
+        delta = -jax.scipy.linalg.solve_triangular(R, q.T @ b, lower=False)
+        pred = r + J @ delta
+        pred_decrease = jnp.sum(r * r) - jnp.sum(pred * pred)
+        grad_inf = jnp.max(jnp.abs(J.T @ r))
+        return delta, pred_decrease, grad_inf
+
     def lm_step_host(r, J, lam):
         """Host float64 variant of lm_step: the normal equations square the
         Jacobian's condition number, which on f32 chips stalls LM early
@@ -199,7 +221,9 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         grad_inf = float(np.max(np.abs(J64.T @ r64)))
         return jnp.asarray(delta, dtype=r.dtype), pred_decrease, grad_inf
 
-    return r_and_J, loss_of, lm_step, lm_step_host
+    return r_and_J, loss_of, {
+        "normal": lm_step, "host": lm_step_host, "qr": lm_step_qr
+    }
 
 
 def gauss_newton(
@@ -215,6 +239,7 @@ def gauss_newton(
     log_every: int = 10,
     host_solve: Optional[bool] = None,
     jac_chunk: Optional[int] = None,
+    solve: Optional[str] = None,
 ) -> GNResult:
     """Levenberg-Marquardt polish of a (usually pre-trained) parameter pytree.
 
@@ -225,10 +250,20 @@ def gauss_newton(
     Stops on gtol (inf-norm of J^T r), ftol (relative loss decrease), an
     exhausted damping range, or the iteration budget.
 
-    `host_solve` solves the damped normal equations on the host in float64
-    (default: automatically ON for sub-f64 parameters — the measured fix
-    for the f32-on-chip damping stall; f64 runs keep the on-device solve).
+    `solve` picks the damped-step kernel: "normal" (on-device damped normal
+    equations — right for f64), "host" (pull (r, J) to the host, square and
+    Cholesky-solve in f64 — the measured fix for the f32-on-chip damping
+    stall), or "qr" (pure-on-device QR of the augmented [J; sqrt(lam) I]
+    system — cond(J)-stable in f32 with NO host pull).  Default (None):
+    "host" for sub-f64 parameters, "normal" for f64.  `host_solve` is the
+    pre-"qr" boolean spelling of the same choice and is honored when `solve`
+    is not given.
     """
+    if solve is None:
+        if host_solve is not None:
+            solve = "host" if host_solve else "normal"
+    elif solve not in ("normal", "host", "qr"):
+        raise ValueError(f"solve must be 'normal', 'host' or 'qr', got {solve!r}")
     data = problem.data if data is None else data
     resvec = make_residual_vector(problem)
     # Defensive copy (same contract as trainer.train: callers keep their tree)
@@ -248,13 +283,14 @@ def gauss_newton(
             "+ boundary data (+ extras['reg_resvec_fn'])"
         )
     n_res, n_params = int(probe.size), int(theta.size)
-    r_and_J, loss_of, lm_step, lm_step_host = _build_kernels(
+    r_and_J, loss_of, lm_steps = _build_kernels(
         resvec, unravel, data, n_params, n_res, jac_chunk=jac_chunk
     )
-    if host_solve is None:
-        host_solve = jnp.dtype(theta.dtype) != jnp.dtype(jnp.float64)
-    if host_solve:
-        lm_step = lm_step_host
+    if solve is None:
+        solve = (
+            "host" if jnp.dtype(theta.dtype) != jnp.dtype(jnp.float64) else "normal"
+        )
+    lm_step = lm_steps[solve]
 
     aux_of = jax.jit(lambda th: problem.loss_fn(unravel(th), data)[1])
 

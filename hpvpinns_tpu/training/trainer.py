@@ -317,6 +317,7 @@ def train(
             data=data,
             iterations=cfg.gn_iterations,
             damping_init=cfg.gn_damping_init,
+            solve=cfg.gn_solve,
             verbose=verbose,
             log_every=max(1, cfg.log_every // 10),
         )
