@@ -109,6 +109,12 @@ def test_precision_presets():
     cfg = _config_from_args(parse("run poisson1d --preset precision --gn-iterations 7".split()))
     assert cfg.train.gn_iterations == 7 and cfg.n_test == 50
 
+    # the LM step kernel is selectable (--gn-solve; default None = auto)
+    assert cfg.train.gn_solve is None
+    cfg = _config_from_args(parse(
+        "run poisson2d --preset precision --gn-solve qr".split()))
+    assert cfg.train.gn_solve == "qr"
+
     # the nonlinear family's frontier also runs ON CHIP (f32 + GN-40)
     cfg = _config_from_args(parse("run burgers --preset precision".split()))
     assert cfg.dtype == "float32" and cfg.hard_bc
