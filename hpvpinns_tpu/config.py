@@ -477,7 +477,9 @@ def poisson3d_precision(hard_bc: bool = True) -> Poisson3DConfig:
     plus a 30-accepted-step LM phase.  The whole-Jacobian vmap OOMed the
     16G chip (17.4G); the memory-bounded lax.map block build (gauss_newton
     jac_chunk, auto-enabled) fits.  Measured f32 single chip: rel-L2
-    **1.06e-3 in ~17 min** — 8.1x below the hard-BC quality record
+    **1.06e-3** (~17 min with the host-f64 solve; **~4.6 min** with the
+    shipped on-device QR kernel, same result to 4 digits) — 8.1x below
+    the hard-BC quality record
     (8.6e-3).  At the quality p=6 the same GN phase gives only 6.59e-3 in
     ~5 min: the 6^3 weak objective's own minimizer is ~6e-3-class, so p is
     the lever GN unlocks (the measured 1D p=30 -> p=50 mechanism, now
@@ -486,7 +488,12 @@ def poisson3d_precision(hard_bc: bool = True) -> Poisson3DConfig:
     return replace(
         base,
         n_test_x=8, n_test_y=8, n_test_z=8,
-        train=replace(base.train, gn_iterations=30),
+        # The pure-on-device QR kernel reproduces the host-f64 record to 4
+        # digits (1.0564e-3 vs 1.0568e-3) at 3.7x less wall (~4.6 min vs
+        # ~17) — measured, MEASUREMENTS.md "LM step kernels" — so the 3D
+        # preset ships it.  p=10 measured NEGATIVE (1.22e-3): p=8 is the
+        # volumetric optimum, like 2D/burgers at their shipped orders.
+        train=replace(base.train, gn_iterations=30, gn_solve="qr"),
     )
 
 
