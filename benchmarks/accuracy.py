@@ -345,7 +345,7 @@ def als_field_record():
 
 def precision_records(q):
     """The ON-CHIP Gauss-Newton accuracy-frontier rows (`--preset precision`;
-    MEASUREMENTS.md round-3 GN sweep: poisson2d 7.3e-5, burgers 1.58e-3,
+    MEASUREMENTS.md round-3 GN sweep: poisson2d 7.3e-5, burgers 1.50e-3,
     poisson3d 6.59e-3).  f32 chip, host-f64 LM solve; ~20 min full budget."""
 
     def scaled(cfg):

@@ -445,14 +445,16 @@ def poisson2d_precision(hard_bc: bool = True) -> Poisson2DConfig:
 def burgers_precision() -> BurgersConfig:
     """GN-grade nonlinear space-time frontier, ON CHIP (round-3 late
     measurement, benchmarks/MEASUREMENTS.md): the hand-clustered hard-BC
-    quality grid plus a 40-accepted-step LM phase (host-f64 normal-equation
-    solve, auto-enabled on f32).  Measured single-chip f32: rel-L2 1.58e-3
-    in ~6.5 min — 5.4x below the quality preset (8.6e-3) and 3.7x below the
-    adaptive h-loop record (5.9e-3).  Gauss-Newton handles the nonlinear
+    quality grid plus a 40-accepted-step LM phase.  Measured single-chip
+    f32: rel-L2 **1.50e-3 in ~5.7 min** with the shipped on-device QR
+    kernel (the host-f64 solve gave 1.58e-3 in ~6.5 min — QR is the
+    better point on BOTH axes here, MEASUREMENTS.md "LM step kernels") —
+    5.7x below the quality preset (8.6e-3) and 3.9x below the adaptive
+    h-loop record (5.9e-3).  Gauss-Newton handles the nonlinear
     (convective) residual exactly like the linear families: r(theta) is
     what it is; LM only needs its Jacobian."""
     base = burgers_quality()
-    return replace(base, train=replace(base.train, gn_iterations=40))
+    return replace(base, train=replace(base.train, gn_iterations=40, gn_solve="qr"))
 
 
 def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
