@@ -346,7 +346,8 @@ def als_field_record():
 def precision_records(q):
     """The ON-CHIP Gauss-Newton accuracy-frontier rows (`--preset precision`;
     MEASUREMENTS.md round-3 GN sweep: poisson2d 7.3e-5, burgers 1.50e-3,
-    poisson3d 6.59e-3).  f32 chip, host-f64 LM solve; ~20 min full budget."""
+    poisson3d 1.06e-3, advdiff2d forward 1.86e-3).  f32 chip; ~30 min full
+    budget."""
 
     def scaled(cfg):
         t = cfg.train
@@ -364,6 +365,7 @@ def precision_records(q):
         run("poisson2d_precision_f32_tpu", scaled(hv.poisson2d_precision())),
         run("burgers_precision_f32_tpu", scaled(hv.burgers_precision())),
         run("poisson3d_precision_f32_tpu", scaled(hv.poisson3d_precision())),
+        run("advdiff2d_precision_f32_tpu", scaled(hv.advdiff2d_precision())),
     ]
 
 

@@ -34,6 +34,7 @@ from hpvpinns_tpu.config import (
     Poisson2DConfig,
     Poisson3DConfig,
     TrainConfig,
+    advdiff2d_precision,
     advdiff_of_record,
     advdiff_precision,
     advdiff_quality,

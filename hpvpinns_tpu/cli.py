@@ -317,6 +317,8 @@ _PRECISION_PRESETS = {
     "advdiff": cfgmod.advdiff_precision,
     "burgers": cfgmod.burgers_precision,  # ON-CHIP f32, nonlinear residual
     "poisson3d": cfgmod.poisson3d_precision,  # ON-CHIP f32, chunked Jacobian
+    "advdiff2d": cfgmod.advdiff2d_precision,  # ON-CHIP f32, FORWARD (joint
+    # eps under GN measured negative — MEASUREMENTS.md)
 }
 
 _TRAIN_KEYS = (

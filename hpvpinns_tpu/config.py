@@ -499,6 +499,37 @@ def poisson3d_precision(hard_bc: bool = True) -> Poisson3DConfig:
     )
 
 
+def advdiff2d_precision() -> AdvDiff2DConfig:
+    """GN-grade FORWARD frontier for the 2-space-dimension space-time family,
+    ON CHIP (round-3 late measurement, benchmarks/MEASUREMENTS.md): eps
+    frozen at truth, a 32-wide net, the test space raised to 8^3 with 10^3
+    quadrature, Adam-5000 + a 120-accepted-step LM phase on the on-device QR
+    kernel.  Measured f32 single chip: rel-L2 **1.86e-3** (~6-11 min,
+    relay-dependent) — 67x below the Adam-only forward point (0.124) and
+    11x below Adam+GN at the default capacity/test space (2.0e-2).  Width
+    is NOT the limiter (48-wide at GN-60 measured 3.5e-3; 32-wide GN-120
+    beats it at less wall) and the budget is converged (GN-200 reproduces
+    GN-120 to 4 digits).  The preset is FORWARD-only because joint eps
+    identification under GN measured NEGATIVE (0.13% -> 0.93% despite 30x
+    lower loss — MEASUREMENTS.md); use `--preset record` for the inverse
+    workflow."""
+    return AdvDiff2DConfig(
+        layers=(3, 32, 32, 32, 1),
+        n_test_x=8,
+        n_test_y=8,
+        n_test_t=8,
+        n_quad=10,
+        inverse=False,
+        train=TrainConfig(
+            iterations=5000,
+            gn_iterations=120,
+            gn_solve="qr",
+            check_every=500,
+            best_snapshot_fraction=0.9,
+        ),
+    )
+
+
 def poisson2d_scaled(n_elem_axis: int = 8, n_quad: int = 16, n_test: int = 10) -> Poisson2DConfig:
     """The scaled multi-chip benchmark config (BASELINE.json config 5):
     n_elem_axis^2 elements, higher quadrature/test order."""
@@ -533,6 +564,7 @@ __all__ = [
     "advdiff_precision",
     "burgers_precision",
     "poisson3d_precision",
+    "advdiff2d_precision",
     "poisson3d_quality",
     "poisson2d_scaled",
     "replace",

@@ -125,9 +125,13 @@ def test_precision_presets():
     cfg = _config_from_args(parse("run poisson3d --preset precision".split()))
     assert cfg.hard_bc and cfg.train.gn_iterations == 30
 
-    # families without a measured GN win refuse with a clear message
-    with pytest.raises(SystemExit, match="precision"):
-        _config_from_args(parse("run advdiff2d --preset precision".split()))
+    # the 2-space-dimension space-time family ships FORWARD-only (joint eps
+    # under GN measured negative — MEASUREMENTS.md): eps frozen at truth,
+    # 32-wide net, p=8^3 test space, GN-120 on the on-device QR kernel
+    cfg = _config_from_args(parse("run advdiff2d --preset precision".split()))
+    assert not cfg.inverse and cfg.layers == (3, 32, 32, 32, 1)
+    assert cfg.n_test_x == cfg.n_test_y == cfg.n_test_t == 8
+    assert cfg.train.gn_iterations == 120 and cfg.train.gn_solve == "qr"
 
 
 def test_precision_preset_runs_end_to_end(capsys):
