@@ -76,6 +76,41 @@ def test_resvec_identity_advdiff2d():
     _resvec_identity(advdiff2d.build(cfg))
 
 
+def test_resvec_identity_advdiff2d_forward():
+    """Forward mode (inverse=False) — the advdiff2d_precision preset's path
+    (config.advdiff2d_precision: eps frozen at truth, no sensor term in the
+    trainable set)."""
+    from hpvpinns_tpu.problems import advdiff2d
+
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", n_quad=4, n_test_x=3, n_test_y=3, n_test_t=3,
+        layers=(3, 8, 1), inverse=False,
+    )
+    _resvec_identity(advdiff2d.build(cfg))
+
+
+def test_trainer_gn_phase_advdiff2d_forward_qr():
+    """Tiny-budget end-to-end pass through the advdiff2d_precision path:
+    forward build -> Adam -> QR-kernel LM phase, loss improves in the GN
+    rows (the full-budget measured point is 1.86e-3 on chip —
+    MEASUREMENTS.md)."""
+    cfg = hv.AdvDiff2DConfig(
+        dtype="float64", n_quad=4, n_test_x=3, n_test_y=3, n_test_t=3,
+        layers=(3, 8, 1), inverse=False,
+        train=hv.TrainConfig(
+            iterations=60, check_every=30, gn_iterations=5, gn_solve="qr"
+        ),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert res.iterations_run > 60
+    its = res.history["iteration"]
+    adam_rows = its <= 60
+    assert np.nanmin(res.history["loss"][~adam_rows]) < np.nanmin(
+        res.history["loss"][adam_rows]
+    )
+
+
 def test_pinns_scheme_rejected():
     prob = hv.build(hv.Poisson2DConfig(
         dtype="float64", scheme="PINNs", n_quad=5, n_test_x=3, n_test_y=3,
