@@ -56,8 +56,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
         "--preset", choices=["record", "quality", "precision"], default="record",
         help="'record' = the reference configuration of record; 'quality' = "
         "the measured best time-to-accuracy configuration (MEASUREMENTS.md); "
-        "'precision' = the Gauss-Newton accuracy frontier (poisson1d "
-        "u 1.09e-4 f64 / poisson2d 7.3e-5 ON CHIP / advdiff eps 0.15%% f64)",
+        "'precision' = the Gauss-Newton accuracy frontier, shipped for every "
+        "family (poisson1d u 1.09e-4 f64 / poisson2d 7.3e-5, poisson3d "
+        "1.06e-3, burgers 1.50e-3, advdiff2d forward 1.86e-3 ON CHIP / "
+        "advdiff eps 0.15%% f64)",
     )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
