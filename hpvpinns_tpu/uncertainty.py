@@ -157,6 +157,84 @@ def reduced_scalar_ci(problem, coef, info=None, p: int = 40,
     }
 
 
+def reduced_scalar_ci2d(problem, coef, p: int = 12, rel_step: float = 1e-4,
+                        noise_std: Optional[float] = None):
+    """Gauss-Newton covariance for the 2D reduced route (eps, vx, vy).
+
+    Same contract as reduced_scalar_ci, for the advdiff2d family: central
+    finite differences of the exact tensor-product forward solver
+    (galerkin.solve_advdiff2d, the same solver reduced_identify2d searches
+    with) at the interior (x, y, t) sensors — 2 solves per parameter plus
+    one at the estimate.  sigma^2 from the residuals at the optimum unless
+    the true sensor `noise_std` is given (then the interval is the CRLB at
+    that level).  Beyond the reference's plot-only validation
+    (AdvDiff.py:544-545), extended to the 2-space-dimension family.
+
+    Measured calibration at 1e-3 noise, 10 seeds (MEASUREMENTS.md): the
+    velocity intervals are exact (20/20 covered) but the epsilon interval
+    is ANTI-CONSERVATIVE (~60% at 95% nominal) — the misfit is shallow and
+    nonlinear in the eps direction, so the linearized GN variance
+    understates it; widen the eps interval ~3x for a conservative bound on
+    the default 5-station geometry, or add stations."""
+    from hpvpinns_tpu.galerkin import solve_advdiff2d
+
+    cfg = problem.config
+    mesh = problem.extras["mesh"]
+    exact = problem.exact
+    f_fn = problem.extras.get("f_rhs")
+    u0 = lambda X, Y: np.asarray(exact(X, Y, np.zeros_like(X)))  # noqa: E731
+
+    Xb = np.asarray(problem.data["xb"], dtype=np.float64)
+    ub = np.asarray(problem.data["ub"], dtype=np.float64).reshape(-1)
+    (ax, bx_), (ay, by_) = cfg.domain_x, cfg.domain_y
+    sel = (
+        (Xb[:, 2] > 1e-12)
+        & (Xb[:, 0] > ax + 1e-12) & (Xb[:, 0] < bx_ - 1e-12)
+        & (Xb[:, 1] > ay + 1e-12) & (Xb[:, 1] < by_ - 1e-12)
+    )
+    Xs, ds = Xb[sel], ub[sel]
+    if Xs.shape[0] == 0:
+        raise ValueError("problem has no interior sensors — nothing to bound")
+
+    theta = [float(v) for v in np.atleast_1d(np.asarray(coef, dtype=np.float64))]
+    names = ["epsilon", "vx", "vy"][: len(theta)]
+
+    def predict(th):
+        eps_c = th[0]
+        vx_c = th[1] if len(th) > 1 else cfg.velocity[0]
+        vy_c = th[2] if len(th) > 2 else cfg.velocity[1]
+        sol = solve_advdiff2d(mesh.axis_x, mesh.axis_y, p, u0, eps_c, vx_c,
+                              vy_c, f_fn=f_fn)
+        return np.asarray(sol(Xs[:, 0], Xs[:, 1], Xs[:, 2]),
+                          dtype=np.float64).reshape(-1)
+
+    pred0 = predict(theta)
+    resid = pred0 - ds
+    n, k = len(ds), len(theta)
+    cols = []
+    for i in range(k):
+        h = rel_step * max(abs(theta[i]), 1e-8)
+        tp, tm = list(theta), list(theta)
+        tp[i] += h
+        tm[i] -= h
+        cols.append((predict(tp) - predict(tm)) / (2 * h))
+    S = np.stack(cols, axis=1)  # [n, k]
+
+    crlb = noise_std is not None
+    sigma2 = noise_std**2 if crlb else float(resid @ resid) / max(n - k, 1)
+    cov = sigma2 * np.linalg.pinv(S.T @ S)
+    std = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    return {
+        "params": names,
+        "std": [float(s) for s in std],
+        "ci95": [(float(t - 1.96 * s), float(t + 1.96 * s))
+                 for t, s in zip(theta, std)],
+        "sigma": float(np.sqrt(sigma2)),
+        "n_sensors": n,
+        "crlb": crlb,
+    }
+
+
 def reduced_field_ci(s_coef, info, domain=(-1.0, 1.0),
                      noise_std: Optional[float] = None):
     """Fisher/CRLB covariance of the differentiable log-field route.

@@ -87,6 +87,29 @@ def test_reduced_scalar_ci_covers_truth_and_tracks_noise():
     assert 0.2 < crlb["std"][0] / ci["std"][0] < 5.0
 
 
+def test_reduced_scalar_ci2d_covers_truth_and_tracks_noise():
+    """2D analog of the scalar CI: with injected noise 1e-3 the GN interval
+    for (eps, vx, vy) at the TRUTH must cover the true epsilon and the
+    residual-based sigma must recover the injected level (identification
+    itself is covered by test_cli/identify; the CI is evaluated at the true
+    coefficients to keep the test fast — 7 forward solves)."""
+    from dataclasses import replace
+
+    cfg = replace(hv.AdvDiff2DConfig(), dtype="float64", sensor_noise_std=1e-3)
+    prob = hv.build(cfg)
+    truth = [prob.extras["eps_true"], *cfg.velocity]
+    ci = uq.reduced_scalar_ci2d(prob, truth)
+    assert ci["params"] == ["epsilon", "vx", "vy"]
+    et = prob.extras["eps_true"]
+    lo, hi = ci["ci95"][0]
+    assert lo <= et <= hi
+    assert 0.3e-3 < ci["sigma"] < 3e-3, f"sigma_est {ci['sigma']} vs noise 1e-3"
+    assert all(s > 0 for s in ci["std"])
+    crlb = uq.reduced_scalar_ci2d(prob, truth, noise_std=1e-3)
+    assert crlb["crlb"]
+    assert 0.2 < crlb["std"][0] / ci["std"][0] < 5.0
+
+
 @pytest.mark.slow
 def test_reduced_field_ci_band():
     """Fisher band of the differentiable log-field route: positive, finite,
