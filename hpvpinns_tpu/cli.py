@@ -569,9 +569,15 @@ def cmd_identify(args) -> int:
         if getattr(args, "uncertainty", False):
             from hpvpinns_tpu import uncertainty as uq
 
-            ci = uq.reduced_scalar_ci2d(prob2, coef)
+            # a declared --noise level is KNOWN noise: CRLB mode calibrates
+            # markedly better than the small-n residual sigma (measured 5/6
+            # vs 6/10 eps coverage — MEASUREMENTS.md round-3 2D calibration)
+            ci = uq.reduced_scalar_ci2d(
+                prob2, coef, noise_std=args.sensor_noise_std or None
+            )
             summary2["uncertainty"] = {
-                "method": "gauss-newton (fd-sensitivity, 2d)",
+                "method": "gauss-newton (fd-sensitivity, 2d)"
+                + (" CRLB @ declared noise" if ci["crlb"] else ""),
                 "params": ci["params"],
                 "std": ci["std"],
                 "ci95": ci["ci95"],
@@ -580,12 +586,16 @@ def cmd_identify(args) -> int:
                     ci["ci95"][0][0] <= et <= ci["ci95"][0][1]
                 ),
                 # measured calibration (MEASUREMENTS.md round 3): velocity
-                # intervals exact (20/20 at 1e-3 noise), the epsilon
-                # interval anti-conservative (~60% at 95% nominal — the
-                # linearized variance understates the shallow, nonlinear
-                # eps direction of the misfit); widen eps by ~3x for a
-                # conservative bound on the default 5-station geometry
-                "eps_calibration": "anti-conservative (~60%/95%) — see MEASUREMENTS.md",
+                # intervals exact (20/20 at 1e-3 noise); the eps interval
+                # from RESIDUAL-estimated sigma is anti-conservative (~60%
+                # at 95% — small-n sigma anti-correlates with the eps
+                # error; the profile-likelihood control reproduces the
+                # Wald interval, so it is not a linearization defect)
+                "eps_calibration": (
+                    "crlb @ declared noise (measured 5/6)" if ci["crlb"]
+                    else "anti-conservative (~60%/95%) — widen ~2x or pass "
+                         "--noise; see MEASUREMENTS.md"
+                ),
             }
         summary2["wall_time_s"] = round(_time.perf_counter() - t0, 2)
         print(json.dumps(summary2))

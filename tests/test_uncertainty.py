@@ -111,6 +111,23 @@ def test_reduced_scalar_ci2d_covers_truth_and_tracks_noise():
 
 
 @pytest.mark.slow
+def test_profile_eps_ci2d_structure():
+    """Profile-likelihood interval for the 2D route (the measured control
+    behind the Wald-interval calibration finding): ordered, positive, and
+    bracketing the estimate; CRLB-mode threshold honored (known sigma)."""
+    from dataclasses import replace
+
+    cfg = replace(hv.AdvDiff2DConfig(), dtype="float64", sensor_noise_std=1e-3)
+    prob = hv.build(cfg)
+    truth = [prob.extras["eps_true"], *cfg.velocity]
+    prof = uq.profile_eps_ci2d(prob, truth, p=8, noise_std=1e-3, max_expand=3)
+    lo, hi = prof["eps_ci95"]
+    assert 0.0 <= lo < truth[0] < hi
+    assert prof["sigma"] == pytest.approx(1e-3)
+    assert prof["n_profile"] > 10
+
+
+@pytest.mark.slow
 def test_reduced_field_ci_band():
     """Fisher band of the differentiable log-field route: positive, finite,
     and scaled to the injected noise."""
