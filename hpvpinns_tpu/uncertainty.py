@@ -306,7 +306,6 @@ def profile_eps_ci2d(problem, coef, p: int = 12,
 
     def boundary(direction):
         lo_e, warm = float(theta[0]), theta[1:].copy()
-        g_lo = f_min
         step = step0
         hi_e = None
         for _ in range(max_expand):
@@ -315,9 +314,9 @@ def profile_eps_ci2d(problem, coef, p: int = 12,
                 cand = 1e-8 if direction < 0 else cand
             g_c, warm_c = g(cand, warm)
             if g_c > thresh:
-                hi_e, g_hi = cand, g_c
+                hi_e = cand
                 break
-            lo_e, g_lo, warm = cand, g_c, warm_c
+            lo_e, warm = cand, warm_c
             step *= 1.6
             if cand <= 1e-8 and direction < 0:
                 return 0.0  # positivity-truncated
