@@ -144,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Tikhonov smoothness penalty for FIELD eps models "
                     "(measured stabilizing range ~1e-4..1e-2)")
     p3.add_argument("--forward", action="store_true", help="freeze epsilon at truth")
+    p3.add_argument("--layer-feature", action="store_const", const=True, default=None,
+                    dest="layer_feature",
+                    help="append the outflow boundary-layer profile exp(V (x - x_out)/eps_true) "
+                    "as an extra network input — the measured fix for the family's forward "
+                    "max-abs limiter (requires --forward: the feature uses the TRUE eps)")
+    p3.add_argument("--layer-feature-scale", type=float, dest="layer_feature_scale",
+                    help="layer-width override for --layer-feature (default eps_true/|V|)")
     p3.add_argument("--identify-velocity", action="store_const", const=True, default=None,
                     dest="velocity_trainable", help="ALSO identify the advection velocity")
     p3.add_argument("--velocity-model", choices=["scalar", "linear", "quadratic"],

@@ -199,6 +199,16 @@ class AdvDiffConfig:
     inverse: bool = True  # eps trainable; False freezes it at the true value
     hard_bc: bool = False  # lifted space-time ansatz u = g + D(x,t) N: the
     # IC and BC hold exactly (data loss reduces to the interior sensors)
+    layer_feature: bool = False  # append the steady outflow-layer profile
+    # exp(V (x - x_out)/eps_true) as an extra NETWORK INPUT (the first layer
+    # width grows by 1 automatically).  The exact solution has a boundary
+    # layer of width eps/V at the outflow wall that a plain coordinate MLP
+    # cannot resolve at trainable budgets — the measured max-abs limiter of
+    # the family's forward accuracy (MEASUREMENTS.md "advdiff forward GN
+    # ladder").  A FORWARD-problem tool: the feature is built from the TRUE
+    # eps (inverse runs would leak the answer into the ansatz).
+    layer_feature_scale: Optional[float] = None  # layer-width override for
+    # the feature (defaults to eps_true/|V| at the outflow wall)
     n_sensors_per_station: int = 5  # interior data for identifiability
     sensor_stations: Tuple[float, ...] = (-0.5, 0.0, 0.5)  # AdvDiff.py:464-479
     sensor_noise_std: float = 0.0  # additive N(0, std) noise on the interior

@@ -291,11 +291,51 @@ def build(
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation,
-               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form, wb, V = cfg.var_form, cfg.lossb_weight, cfg.velocity
     inverse = cfg.inverse
     mode = cfg.deriv_mode
+
+    # Outflow boundary-layer input feature (layer_feature): the exact
+    # solution has a layer of width eps/V at the outflow wall that a plain
+    # coordinate MLP cannot resolve at trainable budgets — the measured
+    # max-abs limiter of the family's FORWARD accuracy (MEASUREMENTS.md
+    # "advdiff forward GN ladder": max-abs pinned at ~0.037 across capacity,
+    # p, and h-clustering).  Appending the steady layer profile
+    # exp(V (x - x_out)/eps) as a third network input hands the ansatz the
+    # one length scale it is missing; the network stays in charge of the
+    # amplitude/time dependence.
+    feature_fn = None
+    layers = cfg.layers
+    if cfg.layer_feature:
+        if inverse:
+            raise ValueError(
+                "layer_feature builds the outflow profile from the TRUE eps "
+                "— a forward-problem tool only (it would leak the answer "
+                "into an inverse run's ansatz); set inverse=False"
+            )
+        xl_, xr_ = cfg.domain_x
+        if velocity_fn is not None:
+            v_out = float(np.asarray(velocity_fn(np.asarray([xr_], dtype=np.float64)))[0])
+            if v_out < 0:
+                v_out = float(np.asarray(velocity_fn(np.asarray([xl_], dtype=np.float64)))[0])
+        else:
+            v_out = float(V)
+        out_wall = xr_ if v_out >= 0 else xl_
+        sgn = 1.0 if v_out >= 0 else -1.0
+        if cfg.layer_feature_scale is not None:
+            delta = float(cfg.layer_feature_scale)
+        else:
+            delta = eps_true / max(abs(v_out), 1e-12)
+
+        def feature_fn(X, _w=out_wall, _d=delta, _s=sgn):
+            # <= 1 everywhere in the domain; decays inward on the layer scale
+            return jnp.exp(_s * (X[:, 0:1] - _w) / _d)
+
+        layers = (layers[0] + 1,) + tuple(layers[1:])
+        mode = "jvp"  # augmented-input ansatz: generic autodiff engine
+
+    spec = MLP(layers=layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     hard_bc = getattr(cfg, "hard_bc", False) or lift_fn is not None or envelope_fn is not None
     if hard_bc:
         from hpvpinns_tpu.problems.base import make_composite_apply
@@ -308,11 +348,17 @@ def build(
         lift = lift_fn or default_lift
         envelope = envelope_fn or make_default_envelope(cfg)
         mode = "jvp"  # composite ansatz: generic autodiff engine
-        composite = make_composite_apply(spec, lift, envelope)
+        composite = make_composite_apply(spec, lift, envelope, feature_fn=feature_fn)
+    elif feature_fn is not None:
+        from hpvpinns_tpu.problems.base import make_feature_apply
+
+        feature_apply = make_feature_apply(spec, feature_fn)
 
     def make_u_fn(params):
         if hard_bc:
             return composite(params)
+        if feature_fn is not None:
+            return feature_apply(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
     eps_model = cfg.epsilon_model
@@ -561,7 +607,11 @@ def build(
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, pde_init=pde_init, dtype=dtype),
-        apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
+        apply_override=(
+            (lambda params, X: make_u_fn(params)(X))
+            if (hard_bc or feature_fn is not None)
+            else None
+        ),
         exact=exact,
         test_points=test_points,
         test_values=test_values,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from hpvpinns_tpu.models.mlp import MLP, init_mlp, mlp_apply
@@ -46,14 +47,44 @@ class Problem:
         return mlp_apply(self.spec, params["net"], X)
 
 
-def make_composite_apply(spec: MLP, lift: Callable, envelope: Callable):
+def make_composite_apply(
+    spec: MLP, lift: Callable, envelope: Callable, feature_fn: Optional[Callable] = None
+):
     """Hard-BC ansatz factory: u(params, X) = lift(X) + envelope(X) * N(X).
 
     The envelope vanishes on the boundary and the lift interpolates the
-    Dirichlet data there, so the BC holds exactly for any parameters."""
+    Dirichlet data there, so the BC holds exactly for any parameters.
+    An optional `feature_fn(X) -> [P, m]` augments the network INPUT
+    (N([X, feature(X)])) — see make_feature_apply."""
 
     def u_of(params):
-        return lambda X: lift(X) + envelope(X) * mlp_apply(spec, params["net"], X)
+        def apply(X):
+            Xf = X if feature_fn is None else jnp.concatenate([X, feature_fn(X)], axis=-1)
+            return lift(X) + envelope(X) * mlp_apply(spec, params["net"], Xf)
+
+        return apply
+
+    return u_of
+
+
+def make_feature_apply(spec: MLP, feature_fn: Callable):
+    """Input-feature ansatz factory: u(params, X) = N([X, feature(X)]).
+
+    `feature_fn` maps [P, d] points to [P, m] extra input columns (jnp
+    traceable, so every derivative engine that nests JVPs through the whole
+    ansatz — ops/fields.py — differentiates it exactly).  The spec's first
+    layer width must be d + m.  Used for physics-aware inputs a plain
+    coordinate MLP represents poorly at trainable budgets, e.g. the
+    exp(V (x - b)/eps) outflow boundary-layer profile of the advection-
+    diffusion family (AdvDiffConfig.layer_feature; the measured limiter of
+    that family's forward accuracy, benchmarks/MEASUREMENTS.md)."""
+
+    def u_of(params):
+        def apply(X):
+            Xf = jnp.concatenate([X, feature_fn(X)], axis=-1)
+            return mlp_apply(spec, params["net"], Xf)
+
+        return apply
 
     return u_of
 

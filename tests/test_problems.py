@@ -176,6 +176,46 @@ def test_advdiff_forward_mode_has_no_pde_params():
     assert params["pde"] == {}
 
 
+def test_advdiff_layer_feature_ansatz():
+    """layer_feature appends the outflow profile exp(V (x - 1)/eps_true) as a
+    third network input: the input layer widens by 1 automatically, the
+    Gauss-Newton residual-vector identity holds through the wrapped apply,
+    training decreases the loss, and inverse runs reject the flag (the
+    feature is built from the TRUE eps)."""
+    import jax
+
+    cfg = hv.AdvDiffConfig(
+        inverse=False, layer_feature=True, dtype="float64",
+        layers=(2, 8, 8, 1), n_quad=8, n_test_x=4, n_test_t=4,
+        train=hv.TrainConfig(iterations=60, check_every=30),
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    assert params["net"][0]["W"].shape[0] == 3  # (x, t, layer feature)
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    rv = make_residual_vector(prob)(params, prob.data)
+    loss, _ = prob.loss_fn(params, prob.data)
+    np.testing.assert_allclose(
+        float(np.sum(np.asarray(rv) ** 2)), float(loss), rtol=1e-12
+    )
+    res = hv.train(prob, verbose=False)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+    with pytest.raises(ValueError, match="layer_feature"):
+        hv.build(hv.AdvDiffConfig(layer_feature=True))
+
+    # composes with the hard-BC lift: IC/BC still exact by construction
+    cfgh = hv.AdvDiffConfig(
+        inverse=False, layer_feature=True, hard_bc=True,
+        dtype="float64", layers=(2, 8, 1),
+    )
+    probh = hv.build(cfgh)
+    ph = probh.init_params(jax.random.key(1))
+    t = np.linspace(0.0, 1.0, 9)[:, None]
+    Xb = np.hstack([np.ones_like(t), t])
+    np.testing.assert_allclose(np.asarray(probh.apply(ph, Xb)), 0.0, atol=1e-14)
+
+
 def test_build_dispatch():
     assert hv.build(hv.Poisson1DConfig(n_quad=5, n_test=3)).name == "poisson1d"
     assert hv.build(hv.Poisson2DConfig(n_quad=4)).name == "poisson2d"
