@@ -129,6 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
     p3 = runsub.add_parser("advdiff", help="inverse advection-diffusion (main/AdvDiff-Identification)")
     p3.add_argument("--n-elements-x", type=int, dest="n_elements_x")
     p3.add_argument("--n-elements-t", type=int, dest="n_elements_t")
+    p3.add_argument("--grid-x", type=_grid_arg, dest="grid_x",
+                    help="non-uniform x element boundaries, e.g. -1,0.5,0.9,1")
+    p3.add_argument("--grid-t", type=_grid_arg, dest="grid_t")
     p3.add_argument("--n-test-x", type=int, dest="n_test_x")
     p3.add_argument("--n-test-t", type=int, dest="n_test_t")
     p3.add_argument("--velocity", type=float)
@@ -206,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--nu", type=float)
     pb.add_argument("--hard-bc", action="store_const", const=True, default=None,
                     dest="hard_bc", help="lifted space-time ansatz: IC/BC exact by construction")
+    pb.add_argument("--front-feature", action="store_const", const=True, default=None,
+                    dest="front_feature",
+                    help="append tanh(x/delta) as an extra network input — the x=0 viscous "
+                    "front's length scale (the same geometric prior as the clustered grid)")
+    pb.add_argument("--front-feature-scale", type=float, dest="front_feature_scale",
+                    help="front-width override for --front-feature (default 2*nu)")
     _add_common_flags(pb)
 
     sub.add_parser("presets", help="print the shipped configurations of record")

@@ -316,6 +316,15 @@ class BurgersConfig:
     lossb_weight: float = 10.0
     nu: float = 0.01 / 3.141592653589793
     hard_bc: bool = False  # lifted ansatz: IC/BC exact by construction
+    front_feature: bool = False  # append tanh(x/delta) as an extra NETWORK
+    # INPUT (first layer width grows by 1 automatically).  The -sin(pi x) IC
+    # is odd, so the viscous front forms AND STAYS at x = 0 with steady-shock
+    # width ~2 nu/|u| — a known geometric prior (the same one the
+    # hand-clustered quality grid encodes).  Handing the ansatz that length
+    # scale attacks the measured representation limit of the precision
+    # frontier (MEASUREMENTS.md).  Composes with hard_bc.
+    front_feature_scale: Optional[float] = None  # width override for the
+    # feature (defaults to 2 nu, the steady viscous-shock scale at |u| ~ 1)
     t_final: float = 1.0
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"

@@ -154,10 +154,33 @@ def build(
         "ub": jnp.asarray(ub, dtype=dtype),
     }
 
-    spec = MLP(layers=cfg.layers, activation=cfg.activation,
-               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     var_form, wb, nu = cfg.var_form, cfg.lossb_weight, cfg.nu
     mode = cfg.deriv_mode
+
+    # Front input feature (front_feature): the -sin(pi x) IC is odd, so the
+    # viscous front forms and STAYS at x = 0; its steady-shock profile is
+    # -A tanh(A x / (2 nu)).  Appending tanh(x/delta) as a third network
+    # input hands the ansatz the one length scale a plain coordinate MLP
+    # cannot resolve at trainable budgets (same measured lever as the
+    # advection-diffusion outflow layer_feature, MEASUREMENTS.md); the
+    # network stays in charge of amplitude and time dependence.
+    feature_fn = None
+    layers = cfg.layers
+    if getattr(cfg, "front_feature", False):
+        delta = (
+            float(cfg.front_feature_scale)
+            if cfg.front_feature_scale is not None
+            else 2.0 * nu
+        )
+
+        def feature_fn(X, _d=delta):
+            return jnp.tanh(X[:, 0:1] / _d)
+
+        layers = (layers[0] + 1,) + tuple(layers[1:])
+        mode = "jvp"  # augmented-input ansatz: generic autodiff engine
+
+    spec = MLP(layers=layers, activation=cfg.activation,
+               adaptive_slope=cfg.adaptive_slope, precision=cfg.matmul_precision)
     hard_bc = cfg.hard_bc or lift_fn is not None or envelope_fn is not None
     if hard_bc:
         from hpvpinns_tpu.problems.base import make_composite_apply
@@ -165,11 +188,17 @@ def build(
         lift = lift_fn or default_lift
         envelope = envelope_fn or make_default_envelope(cfg)
         mode = "jvp"  # composite ansatz: generic autodiff engine
-        composite = make_composite_apply(spec, lift, envelope)
+        composite = make_composite_apply(spec, lift, envelope, feature_fn=feature_fn)
+    elif feature_fn is not None:
+        from hpvpinns_tpu.problems.base import make_feature_apply
+
+        feature_apply = make_feature_apply(spec, feature_fn)
 
     def make_u_fn(params):
         if hard_bc:
             return composite(params)
+        if feature_fn is not None:
+            return feature_apply(params)
         return lambda X: mlp_apply(spec, params["net"], X)
 
     def _fields_fn(params):
@@ -248,7 +277,11 @@ def build(
         data=data,
         loss_fn=loss_fn,
         init_params=make_net_init(spec, dtype=dtype),
-        apply_override=(lambda params, X: make_u_fn(params)(X)) if hard_bc else None,
+        apply_override=(
+            (lambda params, X: make_u_fn(params)(X))
+            if (hard_bc or feature_fn is not None)
+            else None
+        ),
         exact=lambda x, t: u_exact(x, t, nu),
         test_points=test_points,
         test_values=test_values,

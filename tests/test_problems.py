@@ -216,6 +216,44 @@ def test_advdiff_layer_feature_ansatz():
     np.testing.assert_allclose(np.asarray(probh.apply(ph, Xb)), 0.0, atol=1e-14)
 
 
+def test_burgers_front_feature_ansatz():
+    """front_feature appends tanh(x/2nu) as a third network input: the input
+    layer widens by 1 automatically, the GN residual-vector identity holds
+    through the wrapped apply, training decreases the loss, and the feature
+    composes with the hard-BC lift (IC/BC still exact by construction)."""
+    import jax
+
+    cfg = hv.BurgersConfig(
+        front_feature=True, dtype="float64",
+        layers=(2, 8, 8, 1), n_quad=8, n_test_x=4, n_test_t=4,
+        n_elements_x=2, n_elements_t=1,
+        train=hv.TrainConfig(iterations=60, check_every=30),
+    )
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    assert params["net"][0]["W"].shape[0] == 3  # (x, t, front feature)
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    rv = make_residual_vector(prob)(params, prob.data)
+    loss, _ = prob.loss_fn(params, prob.data)
+    np.testing.assert_allclose(
+        float(np.sum(np.asarray(rv) ** 2)), float(loss), rtol=1e-12
+    )
+    res = hv.train(prob, verbose=False)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+
+    # composes with the hard-BC lift: walls still exact by construction
+    cfgh = hv.BurgersConfig(
+        front_feature=True, hard_bc=True, dtype="float64", layers=(2, 8, 1),
+        n_elements_x=2, n_elements_t=1,
+    )
+    probh = hv.build(cfgh)
+    ph = probh.init_params(jax.random.key(1))
+    t = np.linspace(0.0, 1.0, 9)[:, None]
+    Xw = np.hstack([np.ones_like(t), t])
+    np.testing.assert_allclose(np.asarray(probh.apply(ph, Xw)), 0.0, atol=1e-14)
+
+
 def test_build_dispatch():
     assert hv.build(hv.Poisson1DConfig(n_quad=5, n_test=3)).name == "poisson1d"
     assert hv.build(hv.Poisson2DConfig(n_quad=4)).name == "poisson2d"
