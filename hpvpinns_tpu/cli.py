@@ -212,7 +212,9 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--front-feature", action="store_const", const=True, default=None,
                     dest="front_feature",
                     help="append tanh(x/delta) as an extra network input — the x=0 viscous "
-                    "front's length scale (the same geometric prior as the clustered grid)")
+                    "front's length scale. MEASURED NEGATIVE on the precision preset "
+                    "(weak objective cannot see the interior scale; MEASUREMENTS.md) — "
+                    "ships as a cautionary control")
     pb.add_argument("--front-feature-scale", type=float, dest="front_feature_scale",
                     help="front-width override for --front-feature (default 2*nu)")
     _add_common_flags(pb)
@@ -359,6 +361,11 @@ def _config_from_args(args) -> object:
     else:
         table = _QUALITY_PRESETS if tier == "quality" else _PRESETS
     cfg = table[args.problem]()
+    if tier == "precision" and args.problem == "advdiff" and getattr(args, "forward", False):
+        # the FORWARD frontier (layer_feature + clustered grid + QR LM:
+        # 1.76e-3 on chip / 1.49e-3 f64 — MEASUREMENTS.md); the plain
+        # precision preset is the eps-identification point
+        cfg = cfgmod.advdiff_forward_precision()
     if getattr(args, "preset", "record") == "quality" and getattr(args, "hard_bc", None):
         # the hard-BC quality points of record (MEASUREMENTS.md:
         # poisson2d 3.1e-4 at Adam10k+LBFGS20k; poisson3d 8.6e-3)

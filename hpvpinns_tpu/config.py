@@ -320,9 +320,13 @@ class BurgersConfig:
     # INPUT (first layer width grows by 1 automatically).  The -sin(pi x) IC
     # is odd, so the viscous front forms AND STAYS at x = 0 with steady-shock
     # width ~2 nu/|u| — a known geometric prior (the same one the
-    # hand-clustered quality grid encodes).  Handing the ansatz that length
-    # scale attacks the measured representation limit of the precision
-    # frontier (MEASUREMENTS.md).  Composes with hard_bc.
+    # hand-clustered quality grid encodes).  MEASURED NEGATIVE on the
+    # precision preset (MEASUREMENTS.md "Physics-feature transfer"): the
+    # INTERIOR front is constrained only by the weak residual, whose p=10
+    # test modes cannot see the 6.4e-3 scale — loss falls 10x while the
+    # error rises 10-35x.  Ships as a documented cautionary control; the
+    # advdiff layer_feature works because its layer sits ON the boundary
+    # where the data loss pins it.  Composes with hard_bc.
     front_feature_scale: Optional[float] = None  # width override for the
     # feature (defaults to 2 nu, the steady viscous-shock scale at |u| ~ 1)
     t_final: float = 1.0
@@ -445,6 +449,31 @@ def advdiff_precision() -> AdvDiffConfig:
     return AdvDiffConfig(
         dtype="float64",
         train=TrainConfig(iterations=1500, gn_iterations=150, check_every=300),
+    )
+
+
+def advdiff_forward_precision() -> AdvDiffConfig:
+    """GN-grade FORWARD frontier for the space-time family (round-3 late
+    measurement, MEASUREMENTS.md "advdiff (1D) forward GN ladder"): the
+    outflow-layer input feature (layer_feature) composed with the
+    front-clustered x-grid and a 150-step QR-LM phase.  The feature breaks
+    the family's measured max-abs wall (0.037 -> 0.015) and the two levers
+    compose: rel-L2 **1.76e-3 in ~108 s on one f32 chip** (f64 CPU control
+    1.49e-3) vs 5.61e-3 for the pre-feature clustered record.  Selected by
+    `run advdiff --preset precision --forward`; the plain precision preset
+    remains the eps-identification point (layer_feature is forward-only by
+    construction)."""
+    return AdvDiffConfig(
+        inverse=False,
+        layer_feature=True,
+        layers=(2, 32, 32, 32, 1),
+        grid_x=(-1.0, 0.5, 0.9, 1.0),
+        n_test_x=10,
+        n_test_t=10,
+        n_quad=16,
+        train=TrainConfig(
+            iterations=1500, gn_iterations=150, gn_solve="qr", check_every=300
+        ),
     )
 
 
@@ -581,6 +610,7 @@ __all__ = [
     "poisson1d_precision",
     "poisson2d_precision",
     "advdiff_precision",
+    "advdiff_forward_precision",
     "burgers_precision",
     "poisson3d_precision",
     "advdiff2d_precision",

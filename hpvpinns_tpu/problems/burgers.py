@@ -160,10 +160,12 @@ def build(
     # Front input feature (front_feature): the -sin(pi x) IC is odd, so the
     # viscous front forms and STAYS at x = 0; its steady-shock profile is
     # -A tanh(A x / (2 nu)).  Appending tanh(x/delta) as a third network
-    # input hands the ansatz the one length scale a plain coordinate MLP
-    # cannot resolve at trainable budgets (same measured lever as the
-    # advection-diffusion outflow layer_feature, MEASUREMENTS.md); the
-    # network stays in charge of amplitude and time dependence.
+    # input transfers the advection-diffusion outflow layer_feature to the
+    # nonlinear family — and is MEASURED NEGATIVE here (MEASUREMENTS.md
+    # "Physics-feature transfer"): the interior front is constrained only
+    # by the weak residual, whose test modes cannot see the 6.4e-3 scale,
+    # so the loss falls 10x while the error rises 10-35x.  Kept as a
+    # documented cautionary control (see BurgersConfig.front_feature).
     feature_fn = None
     layers = cfg.layers
     if getattr(cfg, "front_feature", False):

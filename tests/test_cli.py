@@ -100,6 +100,12 @@ def test_precision_presets():
     assert cfg.dtype == "float64" and cfg.inverse
     assert cfg.train.iterations == 1500 and cfg.train.gn_iterations == 150
 
+    # --forward switches advdiff precision to the FORWARD frontier (the
+    # layer-feature + clustered-grid + QR-LM point, 1.76e-3 on chip)
+    cfg = _config_from_args(parse("run advdiff --preset precision --forward".split()))
+    assert not cfg.inverse and cfg.layer_feature
+    assert cfg.grid_x == (-1.0, 0.5, 0.9, 1.0) and cfg.train.gn_solve == "qr"
+
     # the 2D frontier runs ON CHIP: f32 + hard-BC + GN-50 (host-f64 solve)
     cfg = _config_from_args(parse("run poisson2d --preset precision".split()))
     assert cfg.dtype == "float32" and cfg.hard_bc
