@@ -366,6 +366,10 @@ def precision_records(q):
         run("burgers_precision_f32_tpu", scaled(hv.burgers_precision())),
         run("poisson3d_precision_f32_tpu", scaled(hv.poisson3d_precision())),
         run("advdiff2d_precision_f32_tpu", scaled(hv.advdiff2d_precision())),
+        # the advdiff FORWARD frontier (layer feature + clustered grid + QR
+        # LM — `run advdiff --preset precision --forward`, 1.76e-3 measured)
+        run("advdiff_forward_precision_f32_tpu",
+            scaled(hv.advdiff_forward_precision())),
     ]
 
 

@@ -37,6 +37,7 @@ from hpvpinns_tpu.config import (
     advdiff2d_precision,
     advdiff_of_record,
     advdiff_precision,
+    advdiff_forward_precision,
     advdiff_quality,
     poisson1d_of_record,
     poisson1d_precision,
