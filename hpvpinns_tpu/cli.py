@@ -217,6 +217,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "ships as a cautionary control")
     pb.add_argument("--front-feature-scale", type=float, dest="front_feature_scale",
                     help="front-width override for --front-feature (default 2*nu)")
+    pb.add_argument("--n-strong", type=int, dest="n_strong",
+                    help="strong-form collocation points: hybrid weak+strong loss "
+                    "(the pointwise pinning the weak objective's front quasi-null "
+                    "directions need — MEASUREMENTS.md)")
+    pb.add_argument("--strong-weight", type=float, dest="strong_weight")
+    pb.add_argument("--strong-window", type=_grid_arg, dest="strong_window",
+                    help="x-range to sample the collocation points in, e.g. -0.15,0.15")
     _add_common_flags(pb)
 
     sub.add_parser("presets", help="print the shipped configurations of record")

@@ -329,6 +329,17 @@ class BurgersConfig:
     # where the data loss pins it.  Composes with hard_bc.
     front_feature_scale: Optional[float] = None  # width override for the
     # feature (defaults to 2 nu, the steady viscous-shock scale at |u| ~ 1)
+    n_strong: int = 0  # strong-form collocation points: adds
+    # strong_weight * mean((u_t + u u_x - nu u_xx)^2) over n_strong
+    # LHS-sampled interior points to the loss (a hybrid weak+strong
+    # objective).  Motivated by the front_feature negative result
+    # (MEASUREMENTS.md "Physics-feature transfer"): the weak objective has
+    # quasi-null directions at a small-nu interior front that only a
+    # POINTWISE term can pin.  0 = pure variational (default).
+    strong_weight: float = 1.0  # weight of the strong-residual term
+    strong_window: Optional[Tuple[float, float]] = None  # x-range to sample
+    # the collocation points in (e.g. a front strip (-0.15, 0.15));
+    # None = the whole spatial domain
     t_final: float = 1.0
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"

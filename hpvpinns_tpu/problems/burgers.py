@@ -153,6 +153,12 @@ def build(
         "xb": jnp.asarray(Xb, dtype=dtype),
         "ub": jnp.asarray(ub, dtype=dtype),
     }
+    n_strong = int(getattr(cfg, "n_strong", 0))
+    if n_strong > 0:
+        xlw, xrw = cfg.strong_window or cfg.domain_x
+        xs = lhs_interval(xlw, xrw, n_strong, rng)
+        ts = cfg.t_final * lhs_interval(0.0, 1.0, n_strong, rng)
+        data["xr"] = jnp.asarray(np.hstack([xs, ts]), dtype=dtype)
 
     var_form, wb, nu = cfg.var_form, cfg.lossb_weight, cfg.nu
     mode = cfg.deriv_mode
@@ -250,6 +256,19 @@ def build(
         )
         return res * new_mask[None]
 
+    def strong_res(params, Xr):
+        """Pointwise strong residual u_t + u u_x - nu u_xx through the FULL
+        ansatz (generic nested-JVP engine, so composite/feature ansatzes
+        differentiate exactly) — the pinning term the weak objective's
+        measured quasi-null front directions need (MEASUREMENTS.md
+        "Physics-feature transfer")."""
+        from hpvpinns_tpu.ops.fields import scalar_fields_2d
+
+        f = scalar_fields_2d(make_u_fn(params), Xr[:, 0], Xr[:, 1], first_y_only=True)
+        return f["uy"] + f["u"] * f["ux"] - nu * f["uxx"]
+
+    ws = float(getattr(cfg, "strong_weight", 1.0))
+
     def loss_fn(params, data, axis_name=None):
         u_fn = make_u_fn(params)
         el = data["elements"]
@@ -263,7 +282,12 @@ def build(
         ub_pred = u_fn(data["xb"])
         lossb = jnp.mean((data["ub"] - ub_pred) ** 2)
         loss = wb * lossb + lossv
-        return loss, {"loss": loss, "lossb": lossb, "lossv": lossv}
+        aux = {"loss": loss, "lossb": lossb, "lossv": lossv}
+        if n_strong > 0:
+            lossr = jnp.mean(strong_res(params, data["xr"]) ** 2)
+            loss = loss + ws * lossr
+            aux = {"loss": loss, "lossb": lossb, "lossv": lossv, "lossr": lossr}
+        return loss, aux
 
     # Dense space-time test grid, matching the AdvDiff layout.
     xt = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 256)
@@ -292,5 +316,17 @@ def build(
             "residual_fn": residual_fn,
             "enriched_residual_fn": enriched_residual_fn,
             "test_grid_shape": (len(tt), len(xt)),
+            # GN resvec hook: the strong-collocation block, scaled so
+            # sum(r^2) contributes exactly ws * mean(strong^2) to the loss
+            **(
+                {
+                    "reg_resvec_fn": lambda params, data: (
+                        jnp.sqrt(ws / data["xr"].shape[0])
+                        * strong_res(params, data["xr"]).reshape(-1)
+                    )
+                }
+                if n_strong > 0
+                else {}
+            ),
         },
     )

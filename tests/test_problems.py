@@ -254,6 +254,37 @@ def test_burgers_front_feature_ansatz():
     np.testing.assert_allclose(np.asarray(probh.apply(ph, Xw)), 0.0, atol=1e-14)
 
 
+def test_burgers_hybrid_strong_loss():
+    """n_strong adds a strong-collocation term: sampled in the window, the
+    GN residual-vector identity holds through the extra block (sum r^2 ==
+    loss incl. ws * mean(strong^2)), and training decreases the loss."""
+    import jax
+
+    cfg = hv.BurgersConfig(
+        n_strong=50, strong_weight=0.5, strong_window=(-0.15, 0.15),
+        dtype="float64", layers=(2, 8, 8, 1), n_quad=8,
+        n_test_x=4, n_test_t=4, n_elements_x=2, n_elements_t=1,
+        train=hv.TrainConfig(iterations=60, check_every=30),
+    )
+    prob = hv.build(cfg)
+    xr = np.asarray(prob.data["xr"])
+    assert xr.shape == (50, 2)
+    assert xr[:, 0].min() >= -0.15 and xr[:, 0].max() <= 0.15
+    assert xr[:, 1].min() >= 0.0 and xr[:, 1].max() <= cfg.t_final
+
+    params = prob.init_params(jax.random.key(0))
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    rv = make_residual_vector(prob)(params, prob.data)
+    loss, aux = prob.loss_fn(params, prob.data)
+    assert "lossr" in aux
+    np.testing.assert_allclose(
+        float(np.sum(np.asarray(rv) ** 2)), float(loss), rtol=1e-12
+    )
+    res = hv.train(prob, verbose=False)
+    assert res.history["loss"][-1] < res.history["loss"][0]
+
+
 def test_build_dispatch():
     assert hv.build(hv.Poisson1DConfig(n_quad=5, n_test=3)).name == "poisson1d"
     assert hv.build(hv.Poisson2DConfig(n_quad=4)).name == "poisson2d"
