@@ -332,10 +332,14 @@ class BurgersConfig:
     n_strong: int = 0  # strong-form collocation points: adds
     # strong_weight * mean((u_t + u u_x - nu u_xx)^2) over n_strong
     # LHS-sampled interior points to the loss (a hybrid weak+strong
-    # objective).  Motivated by the front_feature negative result
-    # (MEASUREMENTS.md "Physics-feature transfer"): the weak objective has
-    # quasi-null directions at a small-nu interior front that only a
-    # POINTWISE term can pin.  0 = pure variational (default).
+    # objective).  Built as the constructive fix for the front_feature
+    # negative (the weak objective's quasi-null front directions need a
+    # POINTWISE pin) and MEASURED NEGATIVE on the precision preset too:
+    # the strong residual at a 6.4e-3-wide front carries 1/delta^2-scale
+    # u_xx values that f32 optimization cannot drive down, and the
+    # gradient pressure redirects capacity from the bulk (MEASUREMENTS.md
+    # "Physics-feature transfer").  Ships as a general hybrid-loss
+    # capability + documented control.  0 = pure variational (default).
     strong_weight: float = 1.0  # weight of the strong-residual term
     strong_window: Optional[Tuple[float, float]] = None  # x-range to sample
     # the collocation points in (e.g. a front strip (-0.15, 0.15));
