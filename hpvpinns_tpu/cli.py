@@ -924,6 +924,10 @@ def cmd_presets() -> int:
     for name, factory in _PRECISION_PRESETS.items():
         print(f"== {name} (precision) ==")
         print(json.dumps(dataclasses.asdict(factory()), indent=1, default=str))
+    print("== advdiff (precision, --forward) ==")
+    print(json.dumps(
+        dataclasses.asdict(cfgmod.advdiff_forward_precision()), indent=1, default=str
+    ))
     return 0
 
 
