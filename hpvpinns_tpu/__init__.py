@@ -28,6 +28,7 @@ from hpvpinns_tpu.config import (
     AdvDiff2DConfig,
     AdvDiffConfig,
     BurgersConfig,
+    KovasznayConfig,
     burgers_precision,
     burgers_quality,
     Poisson1DConfig,

@@ -226,6 +226,36 @@ def build_parser() -> argparse.ArgumentParser:
                     help="x-range to sample the collocation points in, e.g. -0.15,0.15")
     _add_common_flags(pb)
 
+    pk = runsub.add_parser(
+        "kovasznay",
+        help="steady incompressible Navier-Stokes, Kovasznay flow — the "
+        "framework's first SYSTEM of coupled PDEs (3-output (u, v, p) "
+        "ansatz; beyond reference)",
+    )
+    pk.add_argument("--re", type=float, help="Reynolds number (nu = 1/Re)")
+    pk.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    pk.add_argument("--n-elements-y", type=int, dest="n_elements_y")
+    pk.add_argument("--grid-x", type=_grid_arg, dest="grid_x",
+                    help="non-uniform x element boundaries")
+    pk.add_argument("--grid-y", type=_grid_arg, dest="grid_y")
+    pk.add_argument("--n-test-x", type=int, dest="n_test_x")
+    pk.add_argument("--n-test-y", type=int, dest="n_test_y")
+    pk.add_argument("--n-bound", type=int, dest="n_bound")
+    pk.add_argument("--no-bc-pressure", action="store_const", const=False,
+                    default=None, dest="bc_pressure",
+                    help="velocity-only Dirichlet BC + a single-point pressure "
+                    "anchor (the classical gauge fix) instead of prescribing "
+                    "p on the boundary")
+    pk.add_argument("--inverse", action="store_const", const=True, default=None,
+                    dest="inverse",
+                    help="trainable viscosity identified from interior (u, v) "
+                    "sensors — the NS twin of the reference's trainable-epsilon "
+                    "problem (AdvDiff.py:63,165,173)")
+    pk.add_argument("--nu-init", type=float, dest="nu_init")
+    pk.add_argument("--n-sensors", type=int, dest="n_sensors")
+    pk.add_argument("--sensor-noise", type=float, dest="sensor_noise")
+    _add_common_flags(pk)
+
     sub.add_parser("presets", help="print the shipped configurations of record")
 
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
@@ -325,6 +355,7 @@ _PRESETS = {
     "advdiff": cfgmod.advdiff_of_record,
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.BurgersConfig,
+    "kovasznay": cfgmod.KovasznayConfig,
 }
 
 _QUALITY_PRESETS = {
@@ -334,6 +365,7 @@ _QUALITY_PRESETS = {
     "advdiff": cfgmod.advdiff_quality,
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.burgers_quality,
+    "kovasznay": cfgmod.KovasznayConfig,
 }
 
 # f64-CPU Gauss-Newton accuracy-frontier points (MEASUREMENTS.md round-3 GN
@@ -846,6 +878,11 @@ def cmd_run(args) -> int:
         # "eps_coef", not "epsilon", for the quadratic field).
         summary["epsilon"] = float(prob.extras["eps_domain_mean"](res.eval_params))
         summary["epsilon_true"] = prob.extras["eps_true"]
+    if "nu" in res.final_aux:
+        # Kovasznay trainable viscosity (the NS twin of the epsilon report)
+        summary["nu"] = float(res.eval_params["pde"]["nu"])
+        summary["nu_true"] = prob.extras["nu_true"]
+        summary["nu_rel_err"] = abs(summary["nu"] - summary["nu_true"]) / summary["nu_true"]
     if "velocity" in res.final_aux:
         # domain mean covers every velocity_model ("vel_coef" leaf for the
         # polynomial fields — same latent-KeyError class as the epsilon fix);

@@ -353,6 +353,65 @@ class BurgersConfig:
     )
 
 
+@dataclass(frozen=True)
+class KovasznayConfig:
+    """Steady incompressible Navier-Stokes, Kovasznay flow (Re = 1/nu):
+
+        (w . grad) w + grad p = nu Lap w,   div w = 0
+        on [x_l, x_r] x [y_l, y_r],  w = (u, v)
+
+    with the exact laminar wake solution (Kovasznay 1948)
+
+        lam = Re/2 - sqrt(Re^2/4 + 4 pi^2)
+        u = 1 - e^{lam x} cos(2 pi y),  v = (lam / 2 pi) e^{lam x} sin(2 pi y)
+        p = (1 - e^{2 lam x}) / 2.
+
+    The framework's first SYSTEM of coupled PDEs (3-output ansatz; no
+    reference analog — ehsankharazmi/hp-VPINNs is scalar-PDE only).  The
+    weak residual stacks x/y-momentum + continuity per element
+    (ops/assembly.py::ns_residual)."""
+
+    layers: Tuple[int, ...] = (2, 30, 30, 30, 3)  # (u, v, p) output triple
+    activation: str = "tanh"
+    adaptive_slope: bool = False
+    matmul_precision: str = "highest"
+    var_form: int = 1  # 0 | 1 (once-IBP diffusion + pressure gradient)
+    re: float = 40.0  # Reynolds number; nu = 1/re
+    n_elements_x: int = 2
+    n_elements_y: int = 2
+    grid_x: Optional[Tuple[float, ...]] = None  # non-uniform x-element bounds
+    grid_y: Optional[Tuple[float, ...]] = None
+    n_test_x: int = 8
+    n_test_y: int = 8
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    n_test_y_per_elem: Optional[Tuple[int, ...]] = None
+    n_quad: int = 14
+    n_bound: int = 60  # LHS boundary points per edge
+    lossb_weight: float = 10.0
+    bc_pressure: bool = True  # constrain p on the boundary from the exact
+    # solution alongside (u, v).  True keeps the boundary mismatch a plain
+    # 3-component least-squares block, so the Gauss-Newton residual-vector
+    # identity sum(r^2) == loss holds with no extra machinery (the gauge is
+    # fixed by the boundary data).  False = velocity-only Dirichlet BC plus
+    # a single-point pressure anchor (the classical gauge fix; registered
+    # as extras['reg_resvec_fn'] so GN still applies).
+    p_anchor_weight: float = 10.0  # weight of the pressure-anchor term
+    # (bc_pressure=False only)
+    inverse: bool = False  # trainable viscosity: nu = params["pde"]["nu"],
+    # identified from interior velocity sensors (the NS twin of the
+    # reference's trainable-epsilon inverse problem, AdvDiff.py:63,165,173)
+    nu_init: float = 0.1  # inverse-mode initial viscosity
+    n_sensors: int = 64  # interior (u, v) sensors (inverse mode; LHS-sampled)
+    sensor_noise: float = 0.0  # additive N(0, noise^2) on sensor readings
+    domain_x: Tuple[float, float] = (-0.5, 1.0)
+    domain_y: Tuple[float, float] = (-0.5, 1.5)
+    dtype: str = "float32"
+    deriv_mode: str = "jvp"  # vector ansatz: the shape-generic JVP engine
+    train: TrainConfig = field(
+        default_factory=lambda: TrainConfig(iterations=5000, check_every=100)
+    )
+
+
 def burgers_quality() -> BurgersConfig:
     """Measured quality point (benchmarks/MEASUREMENTS.md): hard-BC lifted
     ansatz + front-clustered 5-element x-grid (the nu = 0.01/pi front lives

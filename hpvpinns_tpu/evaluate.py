@@ -46,15 +46,26 @@ def rel_l2(u_pred: np.ndarray, u_true: np.ndarray) -> float:
 
 
 def evaluate(problem: Problem, params) -> dict:
-    """Standard report: global rel-L2 + max pointwise error on the test grid."""
+    """Standard report: global rel-L2 + max pointwise error on the test grid.
+
+    Multi-component problems (a trailing component axis on test_values, e.g.
+    the Navier-Stokes (u, v, p) triple) additionally get per-component
+    rel-L2 keys named from extras["component_names"]."""
     u_pred = predict(problem, params)
-    u_true = problem.test_values
-    err = np.abs(np.asarray(u_true).reshape(-1) - u_pred.reshape(-1))
-    return {
+    u_true = np.asarray(problem.test_values)
+    err = np.abs(u_true.reshape(-1) - u_pred.reshape(-1))
+    out = {
         "rel_l2": rel_l2(u_pred, u_true),
         "max_abs_err": float(err.max()),
         "mean_abs_err": float(err.mean()),
     }
+    if u_true.ndim == 2 and u_true.shape[1] > 1 and u_pred.shape == u_true.shape:
+        names = problem.extras.get(
+            "component_names", tuple(f"c{i}" for i in range(u_true.shape[1]))
+        )
+        for i, name in enumerate(names):
+            out[f"rel_l2_{name}"] = rel_l2(u_pred[:, i], u_true[:, i])
+    return out
 
 
 def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) -> np.ndarray:
@@ -134,6 +145,24 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
                 dtype=dtype,
             )
         )
+    if problem.name == "kovasznay":
+        from hpvpinns_tpu.ops.fields import vector_fields_2d
+
+        nu = problem.extras["nu_of"](params)
+        flds = vector_fields_2d(u_fn, X[:, 0:1], X[:, 1:2])
+        w, wx, wy = flds["w"], flds["wx"], flds["wy"]
+        wxx, wyy = flds["wxx"], flds["wyy"]
+        u, v = w[..., 0], w[..., 1]
+        mom_x = (
+            u * wx[..., 0] + v * wy[..., 0] + wx[..., 2]
+            - nu * (wxx[..., 0] + wyy[..., 0])
+        )
+        mom_y = (
+            u * wx[..., 1] + v * wy[..., 1] + wy[..., 2]
+            - nu * (wxx[..., 1] + wyy[..., 1])
+        )
+        div = wx[..., 0] + wy[..., 1]
+        return np.asarray(jnp.concatenate([mom_x, mom_y, div], axis=-1))
     raise ValueError(f"no strong form registered for problem {problem.name!r}")
 
 
@@ -162,7 +191,10 @@ def per_element_rel_l2(problem: Problem, params, n_points: Optional[int] = None)
     u_true = np.asarray(problem.exact(*coords))
     pts = np.stack([c.reshape(-1) for c in coords], axis=-1)
     shape = coords[0].shape
-    u_pred = predict(problem, params, pts).reshape(shape)
+    u_pred = predict(problem, params, pts)
+    if u_pred.size != int(np.prod(shape)):  # trailing component axis (systems)
+        shape = shape + (u_pred.size // int(np.prod(shape)),)
+    u_pred = u_pred.reshape(shape)
     u_true = u_true.reshape(shape)
     axes = tuple(range(1, u_true.ndim))
     num = np.sqrt(((u_true - u_pred) ** 2).sum(axis=axes))

@@ -330,6 +330,85 @@ def burgers_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form
     return U - elems.f_proj
 
 
+def ns_residual(w_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form: int, nu, fields_fn=None):
+    """Res[e, i, k, r] for the steady incompressible Navier-Stokes SYSTEM
+
+        u u_x + v u_y + p_x - nu (u_xx + u_yy) = 0     (i = 0, x-momentum)
+        u v_x + v v_y + p_y - nu (v_xx + v_yy) = 0     (i = 1, y-momentum)
+        u_x + v_y                              = 0     (i = 2, continuity)
+
+    on tensor-product elements — the framework's first system of coupled
+    PDEs (no reference analog: ehsankharazmi/hp-VPINNs is scalar-PDE only;
+    the assembly pattern generalizes poisson2d_residual's, Poisson-2D.py:
+    91-118, to a vector ansatz w = (u, v, p)).
+
+    w_fn maps [P, 2] -> [P, 3].  The convection term stays in convective
+    (non-conservation) form — it needs first derivatives only, which both
+    forms below already have.
+
+    var_form 0:  U_i = jac * C(phi_r, phi_k, strong integrand_i)
+    var_form 1:  diffusion AND pressure-gradient once integrated by parts
+                 (test functions vanish on element walls, so no flux):
+      U_0 = jac * C(phi_r, phi_k, u u_x + v u_y)
+            + nu [jac_y C(phi'_r, phi_k, u_x) + jac_x C(phi_r, phi'_k, u_y)]
+            - jac_y C(phi'_r, phi_k, p)
+      U_1 = analogous with v and - jac_x C(phi_r, phi'_k, p)
+      U_2 = jac * C(phi_r, phi_k, u_x + v_y)
+
+    Returns [E, 3, K, R]; the zero RHS projection broadcasts over the
+    equation axis (f_proj[:, None]).
+    """
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.ops.fields import vector_fields_2d
+
+    with jax.named_scope("vpinn_fields_ns"):
+        f2d = fields_fn or (lambda *a, **k: vector_fields_2d(w_fn, *a, **k))
+        flds = f2d(elems.x, elems.y, firsts_only=(var_form == 1))
+    w, wx, wy = flds["w"], flds["wx"], flds["wy"]
+    u, v, p = w[..., 0], w[..., 1], w[..., 2]
+    ux, vx, px = wx[..., 0], wx[..., 1], wx[..., 2]
+    uy, vy_, py = wy[..., 0], wy[..., 1], wy[..., 2]
+    conv_u = u * ux + v * uy
+    conv_v = u * vx + v * vy_
+    div = ux + vy_
+    jac = (elems.jac_x * elems.jac_y)[:, None, None]
+    jx = elems.jac_x[:, None, None]
+    jy = elems.jac_y[:, None, None]
+    if var_form == 0:
+        wxx, wyy = flds["wxx"], flds["wyy"]
+        U0 = jac * contract_2d(
+            bx.wphi, by.wphi,
+            conv_u + px - nu * (wxx[..., 0] + wyy[..., 0]),
+        )
+        U1 = jac * contract_2d(
+            bx.wphi, by.wphi,
+            conv_v + py - nu * (wxx[..., 1] + wyy[..., 1]),
+        )
+    elif var_form == 1:
+        U0 = (
+            jac * contract_2d(bx.wphi, by.wphi, conv_u)
+            + nu * (
+                jy * contract_2d(bx.wdphi, by.wphi, ux)
+                + jx * contract_2d(bx.wphi, by.wdphi, uy)
+            )
+            - jy * contract_2d(bx.wdphi, by.wphi, p)
+        )
+        U1 = (
+            jac * contract_2d(bx.wphi, by.wphi, conv_v)
+            + nu * (
+                jy * contract_2d(bx.wdphi, by.wphi, vx)
+                + jx * contract_2d(bx.wphi, by.wdphi, vy_)
+            )
+            - jx * contract_2d(bx.wphi, by.wdphi, p)
+        )
+    else:
+        raise ValueError(f"Navier-Stokes var_form must be 0 or 1; got {var_form}")
+    U2 = jac * contract_2d(bx.wphi, by.wphi, div)
+    U = jnp.stack([U0, U1, U2], axis=1)
+    return U - elems.f_proj[:, None]
+
+
 def variational_loss(res: jax.Array, mask: jax.Array, n_test: jax.Array) -> jax.Array:
     """loss_v = sum_e mean_n Res[e, n]^2 (Poisson-1D.py:95-96) with per-element
     test counts handled by masking (inactive test indices contribute zero)."""

@@ -73,6 +73,44 @@ def scalar_fields_2d(
     return out
 
 
+def vector_fields_2d(w_fn, x, y, *, firsts_only: bool = False):
+    """Vector-valued network fields at 2D points — the engine for PDE
+    SYSTEMS (e.g. the steady Navier-Stokes (u, v, p) triple).
+
+    w_fn maps [P, 2] -> [P, C]; x, y have identical shape [..., Qy, Qx].
+    One nested-JVP chain differentiates ALL C components simultaneously
+    (the JVP primitives in ops/derivatives.py are shape-generic), so the
+    cost over the shared trunk is identical to the scalar engines'.
+
+    Returns {'w', 'wx', 'wy'} plus {'wxx', 'wyy'} unless firsts_only, each
+    shaped [..., Qy, Qx, C].  (No reference analog — the reference's PDE
+    families are all scalar.)
+    """
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=-1)
+    vx = coord_tangent(X, 0)
+    vy = coord_tangent(X, 1)
+    if firsts_only:
+        w, wx = jax.jvp(w_fn, (X,), (vx,))
+        _, wy = jax.jvp(w_fn, (X,), (vy,))
+        c = w.shape[-1]
+        return {
+            "w": w.reshape(shape + (c,)),
+            "wx": wx.reshape(shape + (c,)),
+            "wy": wy.reshape(shape + (c,)),
+        }
+    w, wx, wxx = value_and_dir_derivs2(w_fn, X, vx)
+    _, wy, wyy = value_and_dir_derivs2(w_fn, X, vy)
+    c = w.shape[-1]
+    return {
+        "w": w.reshape(shape + (c,)),
+        "wx": wx.reshape(shape + (c,)),
+        "wy": wy.reshape(shape + (c,)),
+        "wxx": wxx.reshape(shape + (c,)),
+        "wyy": wyy.reshape(shape + (c,)),
+    }
+
+
 def scalar_fields_3d(u_fn, x, y, z, *, second: bool = True):
     """Network value and per-axis derivatives at 3D points [..., Qz, Qy, Qx].
 

@@ -2,6 +2,7 @@ from hpvpinns_tpu.problems import (
     advdiff,
     advdiff2d,
     burgers,
+    kovasznay,
     poisson1d,
     poisson2d,
     poisson3d,
@@ -15,6 +16,7 @@ _BUILDERS = {
     "advdiff": advdiff.build,
     "advdiff2d": advdiff2d.build,
     "burgers": burgers.build,
+    "kovasznay": kovasznay.build,
 }
 
 
@@ -24,6 +26,7 @@ def build(config) -> Problem:
         AdvDiff2DConfig,
         AdvDiffConfig,
         BurgersConfig,
+        KovasznayConfig,
         Poisson1DConfig,
         Poisson2DConfig,
         Poisson3DConfig,
@@ -41,4 +44,6 @@ def build(config) -> Problem:
         return advdiff2d.build(config)
     if isinstance(config, BurgersConfig):
         return burgers.build(config)
+    if isinstance(config, KovasznayConfig):
+        return kovasznay.build(config)
     raise TypeError(f"unknown problem config type: {type(config).__name__}")

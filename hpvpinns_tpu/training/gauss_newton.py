@@ -66,6 +66,11 @@ def make_residual_vector(problem) -> Callable:
         n_elem = res.shape[0]
         rv = (res.reshape(n_elem, -1) / jnp.sqrt(el.n_test)[:, None]).reshape(-1)
         ub_pred = problem.apply(params, data["xb"])
+        if ub_pred.ndim == 2 and ub_pred.shape[-1] != data["ub"].shape[-1]:
+            # Partial-state Dirichlet data for PDE systems (e.g. Navier-
+            # Stokes velocity-only BC): the convention is that `ub` holds
+            # the LEADING ansatz components (problems/kovasznay.py).
+            ub_pred = ub_pred[:, : data["ub"].shape[-1]]
         n_b = data["ub"].size
         rb = jnp.sqrt(wb / n_b) * (ub_pred - data["ub"]).reshape(-1)
         parts = [rv, rb]

@@ -120,6 +120,64 @@ def plot_2d_solution(problem: Problem, params, outdir: str, fmt: str = "png"):
     return paths
 
 
+def plot_vector_solution(problem: Problem, params, outdir: str, fmt: str = "png"):
+    """Per-component contour triptych (prediction / exact / error) for
+    2D PDE SYSTEMS — the multi-component generalization of
+    plot_2d_solution (Poisson-2D.py:437-534 convention), one row per
+    component of e.g. the Navier-Stokes (u, v, p) triple."""
+    plt = _plt()
+    ny, nx = problem.extras["test_grid_shape"]
+    names = problem.extras["component_names"]
+    c = len(names)
+    X = problem.test_points[:, 0].reshape(ny, nx)
+    Y = problem.test_points[:, 1].reshape(ny, nx)
+    w_true = np.asarray(problem.test_values).reshape(ny, nx, c)
+    w_pred = predict(problem, params).reshape(ny, nx, c)
+    mesh = problem.extras["mesh"]
+
+    fig, axes = plt.subplots(c, 3, figsize=(16, 4.6 * c))
+    for i, comp in enumerate(names):
+        for j, (title, Z) in enumerate((
+            (f"${comp}$ prediction", w_pred[..., i]),
+            (f"${comp}$ exact", w_true[..., i]),
+            (f"${comp}$ pointwise error", np.abs(w_true[..., i] - w_pred[..., i])),
+        )):
+            ax = axes[i, j] if c > 1 else axes[j]
+            cs = ax.contourf(X, Y, Z, levels=100, cmap="jet")
+            fig.colorbar(cs, ax=ax)
+            for xc in mesh.axis_x.grid:
+                ax.axvline(x=xc, linewidth=0.8, ls="--", color="w")
+            for yc in mesh.axis_y.grid:
+                ax.axhline(y=yc, linewidth=0.8, ls="--", color="w")
+            ax.set_title(title)
+            ax.set_xlabel("$x$")
+            ax.set_ylabel("$y$")
+    path = _save(fig, outdir, "fields", fmt)
+    plt.close(fig)
+    return path
+
+
+def plot_coefficient_history(
+    result: TrainResult, key: str, true_value: float, outdir: str,
+    label: str | None = None, fmt: str = "pdf",
+):
+    """Recovered-coefficient trajectory vs truth for ANY scalar aux key
+    (the generic form of plot_epsilon_history; e.g. the Navier-Stokes
+    trainable viscosity `nu`)."""
+    plt = _plt()
+    label = label or key
+    fig, ax = plt.subplots(figsize=(11, 5.5))
+    ax.plot(result.history["iteration"], result.history[key], "b",
+            label=f"estimated ${label}$")
+    ax.axhline(true_value, color="r", ls="--", label=f"true ${label}$")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel(f"${label}$")
+    ax.legend()
+    path = _save(fig, outdir, f"{key}_convergence", fmt)
+    plt.close(fig)
+    return path
+
+
 def plot_advdiff_slices(problem: Problem, params, outdir: str, times=(0.25, 0.5, 0.75, 1.0), fmt: str = "pdf"):
     """Per-time solution slices with L-inf error annotation
     (AdvDiff.py:660-696)."""
@@ -334,6 +392,12 @@ def standard_report(
     elif problem.name == "burgers":
         paths += plot_2d_solution(problem, params, outdir)
         paths.append(plot_advdiff_slices(problem, params, outdir))
+    elif problem.name == "kovasznay":
+        paths.append(plot_vector_solution(problem, params, outdir))
+        if "nu" in result.history:
+            paths.append(plot_coefficient_history(
+                result, "nu", problem.extras["nu_true"], outdir, label="\\nu"
+            ))
     paths.append(plot_per_element_error(problem, params, outdir))
     return paths
 
