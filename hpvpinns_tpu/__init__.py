@@ -31,6 +31,8 @@ from hpvpinns_tpu.config import (
     KovasznayConfig,
     burgers_precision,
     burgers_quality,
+    kovasznay_precision,
+    kovasznay_quality,
     Poisson1DConfig,
     Poisson2DConfig,
     Poisson3DConfig,

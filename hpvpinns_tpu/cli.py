@@ -58,8 +58,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
         "the measured best time-to-accuracy configuration (MEASUREMENTS.md); "
         "'precision' = the Gauss-Newton accuracy frontier, shipped for every "
         "family (poisson1d u 1.09e-4 f64 / poisson2d 7.3e-5, poisson3d "
-        "1.06e-3, burgers 1.50e-3, advdiff2d forward 1.86e-3 ON CHIP / "
-        "advdiff eps 0.15%% f64)",
+        "1.06e-3, burgers 1.50e-3, advdiff2d forward 1.86e-3, kovasznay "
+        "2.4e-4 ON CHIP / advdiff eps 0.15%% f64)",
     )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
@@ -365,7 +365,7 @@ _QUALITY_PRESETS = {
     "advdiff": cfgmod.advdiff_quality,
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.burgers_quality,
-    "kovasznay": cfgmod.KovasznayConfig,
+    "kovasznay": cfgmod.kovasznay_quality,
 }
 
 # f64-CPU Gauss-Newton accuracy-frontier points (MEASUREMENTS.md round-3 GN
@@ -378,6 +378,7 @@ _PRECISION_PRESETS = {
     "poisson3d": cfgmod.poisson3d_precision,  # ON-CHIP f32, chunked Jacobian
     "advdiff2d": cfgmod.advdiff2d_precision,  # ON-CHIP f32, FORWARD (joint
     # eps under GN measured negative — MEASUREMENTS.md)
+    "kovasznay": cfgmod.kovasznay_precision,  # ON-CHIP f32, the NS system
 }
 
 _TRAIN_KEYS = (

@@ -412,6 +412,40 @@ class KovasznayConfig:
     )
 
 
+def kovasznay_quality() -> KovasznayConfig:
+    """Measured quality point for the Navier-Stokes system (round-3,
+    benchmarks/MEASUREMENTS.md): default 2x2 mesh / 8x8 test / 30-wide
+    triple-output net at Adam-10k + L-BFGS-10k.  Measured f32 single chip:
+    stacked (u, v, p) rel-L2 **7.1e-3 in ~2 min** (u 6.5e-3, v 3.0e-2,
+    p 8.7e-3)."""
+    return KovasznayConfig(
+        train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
+    )
+
+
+def kovasznay_precision() -> KovasznayConfig:
+    """GN-grade frontier for the Navier-Stokes SYSTEM, ON CHIP (round-3
+    measurement, benchmarks/MEASUREMENTS.md): 3x3 mesh, 50-wide net,
+    Adam-10k + L-BFGS-10k + LM on the on-device QR kernel (converges by
+    ~100 accepted steps).  Measured f32 single chip: stacked rel-L2
+    **2.4e-4 in ~3 min** (u 2.0e-4, v 1.4e-3, p 3.1e-4) — 30x below the
+    quality preset; the GN phase alone is worth 6-15x (Adam+LBFGS plateau
+    7.1e-3).  Width 64 + 10x10 test measured 2.2e-4 at 2.6x the wall —
+    capacity is NOT the limiter at this point."""
+    return KovasznayConfig(
+        layers=(2, 50, 50, 50, 3),
+        n_elements_x=3,
+        n_elements_y=3,
+        train=TrainConfig(
+            iterations=10000,
+            lbfgs_iterations=10000,
+            gn_iterations=250,
+            gn_solve="qr",
+            check_every=1000,
+        ),
+    )
+
+
 def burgers_quality() -> BurgersConfig:
     """Measured quality point (benchmarks/MEASUREMENTS.md): hard-BC lifted
     ansatz + front-clustered 5-element x-grid (the nu = 0.01/pi front lives
