@@ -302,7 +302,7 @@ def build_parser() -> argparse.ArgumentParser:
         "alternates two linear solves for a FIELD eps(x) (4e-4 on clean "
         "dense sensing) — both f64 CPU, seconds not minutes",
     )
-    idf.add_argument("problem", choices=["advdiff", "advdiff2d", "burgers"])
+    idf.add_argument("problem", choices=["advdiff", "advdiff2d", "burgers", "kovasznay"])
     idf.add_argument("--method", choices=["reduced", "als"], default="reduced")
     idf.add_argument("--eps-order", type=int, default=None, dest="eps_order",
                      help="Legendre modes (als field fit; default 8)")
@@ -595,6 +595,30 @@ def cmd_identify(args) -> int:
             "problem": "burgers", "method": "reduced",
             "nu": nu_hat, "nu_true": cfgb.nu,
             "nu_rel_err": abs(nu_hat - cfgb.nu) / cfgb.nu,
+            "n_forward_solves": info["n_solves"],
+            "n_sensors": info["n_sensors"],
+            "wall_time_s": round(_time.perf_counter() - t0, 2),
+        }))
+        return 0
+    if args.problem == "kovasznay":
+        if args.method != "reduced":
+            raise SystemExit("identify kovasznay supports --method reduced (viscosity)")
+        cfgk = hv.KovasznayConfig(dtype="float64", inverse=True)
+        if args.sensor_noise_std is not None:
+            cfgk = dataclasses.replace(cfgk, sensor_noise=args.sensor_noise_std)
+        _maybe_enable_x64(cfgk.dtype)
+        import time as _time
+
+        from hpvpinns_tpu.inverse import reduced_identify_kovasznay
+
+        probk = hv.build(cfgk)
+        t0 = _time.perf_counter()
+        nu_hat, info = reduced_identify_kovasznay(probk)
+        nu_t = probk.extras["nu_true"]
+        print(json.dumps({
+            "problem": "kovasznay", "method": "reduced",
+            "nu": nu_hat, "nu_true": nu_t,
+            "nu_rel_err": abs(nu_hat - nu_t) / nu_t,
             "n_forward_solves": info["n_solves"],
             "n_sensors": info["n_sensors"],
             "wall_time_s": round(_time.perf_counter() - t0, 2),
@@ -931,6 +955,7 @@ def cmd_run(args) -> int:
             "advdiff": _gk.vpinn_gap_advdiff,
             "advdiff2d": _gk.vpinn_gap_advdiff2d,
             "burgers": _gk.vpinn_gap_burgers,
+            "kovasznay": _gk.vpinn_gap_kovasznay,
         }
         gfn = gap_fns.get(prob.name)
         if gfn is None:

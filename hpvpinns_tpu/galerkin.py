@@ -959,3 +959,221 @@ def vpinn_gap_3d(problem, params, p: int = 12, n_points: int = 25) -> dict:
         "rel_l2_galerkin_vs_exact": rel_l2(u_g, u_true),
         "rel_l2_net_vs_galerkin": rel_l2(u_net, u_g),
     }
+
+
+@dataclass(frozen=True)
+class SpectralSolutionNS:
+    """Steady incompressible Navier-Stokes solution on a rectangle:
+    velocity components = Coons boundary lift + H0 tensor correction
+    (P_N), pressure = tensor Legendre modes (P_{N-2}, zero-mean gauge)."""
+
+    coef_u: np.ndarray  # [nx, ny] H0 correction modes
+    coef_v: np.ndarray
+    coef_p: np.ndarray  # [mx, my]; (0, 0) gauge mode fixed at 0
+    eval_x: object  # H0 point evaluators
+    eval_y: object
+    lift_u: object
+    lift_v: object
+    domain_x: tuple
+    domain_y: tuple
+    newton_iters: int = 0
+    residual_norm: float = 0.0
+
+    def velocity(self, x, y):
+        """(u, v) arrays of the broadcast x/y shape."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        Bx = self.eval_x(x.reshape(-1))
+        By = self.eval_y(y.reshape(-1))
+        u = np.einsum("ip,ij,jp->p", Bx, self.coef_u, By).reshape(x.shape)
+        v = np.einsum("ip,ij,jp->p", Bx, self.coef_v, By).reshape(x.shape)
+        return u + self.lift_u(x, y), v + self.lift_v(x, y)
+
+    def pressure(self, x, y):
+        """Zero-mean pressure (additive gauge left to the caller)."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        (a, b), (c, d) = self.domain_x, self.domain_y
+        xi = 2.0 * (x.reshape(-1) - a) / (b - a) - 1.0
+        eta = 2.0 * (y.reshape(-1) - c) / (d - c) - 1.0
+        Lx = np.polynomial.legendre.legvander(xi, self.coef_p.shape[0] - 1).T
+        Ly = np.polynomial.legendre.legvander(eta, self.coef_p.shape[1] - 1).T
+        return np.einsum("ip,ij,jp->p", Lx, self.coef_p, Ly).reshape(x.shape)
+
+    def __call__(self, x, y):
+        """Stacked (u, v, p) on a trailing component axis."""
+        u, v = self.velocity(x, y)
+        return np.stack([u, v, self.pressure(x, y)], axis=-1)
+
+
+def solve_ns_steady(
+    domain_x,
+    domain_y,
+    p: int,
+    nu: float,
+    g_fn,
+    n_quad: int | None = None,
+    newton_tol: float = 1e-12,
+    max_newton: int = 40,
+    start: np.ndarray | None = None,
+) -> SpectralSolutionNS:
+    """Direct solve of the steady incompressible Navier-Stokes system
+
+        (w . grad) w + grad p = nu Lap w,   div w = 0,   w|_bd = g
+
+    on a rectangle: single-domain P_N x P_{N-2} Legendre-Galerkin (the
+    classical inf-sup-stable velocity-pressure pair) with Newton on the
+    coupled saddle system.  The deterministic companion of the VPINN's
+    ns_residual (ops/assembly.py) — same convective form, same IBP'd
+    diffusion/pressure blocks, solved to quadrature precision.
+
+    Velocity Dirichlet data enters through per-component transfinite Coons
+    lifts (boundary traces of `g_fn` ONLY); pressure is gauge-fixed by
+    dropping the constant Legendre mode (exact zero mean).  `start` warm-
+    starts Newton with a previous solve's flat coefficient vector (the
+    identification loop's lever).  Host float64 numpy.
+
+    g_fn(x, y) -> (u, v) arrays of the broadcast shape.
+    """
+    axis_x = Interval1D.uniform(*domain_x, 1)
+    axis_y = Interval1D.uniform(*domain_y, 1)
+    Q = n_quad or max(2 * p + 4, 12)
+    Bx1, Bx1d, wqx, xg, ex, _ = _axis_h0_quadrature(axis_x, p, Q)
+    By1, By1d, wqy, yg, ey, _ = _axis_h0_quadrature(axis_y, p, Q)
+    n_x, n_y = Bx1.shape[0], By1.shape[0]
+    n = n_x * n_y
+
+    # 2D tensor arrays, flattened (i, j) -> i*n_y + j, (qx, qy) -> qx*Qy + qy
+    Vb = np.einsum("ip,jq->ijpq", Bx1, By1).reshape(n, -1)
+    Vbx = np.einsum("ip,jq->ijpq", Bx1d, By1).reshape(n, -1)
+    Vby = np.einsum("ip,jq->ijpq", Bx1, By1d).reshape(n, -1)
+    wq2 = np.outer(wqx, wqy).reshape(-1)
+
+    # P_{N-2} pressure space: Legendre tensor modes on the reference square,
+    # constant (gauge) mode dropped
+    xi, _w = gauss_lobatto_jacobi(Q, 0.0, 0.0)
+    mx = my = p - 1  # degrees 0..p-2
+    Lx = np.polynomial.legendre.legvander(xi, mx - 1).T  # [mx, Q]
+    Ly = np.polynomial.legendre.legvander(xi, my - 1).T
+    Pb = np.einsum("ip,jq->ijpq", Lx, Ly).reshape(mx * my, -1)[1:]  # drop (0,0)
+    m = Pb.shape[0]
+
+    gu = lambda x, y: np.asarray(g_fn(x, y)[0], dtype=np.float64)  # noqa: E731
+    gv = lambda x, y: np.asarray(g_fn(x, y)[1], dtype=np.float64)  # noqa: E731
+    lift_u = coons_lift(gu, domain_x, domain_y)
+    lift_v = coons_lift(gv, domain_x, domain_y)
+    XX, YY = np.meshgrid(xg, yg, indexing="ij")
+    h = 1e-6
+    Lu = lift_u(XX, YY).reshape(-1)
+    Lv = lift_v(XX, YY).reshape(-1)
+    Lux = ((lift_u(XX + h, YY) - lift_u(XX - h, YY)) / (2 * h)).reshape(-1)
+    Luy = ((lift_u(XX, YY + h) - lift_u(XX, YY - h)) / (2 * h)).reshape(-1)
+    Lvx = ((lift_v(XX + h, YY) - lift_v(XX - h, YY)) / (2 * h)).reshape(-1)
+    Lvy = ((lift_v(XX, YY + h) - lift_v(XX, YY - h)) / (2 * h)).reshape(-1)
+
+    def fields(c):
+        cu, cv, cp = c[:n], c[n:2 * n], c[2 * n:]
+        U = Lu + Vb.T @ cu
+        V = Lv + Vb.T @ cv
+        Ux, Uy = Lux + Vbx.T @ cu, Luy + Vby.T @ cu
+        Vx, Vy = Lvx + Vbx.T @ cv, Lvy + Vby.T @ cv
+        P = Pb.T @ cp
+        return U, V, Ux, Uy, Vx, Vy, P
+
+    def residual(c):
+        U, V, Ux, Uy, Vx, Vy, P = fields(c)
+        Ru = (
+            Vb @ (wq2 * (U * Ux + V * Uy))
+            + nu * (Vbx @ (wq2 * Ux) + Vby @ (wq2 * Uy))
+            - Vbx @ (wq2 * P)
+        )
+        Rv = (
+            Vb @ (wq2 * (U * Vx + V * Vy))
+            + nu * (Vbx @ (wq2 * Vx) + Vby @ (wq2 * Vy))
+            - Vby @ (wq2 * P)
+        )
+        Rc = Pb @ (wq2 * (Ux + Vy))
+        return np.concatenate([Ru, Rv, Rc])
+
+    Avisc = nu * ((Vbx * wq2) @ Vbx.T + (Vby * wq2) @ Vby.T)
+    Bup = -(Vbx * wq2) @ Pb.T
+    Bvp = -(Vby * wq2) @ Pb.T
+
+    def jacobian(c):
+        U, V, Ux, Uy, Vx, Vy, _P = fields(c)
+        conv_diag = (Vb * (wq2 * U)) @ Vbx.T + (Vb * (wq2 * V)) @ Vby.T
+        Juu = (Vb * (wq2 * Ux)) @ Vb.T + conv_diag + Avisc
+        Juv = (Vb * (wq2 * Uy)) @ Vb.T
+        Jvu = (Vb * (wq2 * Vx)) @ Vb.T
+        Jvv = (Vb * (wq2 * Vy)) @ Vb.T + conv_diag + Avisc
+        J = np.zeros((2 * n + m, 2 * n + m))
+        J[:n, :n], J[:n, n:2 * n], J[:n, 2 * n:] = Juu, Juv, Bup
+        J[n:2 * n, :n], J[n:2 * n, n:2 * n], J[n:2 * n, 2 * n:] = Jvu, Jvv, Bvp
+        J[2 * n:, :n] = (Pb * wq2) @ Vbx.T
+        J[2 * n:, n:2 * n] = (Pb * wq2) @ Vby.T
+        return J
+
+    c = np.zeros(2 * n + m) if start is None else np.asarray(start, dtype=np.float64).copy()
+    R = residual(c)
+    rnorm = float(np.linalg.norm(R))
+    iters = 0
+    for iters in range(1, max_newton + 1):
+        dc = np.linalg.solve(jacobian(c), R)
+        step = 1.0
+        for _ in range(12):  # backtracking keeps Re-robustness
+            c_try = c - step * dc
+            R_try = residual(c_try)
+            rn_try = float(np.linalg.norm(R_try))
+            if rn_try < rnorm or rn_try < newton_tol:
+                break
+            step *= 0.5
+        c, R, rnorm = c_try, R_try, rn_try
+        if rnorm < newton_tol:
+            break
+
+    cp_full = np.zeros(mx * my)
+    cp_full[1:] = c[2 * n:]
+    return SpectralSolutionNS(
+        coef_u=c[:n].reshape(n_x, n_y),
+        coef_v=c[n:2 * n].reshape(n_x, n_y),
+        coef_p=cp_full.reshape(mx, my),
+        eval_x=ex, eval_y=ey, lift_u=lift_u, lift_v=lift_v,
+        domain_x=tuple(domain_x), domain_y=tuple(domain_y),
+        newton_iters=iters, residual_norm=rnorm,
+    )
+
+
+def vpinn_gap_kovasznay(problem, params, p: int = 24, n_points: int = 81) -> dict:
+    """Optimization-gap report for the Navier-Stokes SYSTEM: net vs exact,
+    direct solve vs exact, net vs direct solve — stacked (u, v, p) rel-L2
+    with the direct solve's zero-mean pressure gauge aligned to the exact
+    field's mean.  Boundary data enters the solver through Coons traces of
+    the exact velocity only (the interior is entirely the solve's)."""
+    from hpvpinns_tpu.evaluate import predict, rel_l2
+    from hpvpinns_tpu.problems.kovasznay import exact_fields
+
+    if problem.name != "kovasznay":
+        raise ValueError(
+            f"vpinn_gap_kovasznay supports kovasznay problems, got {problem.name!r}"
+        )
+    cfg = problem.config
+
+    def g_fn(x, y):
+        u, v, _ = exact_fields(x, y, cfg.re)
+        return u, v
+
+    sol = solve_ns_steady(cfg.domain_x, cfg.domain_y, p, 1.0 / cfg.re, g_fn)
+    xs = np.linspace(*cfg.domain_x, n_points)
+    ys = np.linspace(*cfg.domain_y, n_points)
+    XG, YG = np.meshgrid(xs, ys, indexing="ij")
+    w_g = sol(XG, YG).reshape(-1, 3)
+    w_true = np.stack(exact_fields(XG, YG, cfg.re), axis=-1).reshape(-1, 3)
+    w_g[:, 2] += w_true[:, 2].mean() - w_g[:, 2].mean()  # pressure gauge
+    pts = np.stack([XG.reshape(-1), YG.reshape(-1)], axis=-1)
+    w_net = predict(problem, params, pts).reshape(-1, 3)
+    return {
+        "rel_l2_net_vs_exact": rel_l2(w_net, w_true),
+        "rel_l2_galerkin_vs_exact": rel_l2(w_g, w_true),
+        "rel_l2_net_vs_galerkin": rel_l2(w_net, w_g),
+        "newton_iters": sol.newton_iters,
+    }

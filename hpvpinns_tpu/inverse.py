@@ -1176,3 +1176,77 @@ def als_identify2d(
         return np.einsum("jk,jp,kp->p", coef, Pj, Pk).reshape(np.shape(X))
 
     return u_fn, coef, eps_fn, {"space_order": space_order, "time_order": time_order}
+
+
+def reduced_identify_kovasznay(
+    problem,
+    p: int = 16,
+    bounds=(5e-3, 0.2),
+    xatol: float = 1e-12,
+    noise: float = 0.0,
+    seed: int = 0,
+):
+    """VISCOSITY identification for the Navier-Stokes SYSTEM: Brent-search
+    nu with the steady spectral solver (galerkin.solve_ns_steady) in the
+    loop, minimizing the misfit against interior (u, v) velocity sensors —
+    the NS twin of reduced_identify/reduced_identify_burgers.  Each trial
+    solve warm-starts Newton from the previous solution (the coefficient
+    space is nu-independent), so the inner solves settle in 1-2 Newton
+    steps after the first.
+
+    Sensors come from the problem's own inverse-mode data
+    (problem.data["xs"]/"us", problems/kovasznay.py::sensor_data) when
+    present, else are LHS-sampled here (seeded; `noise` adds Gaussian
+    perturbation).  Boundary data for the solver is the Kovasznay trace —
+    the same information the VPINN's boundary loss uses.
+
+    Returns (nu_hat, info).
+    """
+    from hpvpinns_tpu.galerkin import solve_ns_steady
+    from hpvpinns_tpu.problems.kovasznay import exact_fields
+    from hpvpinns_tpu.utils.sampling import lhs_interval
+
+    if problem.name != "kovasznay":
+        raise ValueError(
+            f"reduced_identify_kovasznay supports kovasznay problems, got {problem.name!r}"
+        )
+    cfg = problem.config
+    if "xs" in problem.data:
+        Xs = np.asarray(problem.data["xs"], dtype=np.float64)
+        ds = np.asarray(problem.data["us"], dtype=np.float64)
+    else:
+        rng = np.random.default_rng(seed)
+        xs = lhs_interval(*cfg.domain_x, cfg.n_sensors, rng)
+        ys = lhs_interval(*cfg.domain_y, cfg.n_sensors, rng)
+        Xs = np.hstack([xs, ys])
+        u, v, _ = exact_fields(Xs[:, 0], Xs[:, 1], cfg.re)
+        ds = np.stack([u, v], axis=-1)
+        if noise > 0.0:
+            ds = ds + rng.normal(0.0, noise, ds.shape)
+
+    def g_fn(x, y):
+        u, v, _ = exact_fields(x, y, cfg.re)
+        return u, v
+
+    n_solves = [0]
+    warm = {"c": None}
+
+    def misfit(nu):
+        sol = solve_ns_steady(
+            cfg.domain_x, cfg.domain_y, p, float(nu), g_fn, start=warm["c"]
+        )
+        warm["c"] = np.concatenate([
+            sol.coef_u.reshape(-1), sol.coef_v.reshape(-1),
+            sol.coef_p.reshape(-1)[1:],
+        ])
+        n_solves[0] += 1
+        u, v = sol.velocity(Xs[:, 0], Xs[:, 1])
+        return float(np.sum((u - ds[:, 0]) ** 2 + (v - ds[:, 1]) ** 2))
+
+    from scipy.optimize import minimize_scalar
+
+    res = minimize_scalar(misfit, bounds=bounds, method="bounded", options={"xatol": xatol})
+    return float(res.x), {
+        "misfit": float(res.fun), "n_solves": n_solves[0],
+        "n_sensors": len(ds), "method": "brent-bounded", "p": p,
+    }

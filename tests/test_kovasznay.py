@@ -232,3 +232,68 @@ def test_cli_kovasznay(capsys):
     assert summary["problem"] == "kovasznay"
     assert {"rel_l2_u", "rel_l2_v", "rel_l2_p", "nu", "nu_true"} <= set(summary)
     assert abs(summary["nu_true"] - 0.025) < 1e-12
+
+
+def test_solve_ns_steady_spectral_convergence():
+    """The direct steady-NS solver converges spectrally to the exact
+    Kovasznay solution (boundary traces only enter)."""
+    from hpvpinns_tpu.galerkin import solve_ns_steady
+
+    re = 40.0
+
+    def g(x, y):
+        u, v, _ = kovasznay.exact_fields(x, y, re)
+        return u, v
+
+    xs = np.linspace(-0.5, 1.0, 41)
+    ys = np.linspace(-0.5, 1.5, 41)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    ut, vt, pt = kovasznay.exact_fields(X, Y, re)
+    errs = []
+    for p in (8, 16):
+        sol = solve_ns_steady((-0.5, 1.0), (-0.5, 1.5), p, 1.0 / re, g)
+        assert sol.residual_norm < 1e-11  # Newton converged
+        u, v = sol.velocity(X, Y)
+        ph = sol.pressure(X, Y)
+        ph = ph + pt.mean() - ph.mean()  # zero-mean gauge -> exact's mean
+        errs.append(np.linalg.norm(np.stack([u - ut, v - vt, ph - pt]))
+                    / np.linalg.norm(np.stack([ut, vt, pt])))
+    assert errs[1] < 1e-6  # p=16 measured 2e-7-class
+    assert errs[1] < 1e-3 * errs[0]  # spectral decay
+
+
+def test_reduced_identify_kovasznay():
+    """Network-free viscosity identification: Brent over direct solves,
+    nu to ~1e-7-class from the family's own 64 interior sensors."""
+    from hpvpinns_tpu.inverse import reduced_identify_kovasznay
+
+    cfg = hv.KovasznayConfig(dtype="float64", inverse=True)
+    prob = hv.build(cfg)
+    nu_hat, info = reduced_identify_kovasznay(prob)
+    nu_true = prob.extras["nu_true"]
+    assert abs(nu_hat - nu_true) / nu_true < 1e-6
+    assert info["n_solves"] < 40
+
+
+def test_vpinn_gap_kovasznay():
+    from hpvpinns_tpu.galerkin import vpinn_gap_kovasznay
+
+    cfg = hv.KovasznayConfig(dtype="float64", n_quad=6, n_test_x=3, n_test_y=3,
+                             layers=(2, 6, 3))
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    gap = vpinn_gap_kovasznay(prob, params, p=16)
+    assert gap["rel_l2_galerkin_vs_exact"] < 1e-6
+    assert np.isfinite(gap["rel_l2_net_vs_galerkin"])
+
+
+def test_cli_identify_kovasznay(capsys):
+    import json
+
+    from hpvpinns_tpu.cli import main
+
+    rc = main("identify kovasznay".split())
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(out[-1])
+    assert summary["nu_rel_err"] < 1e-6
