@@ -123,7 +123,10 @@ def _refined_config(
             return dataclasses.replace(cfg, n_test_per_elem=tuple(int(v) for v in nt))
         grid = bisect_marked(mesh.grid, marked)
         return dataclasses.replace(cfg, grid=grid, n_elements=len(grid) - 1)
-    if isinstance(cfg, hv.Poisson2DConfig):
+    if isinstance(cfg, (hv.Poisson2DConfig, hv.KovasznayConfig)):
+        # plain 2D tensor meshes (scalar Poisson; the Navier-Stokes system
+        # rides the identical element layout — the [E, 3, K, R] residual's
+        # equation axis is already summed into eta by element_indicator)
         Ex, Ey = mesh.shape
         eta2 = eta.reshape(Ex, Ey)  # flat order e = ex * Ey + ey
         # axis marking by the eta mass of each row/column of elements
@@ -147,9 +150,26 @@ def _refined_config(
                 n_test_x_per_elem=tuple(int(v) for v in ntx),
                 n_test_y_per_elem=tuple(int(v) for v in nty),
             )
+
+        def split_orders(per_elem, marked):
+            # bisecting an axis interval must split its per-element test
+            # order too, or an hp run's ragged arrays go stale (length
+            # mismatch with the new element count)
+            if per_elem is None:
+                return None
+            nt = np.asarray(per_elem)
+            return tuple(
+                int(w) for i, v in enumerate(nt) for w in ((v, v) if marked[i] else (v,))
+            )
+
         gx = bisect_marked(mesh.axis_x.grid, mx)
         gy = bisect_marked(mesh.axis_y.grid, my)
-        return dataclasses.replace(cfg, grid_x=gx, grid_y=gy)
+        new = {"grid_x": gx, "grid_y": gy}
+        if (sx := split_orders(cfg.n_test_x_per_elem, mx)) is not None:
+            new["n_test_x_per_elem"] = sx
+        if (sy := split_orders(cfg.n_test_y_per_elem, my)) is not None:
+            new["n_test_y_per_elem"] = sy
+        return dataclasses.replace(cfg, **new)
     if isinstance(cfg, hv.AdvDiff2DConfig):
         # 2D-space + time family (element axes x, y, t; flat order
         # e = (ex*Ey + ey)*Et + et).  axes="x" marks the SPACE axes (x, y);

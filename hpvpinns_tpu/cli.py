@@ -260,7 +260,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
     ad.add_argument(
-        "problem", choices=["poisson1d", "poisson2d", "burgers", "advdiff", "advdiff2d"]
+        "problem",
+        choices=["poisson1d", "poisson2d", "burgers", "advdiff", "advdiff2d",
+                 "kovasznay"],
     )
     ad.add_argument("--rounds", type=int, default=3)
     ad.add_argument("--theta", type=float, default=None,

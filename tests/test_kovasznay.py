@@ -297,3 +297,22 @@ def test_cli_identify_kovasznay(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     summary = json.loads(out[-1])
     assert summary["nu_rel_err"] < 1e-6
+
+
+def test_adaptive_refinement_kovasznay():
+    """The solve-estimate-mark-refine loop runs on the NS system: the h
+    round grows the tensor mesh, the p round raises per-axis test orders
+    (hp mode alternates them), and per-element orders split with bisected
+    intervals."""
+    from hpvpinns_tpu.adaptive import adaptive_solve
+
+    cfg = hv.KovasznayConfig(
+        dtype="float64", n_quad=6, n_test_x=3, n_test_y=3, layers=(2, 6, 3),
+        train=hv.TrainConfig(iterations=60, lbfgs_iterations=0, check_every=30),
+    )
+    out = adaptive_solve(cfg, rounds=3, mode="hp", verbose=False)
+    assert len(out.rounds) == 3
+    assert out.rounds[1]["n_elem"] > out.rounds[0]["n_elem"]  # h round split
+    # p round raised at least one marked axis order
+    assert max(out.rounds[2]["n_test_per_elem"]) > max(out.rounds[1]["n_test_per_elem"])
+    assert all(np.isfinite(r["rel_l2"]) for r in out.rounds)
