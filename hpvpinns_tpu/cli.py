@@ -617,14 +617,30 @@ def cmd_identify(args) -> int:
         t0 = _time.perf_counter()
         nu_hat, info = reduced_identify_kovasznay(probk)
         nu_t = probk.extras["nu_true"]
-        print(json.dumps({
+        summary_k = {
             "problem": "kovasznay", "method": "reduced",
             "nu": nu_hat, "nu_true": nu_t,
             "nu_rel_err": abs(nu_hat - nu_t) / nu_t,
             "n_forward_solves": info["n_solves"],
             "n_sensors": info["n_sensors"],
-            "wall_time_s": round(_time.perf_counter() - t0, 2),
-        }))
+        }
+        if getattr(args, "uncertainty", False):
+            from hpvpinns_tpu import uncertainty as uq
+
+            ci = uq.reduced_ns_ci(
+                probk, nu_hat, noise_std=args.sensor_noise_std or None
+            )
+            summary_k["uncertainty"] = {
+                "method": "gauss-newton (fd-sensitivity, steady-NS solves)"
+                + (" CRLB @ declared noise" if ci["crlb"] else ""),
+                "params": ci["params"],
+                "std": ci["std"],
+                "ci95": ci["ci95"],
+                "sigma_est": ci["sigma"],
+                "truth_covered": bool(ci["ci95"][0][0] <= nu_t <= ci["ci95"][0][1]),
+            }
+        summary_k["wall_time_s"] = round(_time.perf_counter() - t0, 2)
+        print(json.dumps(summary_k))
         return 0
     if args.problem == "advdiff2d":
         if getattr(args, "manufactured_velocity", None):

@@ -433,3 +433,55 @@ def _with_data(problem, data):
     import dataclasses
 
     return dataclasses.replace(problem, data=data)
+
+
+def reduced_ns_ci(problem, nu_hat: float, p: int = 16, rel_step: float = 1e-4,
+                  noise_std: Optional[float] = None):
+    """Gauss-Newton covariance for the Navier-Stokes viscosity route
+    (inverse.reduced_identify_kovasznay): sensitivity of the interior
+    (u, v) sensor predictions to nu by central differences of the steady
+    spectral solver (2 warm-started solves), sigma^2 from the residuals at
+    the optimum — or the CRLB at a declared `noise_std`.
+
+    Returns the reduced_scalar_ci dict shape: {"params": ["nu"], "std",
+    "ci95", "sigma", "n_sensors", "crlb"}.
+    """
+    from hpvpinns_tpu.galerkin import solve_ns_steady
+    from hpvpinns_tpu.problems.kovasznay import exact_fields
+
+    cfg = problem.config
+    Xs = np.asarray(problem.data["xs"], dtype=np.float64)
+    ds = np.asarray(problem.data["us"], dtype=np.float64).reshape(-1)
+
+    def g_fn(x, y):
+        u, v, _ = exact_fields(x, y, cfg.re)
+        return u, v
+
+    warm = {"c": None}
+
+    def predict(nu):
+        sol = solve_ns_steady(cfg.domain_x, cfg.domain_y, p, float(nu), g_fn,
+                              start=warm["c"])
+        warm["c"] = np.concatenate([
+            sol.coef_u.reshape(-1), sol.coef_v.reshape(-1),
+            sol.coef_p.reshape(-1)[1:],
+        ])
+        u, v = sol.velocity(Xs[:, 0], Xs[:, 1])
+        return np.stack([u, v], axis=-1).reshape(-1)
+
+    resid = predict(nu_hat) - ds
+    h = rel_step * max(abs(nu_hat), 1e-8)
+    S = (predict(nu_hat + h) - predict(nu_hat - h)) / (2 * h)
+    n = len(ds)
+    crlb = noise_std is not None
+    sigma2 = noise_std**2 if crlb else float(resid @ resid) / max(n - 1, 1)
+    var = sigma2 / float(S @ S)
+    std = float(np.sqrt(max(var, 0.0)))
+    return {
+        "params": ["nu"],
+        "std": [std],
+        "ci95": [(float(nu_hat - 1.96 * std), float(nu_hat + 1.96 * std))],
+        "sigma": float(np.sqrt(sigma2)),
+        "n_sensors": n,
+        "crlb": crlb,
+    }

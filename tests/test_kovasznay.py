@@ -316,3 +316,26 @@ def test_adaptive_refinement_kovasznay():
     # p round raised at least one marked axis order
     assert max(out.rounds[2]["n_test_per_elem"]) > max(out.rounds[1]["n_test_per_elem"])
     assert all(np.isfinite(r["rel_l2"]) for r in out.rounds)
+
+
+def test_reduced_ns_ci_covers_truth():
+    """GN/Fisher CI through the steady-NS solver: at declared noise the
+    95% interval covers truth and sigma matches (measured 6/6 coverage,
+    MEASUREMENTS.md)."""
+    import dataclasses
+
+    from hpvpinns_tpu.inverse import reduced_identify_kovasznay
+    from hpvpinns_tpu.uncertainty import reduced_ns_ci
+
+    noise = 1e-3
+    cfg = hv.KovasznayConfig(
+        dtype="float64", inverse=True, sensor_noise=noise,
+        train=dataclasses.replace(hv.KovasznayConfig().train, seed=3),
+    )
+    prob = hv.build(cfg)
+    nu_hat, _ = reduced_identify_kovasznay(prob)
+    nu_true = prob.extras["nu_true"]
+    ci = reduced_ns_ci(prob, nu_hat, noise_std=noise)
+    assert ci["ci95"][0][0] <= nu_true <= ci["ci95"][0][1]
+    ci_r = reduced_ns_ci(prob, nu_hat)
+    assert 0.5 * noise < ci_r["sigma"] < 2.0 * noise  # sigma recovers noise
