@@ -251,6 +251,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="trainable viscosity identified from interior (u, v) "
                     "sensors — the NS twin of the reference's trainable-epsilon "
                     "problem (AdvDiff.py:63,165,173)")
+    pk.add_argument("--eq-weights", type=_grid_arg, dest="eq_weights",
+                    metavar="WX,WY,WC",
+                    help="per-equation residual weights (x-momentum, "
+                    "y-momentum, continuity): the measured v-rebalancing "
+                    "knob — 1,6,1 cuts the v relative error 1.7x at a "
+                    "10-40%% u/p cost (MEASUREMENTS.md)")
     pk.add_argument("--nu-init", type=float, dest="nu_init")
     pk.add_argument("--n-sensors", type=int, dest="n_sensors")
     pk.add_argument("--sensor-noise", type=float, dest="sensor_noise")

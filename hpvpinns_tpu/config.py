@@ -388,6 +388,13 @@ class KovasznayConfig:
     n_quad: int = 14
     n_bound: int = 60  # LHS boundary points per edge
     lossb_weight: float = 10.0
+    eq_weights: Optional[Tuple[float, float, float]] = None  # per-equation
+    # residual weights (x-momentum, y-momentum, continuity).  The measured
+    # relative-error limiter of every frontier point is the SMALLEST
+    # component (v: equal absolute error at 10x smaller magnitude —
+    # MEASUREMENTS.md Kovasznay ladder); weighting the y-momentum row up
+    # rebalances the objective toward it.  Applied inside the weak residual
+    # (loss AND GN residual vector see it consistently).
     bc_pressure: bool = True  # constrain p on the boundary from the exact
     # solution alongside (u, v).  True keeps the boundary mismatch a plain
     # 3-component least-squares block, so the Gauss-Newton residual-vector

@@ -156,6 +156,17 @@ def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Probl
     var_form, wb_weight = cfg.var_form, cfg.lossb_weight
     wa = cfg.p_anchor_weight
     nu_true = 1.0 / cfg.re
+    # Per-equation residual weights [1, 3, 1, 1], baked into every residual
+    # view (loss, GN residual vector, adaptive indicator) so the Gauss-
+    # Newton identity and the marking stay consistent with the objective.
+    eqw = (
+        jnp.asarray(cfg.eq_weights, dtype=dtype)[None, :, None, None]
+        if cfg.eq_weights is not None
+        else None
+    )
+
+    def _weighted(res):
+        return res if eqw is None else res * eqw
 
     spec = MLP(
         layers=cfg.layers,
@@ -180,7 +191,7 @@ def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Probl
             make_w_fn(params), el, data["basis_x"], data["basis_y"], var_form,
             nu_of(params),
         )
-        return res * el.mask[:, None]
+        return _weighted(res) * el.mask[:, None]
 
     _enriched_cache = {}
 
@@ -209,7 +220,7 @@ def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Probl
         res = ns_residual(
             make_w_fn(params), elems_en, bx_en, by_en, var_form, nu_of(params)
         )
-        return res * new_mask[None, None]
+        return _weighted(res) * new_mask[None, None]
 
     def loss_fn(params, data, axis_name=None):
         w_fn = make_w_fn(params)
@@ -217,7 +228,7 @@ def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Probl
         res = ns_residual(
             w_fn, el, data["basis_x"], data["basis_y"], var_form, nu_of(params)
         )
-        lossv = variational_loss(res, el.mask[:, None], el.n_test)
+        lossv = variational_loss(_weighted(res), el.mask[:, None], el.n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
             lossv = jax.lax.psum(lossv, axis_name)
         wb_pred = w_fn(data["xb"])

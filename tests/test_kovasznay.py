@@ -299,6 +299,7 @@ def test_cli_identify_kovasznay(capsys):
     assert summary["nu_rel_err"] < 1e-6
 
 
+@pytest.mark.slow
 def test_adaptive_refinement_kovasznay():
     """The solve-estimate-mark-refine loop runs on the NS system: the h
     round grows the tensor mesh, the p round raises per-axis test orders
@@ -339,3 +340,24 @@ def test_reduced_ns_ci_covers_truth():
     assert ci["ci95"][0][0] <= nu_true <= ci["ci95"][0][1]
     ci_r = reduced_ns_ci(prob, nu_hat)
     assert 0.5 * noise < ci_r["sigma"] < 2.0 * noise  # sigma recovers noise
+
+
+def test_eq_weights_scale_residual_and_keep_gn_identity():
+    """eq_weights scales the equation rows consistently across loss and
+    GN residual vector (the measured v-rebalancing knob)."""
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    base = hv.KovasznayConfig(dtype="float64", n_quad=6, n_test_x=3,
+                              n_test_y=3, layers=(2, 6, 3))
+    wcfg = hv.KovasznayConfig(dtype="float64", n_quad=6, n_test_x=3,
+                              n_test_y=3, layers=(2, 6, 3),
+                              eq_weights=(1.0, 6.0, 2.0))
+    p0, pw = kovasznay.build(base), kovasznay.build(wcfg)
+    params = p0.init_params(jax.random.key(4))
+    r0 = np.asarray(p0.extras["residual_fn"](params, p0.data))
+    rw = np.asarray(pw.extras["residual_fn"](params, pw.data))
+    w = np.asarray([1.0, 6.0, 2.0])[None, :, None, None]
+    np.testing.assert_allclose(rw, r0 * w, rtol=1e-12)
+    loss, _ = pw.loss_fn(params, pw.data)
+    r = make_residual_vector(pw)(params, pw.data)
+    np.testing.assert_allclose(float(np.sum(np.asarray(r) ** 2)), float(loss), rtol=1e-12)
