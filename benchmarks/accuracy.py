@@ -370,7 +370,7 @@ def precision_records(q):
         # LM — `run advdiff --preset precision --forward`, 1.76e-3 measured)
         run("advdiff_forward_precision_f32_tpu",
             scaled(hv.advdiff_forward_precision())),
-        # the Navier-Stokes SYSTEM frontier (stacked (u,v,p) rel-L2 2.4e-4
+        # the Navier-Stokes SYSTEM frontier (hard-BC lift; stacked rel-L2 5.6e-5
         # measured — `run kovasznay --preset precision`)
         run("kovasznay_precision_f32_tpu", scaled(hv.kovasznay_precision())),
     ]

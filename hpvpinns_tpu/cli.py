@@ -59,7 +59,7 @@ def _add_common_flags(p: argparse.ArgumentParser):
         "'precision' = the Gauss-Newton accuracy frontier, shipped for every "
         "family (poisson1d u 1.09e-4 f64 / poisson2d 7.3e-5, poisson3d "
         "1.06e-3, burgers 1.50e-3, advdiff2d forward 1.86e-3, kovasznay "
-        "2.4e-4 ON CHIP / advdiff eps 0.15%% f64)",
+        "5.6e-5 hard-BC ON CHIP / advdiff eps 0.15%% f64)",
     )
     p.add_argument("--var-form", type=_var_form_arg, dest="var_form")
     p.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
@@ -251,6 +251,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="trainable viscosity identified from interior (u, v) "
                     "sensors — the NS twin of the reference's trainable-epsilon "
                     "problem (AdvDiff.py:63,165,173)")
+    pk.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc",
+                    help="lifted ansatz: velocity Dirichlet BC exact by "
+                    "construction (Coons trace interpolant + bubble "
+                    "envelope; p soft on the boundary) — the measured "
+                    "4.2x frontier mover (MEASUREMENTS.md)")
     pk.add_argument("--eq-weights", type=_grid_arg, dest="eq_weights",
                     metavar="WX,WY,WC",
                     help="per-equation residual weights (x-momentum, "

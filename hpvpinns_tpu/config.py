@@ -388,6 +388,12 @@ class KovasznayConfig:
     n_quad: int = 14
     n_bound: int = 60  # LHS boundary points per edge
     lossb_weight: float = 10.0
+    hard_bc: bool = False  # lifted ansatz w = L + D * N with L = the Coons
+    # transfinite interpolant of the exact VELOCITY boundary traces and
+    # D = (bubble, bubble, 1): u and v satisfy the Dirichlet BC exactly for
+    # any parameters, p stays soft-constrained on the boundary (the gauge),
+    # and all network capacity goes to the PDE — the system twin of the
+    # scalar families' hard-BC mode (requires bc_pressure=True)
     eq_weights: Optional[Tuple[float, float, float]] = None  # per-equation
     # residual weights (x-momentum, y-momentum, continuity).  The measured
     # relative-error limiter of every frontier point is the SMALLEST
@@ -432,17 +438,20 @@ def kovasznay_quality() -> KovasznayConfig:
 
 def kovasznay_precision() -> KovasznayConfig:
     """GN-grade frontier for the Navier-Stokes SYSTEM, ON CHIP (round-3
-    measurement, benchmarks/MEASUREMENTS.md): 3x3 mesh, 50-wide net,
-    Adam-10k + L-BFGS-10k + LM on the on-device QR kernel (converges by
-    ~100 accepted steps).  Measured f32 single chip: stacked rel-L2
-    **2.4e-4 in ~3 min** (u 2.0e-4, v 1.4e-3, p 3.1e-4) — 30x below the
-    quality preset; the GN phase alone is worth 6-15x (Adam+LBFGS plateau
-    7.1e-3).  Width 64 + 10x10 test measured 2.2e-4 at 2.6x the wall —
-    capacity is NOT the limiter at this point."""
+    measurement, benchmarks/MEASUREMENTS.md): hard-BC lifted ansatz
+    (velocity exact by construction via the Coons trace interpolant),
+    3x3 mesh, 50-wide net, Adam-10k + L-BFGS-10k + LM on the on-device QR
+    kernel.  Measured f32 single chip: stacked (u, v, p) rel-L2
+    **5.6e-5 in ~9 min** (u 5.1e-5, v 2.3e-4, p 7.2e-5) — 4.2x below the
+    soft-BC GN point (2.38e-4 in ~3 min; set hard_bc=False for it), 126x
+    below the quality preset.  The GN phase is worth 6-15x over the
+    Adam+LBFGS plateau on its own; width 64 + 10x10 test measured NO
+    gain (capacity is not the limiter)."""
     return KovasznayConfig(
         layers=(2, 50, 50, 50, 3),
         n_elements_x=3,
         n_elements_y=3,
+        hard_bc=True,
         train=TrainConfig(
             iterations=10000,
             lbfgs_iterations=10000,

@@ -101,6 +101,44 @@ def sensor_data(cfg: KovasznayConfig, rng: np.random.Generator):
     return pts, vals
 
 
+def exact_uv_jnp(re: float):
+    """The exact velocity pair as jnp-traceable (x, y) -> (u, v) maps
+    (the hard-BC lift differentiates through them via nested JVPs)."""
+    lam = lam_of(re)
+
+    def u(x, y):
+        return 1.0 - jnp.exp(lam * x) * jnp.cos(2.0 * jnp.pi * y)
+
+    def v(x, y):
+        return (lam / (2.0 * jnp.pi)) * jnp.exp(lam * x) * jnp.sin(2.0 * jnp.pi * y)
+
+    return u, v
+
+
+def coons_lift_jnp(g_fn, domain_x, domain_y):
+    """Transfinite (Coons) boundary interpolant, jnp-traceable — uses g
+    ONLY on the four edges and matches it there exactly (the traceable
+    twin of galerkin.coons_lift)."""
+    a, b = domain_x
+    c, d = domain_y
+
+    def lift(x, y):
+        s = (x - a) / (b - a)
+        t = (y - c) / (d - c)
+        return (
+            (1 - s) * g_fn(jnp.full_like(x, a), y)
+            + s * g_fn(jnp.full_like(x, b), y)
+            + (1 - t) * g_fn(x, jnp.full_like(y, c))
+            + t * g_fn(x, jnp.full_like(y, d))
+            - (1 - s) * (1 - t) * g_fn(jnp.full_like(x, a), jnp.full_like(y, c))
+            - s * (1 - t) * g_fn(jnp.full_like(x, b), jnp.full_like(y, c))
+            - (1 - s) * t * g_fn(jnp.full_like(x, a), jnp.full_like(y, d))
+            - s * t * g_fn(jnp.full_like(x, b), jnp.full_like(y, d))
+        )
+
+    return lift
+
+
 def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Problem:
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
@@ -175,8 +213,43 @@ def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Probl
         precision=cfg.matmul_precision,
     )
 
-    def make_w_fn(params):
-        return lambda X: mlp_apply(spec, params["net"], X)
+    if cfg.hard_bc:
+        if not cfg.bc_pressure:
+            raise ValueError(
+                "hard_bc requires bc_pressure=True: with (u, v) exact by "
+                "construction the boundary p data is what fixes the gauge"
+            )
+        from hpvpinns_tpu.problems.base import make_composite_apply
+
+        ue_fn, ve_fn = exact_uv_jnp(cfg.re)
+        clift_u = coons_lift_jnp(ue_fn, cfg.domain_x, cfg.domain_y)
+        clift_v = coons_lift_jnp(ve_fn, cfg.domain_x, cfg.domain_y)
+        (xa_, xb_), (ya_, yb_) = cfg.domain_x, cfg.domain_y
+        sx = ((xb_ - xa_) / 2.0) ** 2
+        sy = ((yb_ - ya_) / 2.0) ** 2
+
+        def _lift(X):
+            x, y = X[:, 0:1], X[:, 1:2]
+            return jnp.concatenate(
+                [clift_u(x, y), clift_v(x, y), jnp.zeros_like(x)], axis=-1
+            )
+
+        def _envelope(X):
+            # normalized bubble (1 at the domain center, 0 on the walls)
+            # for the velocity pair; the pressure output is unenveloped
+            x, y = X[:, 0:1], X[:, 1:2]
+            bub = ((x - xa_) * (xb_ - x) / sx) * ((y - ya_) * (yb_ - y) / sy)
+            return jnp.concatenate([bub, bub, jnp.ones_like(bub)], axis=-1)
+
+        _composite = make_composite_apply(spec, _lift, _envelope)
+
+        def make_w_fn(params):
+            return _composite(params)
+
+    else:
+
+        def make_w_fn(params):
+            return lambda X: mlp_apply(spec, params["net"], X)
 
     def nu_of(params):
         return params["pde"]["nu"] if cfg.inverse else nu_true
@@ -289,6 +362,9 @@ def build(cfg: KovasznayConfig, rng: np.random.Generator | None = None) -> Probl
         loss_fn=loss_fn,
         init_params=make_net_init(spec, pde_init=pde_init, dtype=dtype),
         exact=lambda x, y: exact_stacked(x, y, cfg.re),
+        apply_override=(
+            (lambda params, X: make_w_fn(params)(X)) if cfg.hard_bc else None
+        ),
         test_points=test_points,
         test_values=test_values,
         extras={

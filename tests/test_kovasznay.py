@@ -361,3 +361,24 @@ def test_eq_weights_scale_residual_and_keep_gn_identity():
     loss, _ = pw.loss_fn(params, pw.data)
     r = make_residual_vector(pw)(params, pw.data)
     np.testing.assert_allclose(float(np.sum(np.asarray(r) ** 2)), float(loss), rtol=1e-12)
+
+
+def test_hard_bc_velocity_exact_and_gn_identity():
+    """Lifted ansatz: (u, v) match the exact boundary traces to machine
+    precision for ARBITRARY parameters; the GN residual identity holds
+    (p stays soft on the boundary = the gauge)."""
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    cfg = hv.KovasznayConfig(dtype="float64", hard_bc=True, n_quad=6,
+                             n_test_x=3, n_test_y=3, layers=(2, 6, 3))
+    prob = kovasznay.build(cfg)
+    params = prob.init_params(jax.random.key(9))
+    Xb = np.asarray(prob.data["xb"], dtype=np.float64)
+    w = np.asarray(prob.apply(params, jnp.asarray(Xb)))
+    ex = kovasznay.exact_stacked(Xb[:, 0], Xb[:, 1], cfg.re)
+    assert np.abs(w[:, :2] - ex[:, :2]).max() < 1e-13
+    loss, _ = prob.loss_fn(params, prob.data)
+    r = make_residual_vector(prob)(params, prob.data)
+    np.testing.assert_allclose(float(np.sum(np.asarray(r) ** 2)), float(loss), rtol=1e-12)
+    with pytest.raises(ValueError):
+        kovasznay.build(hv.KovasznayConfig(hard_bc=True, bc_pressure=False))
