@@ -29,6 +29,7 @@ from hpvpinns_tpu.config import (
     AdvDiffConfig,
     BurgersConfig,
     KovasznayConfig,
+    TaylorGreenConfig,
     burgers_precision,
     burgers_quality,
     kovasznay_precision,

@@ -268,6 +268,36 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--sensor-noise", type=float, dest="sensor_noise")
     _add_common_flags(pk)
 
+    pt = runsub.add_parser(
+        "taylorgreen",
+        help="UNSTEADY incompressible Navier-Stokes, Taylor-Green vortex — "
+        "the time-dependent PDE system on the space-time tensor machinery "
+        "(3-input/3-output ansatz; beyond reference)",
+    )
+    pt.add_argument("--re", type=float, help="Reynolds number (nu = 1/Re)")
+    for flag in ("x", "y", "t"):
+        pt.add_argument(f"--n-elements-{flag}", type=int, dest=f"n_elements_{flag}")
+        pt.add_argument(f"--n-test-{flag}", type=int, dest=f"n_test_{flag}")
+        pt.add_argument(f"--grid-{flag}", type=_grid_arg, dest=f"grid_{flag}")
+    pt.add_argument("--n-bound", type=int, dest="n_bound")
+    pt.add_argument("--no-bc-pressure", action="store_const", const=False,
+                    default=None, dest="bc_pressure",
+                    help="velocity-only walls + a pressure anchor CURVE "
+                    "(one spatial point across LHS times — the unsteady "
+                    "gauge freedom is a free function of t)")
+    pt.add_argument("--eq-weights", type=_grid_arg, dest="eq_weights",
+                    metavar="WX,WY,WC",
+                    help="per-equation residual weights (same contract as "
+                    "the kovasznay knob)")
+    pt.add_argument("--inverse", action="store_const", const=True, default=None,
+                    dest="inverse",
+                    help="trainable viscosity identified from interior "
+                    "space-time (u, v) sensors")
+    pt.add_argument("--nu-init", type=float, dest="nu_init")
+    pt.add_argument("--n-sensors", type=int, dest="n_sensors")
+    pt.add_argument("--sensor-noise", type=float, dest="sensor_noise")
+    _add_common_flags(pt)
+
     sub.add_parser("presets", help="print the shipped configurations of record")
 
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
@@ -316,7 +346,10 @@ def build_parser() -> argparse.ArgumentParser:
         "alternates two linear solves for a FIELD eps(x) (4e-4 on clean "
         "dense sensing) — both f64 CPU, seconds not minutes",
     )
-    idf.add_argument("problem", choices=["advdiff", "advdiff2d", "burgers", "kovasznay"])
+    idf.add_argument(
+        "problem",
+        choices=["advdiff", "advdiff2d", "burgers", "kovasznay", "taylorgreen"],
+    )
     idf.add_argument("--method", choices=["reduced", "als"], default="reduced")
     idf.add_argument("--eps-order", type=int, default=None, dest="eps_order",
                      help="Legendre modes (als field fit; default 8)")
@@ -370,6 +403,7 @@ _PRESETS = {
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.BurgersConfig,
     "kovasznay": cfgmod.KovasznayConfig,
+    "taylorgreen": cfgmod.TaylorGreenConfig,
 }
 
 _QUALITY_PRESETS = {
@@ -380,6 +414,7 @@ _QUALITY_PRESETS = {
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.burgers_quality,
     "kovasznay": cfgmod.kovasznay_quality,
+    "taylorgreen": cfgmod.TaylorGreenConfig,
 }
 
 # f64-CPU Gauss-Newton accuracy-frontier points (MEASUREMENTS.md round-3 GN
@@ -653,6 +688,30 @@ def cmd_identify(args) -> int:
             }
         summary_k["wall_time_s"] = round(_time.perf_counter() - t0, 2)
         print(json.dumps(summary_k))
+        return 0
+    if args.problem == "taylorgreen":
+        if args.method != "reduced":
+            raise SystemExit("identify taylorgreen supports --method reduced (viscosity)")
+        cfgt = hv.TaylorGreenConfig(dtype="float64", inverse=True)
+        if args.sensor_noise_std is not None:
+            cfgt = dataclasses.replace(cfgt, sensor_noise=args.sensor_noise_std)
+        _maybe_enable_x64(cfgt.dtype)
+        import time as _time
+
+        from hpvpinns_tpu.inverse import reduced_identify_taylorgreen
+
+        probt = hv.build(cfgt)
+        t0 = _time.perf_counter()
+        nu_hat, info = reduced_identify_taylorgreen(probt)
+        nu_t = probt.extras["nu_true"]
+        print(json.dumps({
+            "problem": "taylorgreen", "method": "reduced",
+            "nu": nu_hat, "nu_true": nu_t,
+            "nu_rel_err": abs(nu_hat - nu_t) / nu_t,
+            "n_forward_solves": info["n_solves"],
+            "n_sensors": info["n_sensors"],
+            "wall_time_s": round(_time.perf_counter() - t0, 2),
+        }))
         return 0
     if args.problem == "advdiff2d":
         if getattr(args, "manufactured_velocity", None):
@@ -986,6 +1045,7 @@ def cmd_run(args) -> int:
             "advdiff2d": _gk.vpinn_gap_advdiff2d,
             "burgers": _gk.vpinn_gap_burgers,
             "kovasznay": _gk.vpinn_gap_kovasznay,
+            "taylorgreen": _gk.vpinn_gap_taylorgreen,
         }
         gfn = gap_fns.get(prob.name)
         if gfn is None:

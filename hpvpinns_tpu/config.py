@@ -13,6 +13,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Optional, Tuple
 
+import numpy as np
+
 
 @dataclass(frozen=True)
 class TrainConfig:
@@ -418,6 +420,71 @@ class KovasznayConfig:
     sensor_noise: float = 0.0  # additive N(0, noise^2) on sensor readings
     domain_x: Tuple[float, float] = (-0.5, 1.0)
     domain_y: Tuple[float, float] = (-0.5, 1.5)
+    dtype: str = "float32"
+    deriv_mode: str = "jvp"  # vector ansatz: the shape-generic JVP engine
+    train: TrainConfig = field(
+        default_factory=lambda: TrainConfig(iterations=5000, check_every=100)
+    )
+
+
+@dataclass(frozen=True)
+class TaylorGreenConfig:
+    """UNSTEADY incompressible Navier-Stokes, Taylor-Green vortex
+    (nu = 1/Re):
+
+        w_t + (w . grad) w + grad p = nu Lap w,   div w = 0
+        on [x_l, x_r] x [y_l, y_r] x [0, T],  w = (u, v)
+
+    with the exact decaying-vortex solution
+
+        u = -cos(x) sin(y) e^{-2 nu t}
+        v =  sin(x) cos(y) e^{-2 nu t}
+        p = -(cos(2x) + cos(2y))/4 e^{-4 nu t}.
+
+    The framework's second PDE SYSTEM and its first TIME-DEPENDENT one:
+    a 3-input (x, y, t) / 3-output (u, v, p) ansatz against the stacked
+    momentum+continuity weak residual on the space-time tensor machinery
+    (ops/assembly.py::ns_unsteady_residual; time = the slowest axis, like
+    advdiff2d).  No reference analog."""
+
+    layers: Tuple[int, ...] = (3, 30, 30, 30, 3)
+    activation: str = "tanh"
+    adaptive_slope: bool = False
+    matmul_precision: str = "highest"
+    var_form: int = 1  # 0 | 1 (once-IBP diffusion + pressure, in space)
+    re: float = 10.0  # Reynolds number; nu = 1/re
+    n_elements_x: int = 2
+    n_elements_y: int = 2
+    n_elements_t: int = 2
+    grid_x: Optional[Tuple[float, ...]] = None
+    grid_y: Optional[Tuple[float, ...]] = None
+    grid_t: Optional[Tuple[float, ...]] = None
+    n_test_x: int = 6
+    n_test_y: int = 6
+    n_test_t: int = 6
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    n_test_y_per_elem: Optional[Tuple[int, ...]] = None
+    n_test_t_per_elem: Optional[Tuple[int, ...]] = None
+    n_quad: int = 10
+    n_bound: int = 60  # LHS points per face (4 side walls + the t=0 face)
+    lossb_weight: float = 10.0
+    eq_weights: Optional[Tuple[float, float, float]] = None  # per-equation
+    # residual weights (x-momentum, y-momentum, continuity) — same contract
+    # as KovasznayConfig.eq_weights
+    bc_pressure: bool = True  # prescribe p on the side walls alongside
+    # (u, v) (keeps the GN residual identity a plain least-squares block);
+    # False = velocity-only walls + a pressure anchor CURVE (p at one
+    # spatial point across n_anchor times — unsteady gauge freedom is a
+    # free function of t, so a single point cannot fix it)
+    p_anchor_weight: float = 10.0
+    n_anchor: int = 16  # anchor times (bc_pressure=False only)
+    inverse: bool = False  # trainable viscosity nu = params["pde"]["nu"]
+    nu_init: float = 0.3  # inverse-mode initial viscosity
+    n_sensors: int = 96  # interior space-time (u, v) sensors (inverse mode)
+    sensor_noise: float = 0.0
+    domain_x: Tuple[float, float] = (0.0, float(np.pi))
+    domain_y: Tuple[float, float] = (0.0, float(np.pi))
+    t_final: float = 1.0
     dtype: str = "float32"
     deriv_mode: str = "jvp"  # vector ansatz: the shape-generic JVP engine
     train: TrainConfig = field(

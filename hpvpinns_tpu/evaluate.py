@@ -145,6 +145,24 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
                 dtype=dtype,
             )
         )
+    if problem.name == "taylorgreen":
+        from hpvpinns_tpu.ops.fields import vector_fields_3d
+
+        nu = problem.extras["nu_of"](params)
+        flds = vector_fields_3d(u_fn, X[:, 0:1], X[:, 1:2], X[:, 2:3])
+        w, wx, wy, wt = flds["w"], flds["wx"], flds["wy"], flds["wz"]
+        wxx, wyy = flds["wxx"], flds["wyy"]
+        u, v = w[..., 0], w[..., 1]
+        mom_x = (
+            wt[..., 0] + u * wx[..., 0] + v * wy[..., 0] + wx[..., 2]
+            - nu * (wxx[..., 0] + wyy[..., 0])
+        )
+        mom_y = (
+            wt[..., 1] + u * wx[..., 1] + v * wy[..., 1] + wy[..., 2]
+            - nu * (wxx[..., 1] + wyy[..., 1])
+        )
+        div = wx[..., 0] + wy[..., 1]
+        return np.asarray(jnp.concatenate([mom_x, mom_y, div], axis=-1))
     if problem.name == "kovasznay":
         from hpvpinns_tpu.ops.fields import vector_fields_2d
 

@@ -1250,3 +1250,74 @@ def reduced_identify_kovasznay(
         "misfit": float(res.fun), "n_solves": n_solves[0],
         "n_sensors": len(ds), "method": "brent-bounded", "p": p,
     }
+
+
+def reduced_identify_taylorgreen(
+    problem,
+    p: int = 10,
+    n_steps: int = 60,
+    bounds=(0.01, 0.5),
+    xatol: float = 1e-12,
+    noise: float = 0.0,
+    seed: int = 0,
+):
+    """VISCOSITY identification for the UNSTEADY Navier-Stokes system:
+    Brent-search nu with the BDF2 spectral solver
+    (galerkin.solve_ns_unsteady) in the loop, minimizing the misfit
+    against interior space-time (u, v) sensors — the time-dependent twin
+    of reduced_identify_kovasznay.
+
+    Sensors come from the problem's own inverse-mode data
+    (problem.data["xs"]/"us") when present, else are LHS-sampled here.
+
+    Returns (nu_hat, info).
+    """
+    from hpvpinns_tpu.galerkin import solve_ns_unsteady
+    from hpvpinns_tpu.problems.taylorgreen import exact_fields
+    from hpvpinns_tpu.utils.sampling import lhs_box
+
+    if problem.name != "taylorgreen":
+        raise ValueError(
+            f"reduced_identify_taylorgreen supports taylorgreen problems, got {problem.name!r}"
+        )
+    cfg = problem.config
+    if "xs" in problem.data:
+        Xs = np.asarray(problem.data["xs"], dtype=np.float64)
+        ds = np.asarray(problem.data["us"], dtype=np.float64)
+    else:
+        rng = np.random.default_rng(seed)
+        Xs = lhs_box(
+            [cfg.domain_x, cfg.domain_y, (0.0, cfg.t_final)], cfg.n_sensors, rng
+        )
+        u, v, _ = exact_fields(Xs[:, 0], Xs[:, 1], Xs[:, 2], cfg.re)
+        ds = np.stack([u, v], axis=-1)
+        if noise > 0.0:
+            ds = ds + rng.normal(0.0, noise, ds.shape)
+
+    def g_fn(x, y, t):
+        u, v, _ = exact_fields(x, y, t, cfg.re)
+        return u, v
+
+    def u0_fn(x, y):
+        u, v, _ = exact_fields(x, y, 0.0, cfg.re)
+        return u, v
+
+    n_solves = [0]
+
+    def misfit(nu):
+        sol = solve_ns_unsteady(
+            cfg.domain_x, cfg.domain_y, p, float(nu), g_fn, u0_fn,
+            cfg.t_final, n_steps,
+        )
+        n_solves[0] += 1
+        u, v = sol.velocity(Xs[:, 0], Xs[:, 1], Xs[:, 2])
+        return float(np.sum((u - ds[:, 0]) ** 2 + (v - ds[:, 1]) ** 2))
+
+    from scipy.optimize import minimize_scalar
+
+    res = minimize_scalar(misfit, bounds=bounds, method="bounded", options={"xatol": xatol})
+    return float(res.x), {
+        "misfit": float(res.fun), "n_solves": n_solves[0],
+        "n_sensors": len(ds), "method": "brent-bounded",
+        "p": p, "n_steps": n_steps,
+    }

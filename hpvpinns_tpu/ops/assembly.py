@@ -409,6 +409,84 @@ def ns_residual(w_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_form: int
     return U - elems.f_proj[:, None]
 
 
+def ns_unsteady_residual(w_fn, elems: Elements3D, bx: Basis1D, by: Basis1D, bt: Basis1D, var_form: int, nu, fields_fn=None):
+    """Res[e, i, m, k, r] for the UNSTEADY incompressible Navier-Stokes
+    SYSTEM on space-time tensor elements (time = the slowest z axis, like
+    advdiff2d):
+
+        u_t + u u_x + v u_y + p_x - nu (u_xx + u_yy) = 0   (i = 0)
+        v_t + u v_x + v v_y + p_y - nu (v_xx + v_yy) = 0   (i = 1)
+        u_x + v_y                                    = 0   (i = 2)
+
+    The time-dependent twin of ns_residual (steady Kovasznay system) —
+    no reference analog.  w_fn maps [P, 3] (x, y, t) -> [P, 3] (u, v, p).
+
+    var_form 0:  U_i = jac * C3(phi_r, phi_k, phi_m, strong integrand_i)
+    var_form 1:  diffusion AND pressure-gradient once integrated by parts
+                 in SPACE (test functions vanish on element side walls;
+                 the u_t term stays strong — first order in time):
+      U_0 = jac * C3(phi, phi, phi, u_t + u u_x + v u_y)
+            + nu [jx C3(phi', phi, phi, u_x) + jy C3(phi, phi', phi, u_y)]
+            - jx C3(phi', phi, phi, p)
+      U_1 = analogous with v and - jy C3(phi, phi', phi, p)
+      U_2 = jac * C3(phi, phi, phi, u_x + v_y)
+
+    Returns [E, 3, M, K, R]; the zero RHS projection broadcasts over the
+    equation axis (f_proj[:, None]).
+    """
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.ops.contract import contract_3d
+    from hpvpinns_tpu.ops.fields import vector_fields_3d
+
+    with jax.named_scope("vpinn_fields_ns3d"):
+        f3d = fields_fn or (lambda *a, **k: vector_fields_3d(w_fn, *a, **k))
+        flds = f3d(elems.x, elems.y, elems.z, second=(var_form == 0))
+    w, wx, wy, wt = flds["w"], flds["wx"], flds["wy"], flds["wz"]
+    u, v = w[..., 0], w[..., 1]
+    ux, vx, px = wx[..., 0], wx[..., 1], wx[..., 2]
+    uy, vy_, py = wy[..., 0], wy[..., 1], wy[..., 2]
+    conv_u = wt[..., 0] + u * ux + v * uy
+    conv_v = wt[..., 1] + u * vx + v * vy_
+    div = ux + vy_
+    jac = (elems.jac_x * elems.jac_y * elems.jac_z)[:, None, None, None]
+    if var_form == 0:
+        wxx, wyy = flds["wxx"], flds["wyy"]
+        U0 = jac * contract_3d(
+            bx.wphi, by.wphi, bt.wphi,
+            conv_u + px - nu * (wxx[..., 0] + wyy[..., 0]),
+        )
+        U1 = jac * contract_3d(
+            bx.wphi, by.wphi, bt.wphi,
+            conv_v + py - nu * (wxx[..., 1] + wyy[..., 1]),
+        )
+    elif var_form == 1:
+        p = w[..., 2]
+        jx = (elems.jac_y * elems.jac_z)[:, None, None, None]
+        jy = (elems.jac_x * elems.jac_z)[:, None, None, None]
+        U0 = (
+            jac * contract_3d(bx.wphi, by.wphi, bt.wphi, conv_u)
+            + nu * (
+                jx * contract_3d(bx.wdphi, by.wphi, bt.wphi, ux)
+                + jy * contract_3d(bx.wphi, by.wdphi, bt.wphi, uy)
+            )
+            - jx * contract_3d(bx.wdphi, by.wphi, bt.wphi, p)
+        )
+        U1 = (
+            jac * contract_3d(bx.wphi, by.wphi, bt.wphi, conv_v)
+            + nu * (
+                jx * contract_3d(bx.wdphi, by.wphi, bt.wphi, vx)
+                + jy * contract_3d(bx.wphi, by.wdphi, bt.wphi, vy_)
+            )
+            - jy * contract_3d(bx.wphi, by.wdphi, bt.wphi, p)
+        )
+    else:
+        raise ValueError(f"unsteady Navier-Stokes var_form must be 0 or 1; got {var_form}")
+    U2 = jac * contract_3d(bx.wphi, by.wphi, bt.wphi, div)
+    U = jnp.stack([U0, U1, U2], axis=1)
+    return U - elems.f_proj[:, None]
+
+
 def variational_loss(res: jax.Array, mask: jax.Array, n_test: jax.Array) -> jax.Array:
     """loss_v = sum_e mean_n Res[e, n]^2 (Poisson-1D.py:95-96) with per-element
     test counts handled by masking (inactive test indices contribute zero)."""

@@ -111,6 +111,44 @@ def vector_fields_2d(w_fn, x, y, *, firsts_only: bool = False):
     }
 
 
+def vector_fields_3d(w_fn, x, y, z, *, second: bool = True):
+    """Vector-valued network fields at 3D points — the engine for unsteady
+    PDE SYSTEMS on the space-time tensor machinery (e.g. the Taylor-Green
+    (u, v, p) triple with time as the slowest z axis).
+
+    w_fn maps [P, 3] -> [P, C]; x, y, z have identical shape
+    [..., Qz, Qy, Qx].  One nested-JVP chain per axis differentiates ALL C
+    components simultaneously (the 3D twin of vector_fields_2d).
+
+    Returns {'w', 'wx', 'wy', 'wz'} plus {'wxx', 'wyy'} when `second`
+    (no 'wzz': the unsteady systems are first-order in time), each shaped
+    [..., Qz, Qy, Qx, C].  (No reference analog — the reference's PDE
+    families are all scalar.)
+    """
+    shape = x.shape
+    X = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+    vx = coord_tangent(X, 0)
+    vy = coord_tangent(X, 1)
+    vz = coord_tangent(X, 2)
+    out = {}
+    if second:
+        w, wx, wxx = value_and_dir_derivs2(w_fn, X, vx)
+        _, wy, wyy = value_and_dir_derivs2(w_fn, X, vy)
+        c = w.shape[-1]
+        out["wxx"] = wxx.reshape(shape + (c,))
+        out["wyy"] = wyy.reshape(shape + (c,))
+    else:
+        w, wx = jax.jvp(w_fn, (X,), (vx,))
+        _, wy = jax.jvp(w_fn, (X,), (vy,))
+        c = w.shape[-1]
+    _, wz = jax.jvp(w_fn, (X,), (vz,))
+    out["w"] = w.reshape(shape + (c,))
+    out["wx"] = wx.reshape(shape + (c,))
+    out["wy"] = wy.reshape(shape + (c,))
+    out["wz"] = wz.reshape(shape + (c,))
+    return out
+
+
 def scalar_fields_3d(u_fn, x, y, z, *, second: bool = True):
     """Network value and per-axis derivatives at 3D points [..., Qz, Qy, Qx].
 

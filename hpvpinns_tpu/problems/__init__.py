@@ -3,6 +3,7 @@ from hpvpinns_tpu.problems import (
     advdiff2d,
     burgers,
     kovasznay,
+    taylorgreen,
     poisson1d,
     poisson2d,
     poisson3d,
@@ -17,6 +18,7 @@ _BUILDERS = {
     "advdiff2d": advdiff2d.build,
     "burgers": burgers.build,
     "kovasznay": kovasznay.build,
+    "taylorgreen": taylorgreen.build,
 }
 
 
@@ -27,6 +29,7 @@ def build(config) -> Problem:
         AdvDiffConfig,
         BurgersConfig,
         KovasznayConfig,
+        TaylorGreenConfig,
         Poisson1DConfig,
         Poisson2DConfig,
         Poisson3DConfig,
@@ -46,4 +49,6 @@ def build(config) -> Problem:
         return burgers.build(config)
     if isinstance(config, KovasznayConfig):
         return kovasznay.build(config)
+    if isinstance(config, TaylorGreenConfig):
+        return taylorgreen.build(config)
     raise TypeError(f"unknown problem config type: {type(config).__name__}")

@@ -157,6 +157,40 @@ def plot_vector_solution(problem: Problem, params, outdir: str, fmt: str = "png"
     return path
 
 
+def plot_vector_slices(problem: Problem, params, outdir: str, times=(0.0, 0.5, 1.0), fmt: str = "png"):
+    """Fixed-t contour slices of an unsteady SYSTEM's components with
+    L-inf error annotation — the vector twin of plot_3d_slices /
+    plot_advdiff_slices (AdvDiff.py:660-696 convention).  One row per
+    component, one column per requested time."""
+    plt = _plt()
+    nt, ny, nx = problem.extras["test_grid_shape"]
+    names = problem.extras["component_names"]
+    c = len(names)
+    pts = problem.test_points
+    X = pts[:, 0].reshape(nt, ny, nx)
+    Y = pts[:, 1].reshape(nt, ny, nx)
+    T = pts[:, 2].reshape(nt, ny, nx)
+    w_true = np.asarray(problem.test_values).reshape(nt, ny, nx, c)
+    w_pred = predict(problem, params).reshape(nt, ny, nx, c)
+    tvals = T[:, 0, 0]
+
+    fig, axes = plt.subplots(c, len(times), figsize=(4.8 * len(times), 4.2 * c))
+    axes = np.atleast_2d(axes)
+    for i, comp in enumerate(names):
+        for j, t in enumerate(times):
+            k = int(np.argmin(np.abs(tvals - t)))
+            linf = np.max(np.abs(w_true[k, ..., i] - w_pred[k, ..., i]))
+            ax = axes[i, j]
+            cs = ax.contourf(X[k], Y[k], w_pred[k, ..., i], levels=60, cmap="jet")
+            fig.colorbar(cs, ax=ax)
+            ax.set_title(f"${comp}$  t = {tvals[k]:.2f},  $L_\\infty$ = {linf:.1e}")
+            ax.set_xlabel("$x$")
+            ax.set_ylabel("$y$")
+    path = _save(fig, outdir, "component_slices", fmt)
+    plt.close(fig)
+    return path
+
+
 def plot_coefficient_history(
     result: TrainResult, key: str, true_value: float, outdir: str,
     label: str | None = None, fmt: str = "pdf",
@@ -394,6 +428,12 @@ def standard_report(
         paths.append(plot_advdiff_slices(problem, params, outdir))
     elif problem.name == "kovasznay":
         paths.append(plot_vector_solution(problem, params, outdir))
+        if "nu" in result.history:
+            paths.append(plot_coefficient_history(
+                result, "nu", problem.extras["nu_true"], outdir, label="\\nu"
+            ))
+    elif problem.name == "taylorgreen":
+        paths.append(plot_vector_slices(problem, params, outdir))
         if "nu" in result.history:
             paths.append(plot_coefficient_history(
                 result, "nu", problem.extras["nu_true"], outdir, label="\\nu"
