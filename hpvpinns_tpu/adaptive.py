@@ -170,10 +170,13 @@ def _refined_config(
         if (sy := split_orders(cfg.n_test_y_per_elem, my)) is not None:
             new["n_test_y_per_elem"] = sy
         return dataclasses.replace(cfg, **new)
-    if isinstance(cfg, hv.AdvDiff2DConfig):
-        # 2D-space + time family (element axes x, y, t; flat order
+    if isinstance(cfg, (hv.AdvDiff2DConfig, hv.TaylorGreenConfig)):
+        # 2D-space + time families (element axes x, y, t; flat order
         # e = (ex*Ey + ey)*Et + et).  axes="x" marks the SPACE axes (x, y);
-        # axes="xt" also marks time.
+        # axes="xt" also marks time.  The unsteady Navier-Stokes system
+        # (TaylorGreenConfig) rides the identical element layout — its
+        # [E, 3, M, K, R] residual's equation axis is already summed into
+        # eta by element_indicator, exactly like the steady system's.
         Ex, Ey, Et = mesh.shape
         eta3 = eta.reshape(Ex, Ey, Et)
         mx = dorfler_mark(eta3.sum(axis=(1, 2)), theta)
@@ -269,7 +272,8 @@ def _refined_config(
                 )
         return dataclasses.replace(cfg, **new)
     raise TypeError(
-        f"adaptive refinement supports Poisson/Burgers/AdvDiff configs, got {type(cfg).__name__}"
+        "adaptive refinement supports Poisson/Burgers/AdvDiff/Kovasznay/"
+        f"TaylorGreen configs, got {type(cfg).__name__}"
     )
 
 
@@ -355,6 +359,10 @@ def adaptive_solve(
                 else float(np.asarray(res.final_aux["epsilon"]))
             )
             rec["eps_true"] = float(problem.extras["eps_true"])
+        if "nu" in res.final_aux:
+            # inverse Navier-Stokes families: track the viscosity per round
+            rec["nu"] = float(np.asarray(res.final_aux["nu"]))
+            rec["nu_true"] = float(problem.extras["nu_true"])
         records.append(rec)
         if metrics["rel_l2"] < best[0]:
             best = (metrics["rel_l2"], r, res.eval_params, problem)

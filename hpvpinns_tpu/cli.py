@@ -304,7 +304,7 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument(
         "problem",
         choices=["poisson1d", "poisson2d", "burgers", "advdiff", "advdiff2d",
-                 "kovasznay"],
+                 "kovasznay", "taylorgreen"],
     )
     ad.add_argument("--rounds", type=int, default=3)
     ad.add_argument("--theta", type=float, default=None,
@@ -704,14 +704,38 @@ def cmd_identify(args) -> int:
         t0 = _time.perf_counter()
         nu_hat, info = reduced_identify_taylorgreen(probt)
         nu_t = probt.extras["nu_true"]
-        print(json.dumps({
+        summary_t = {
             "problem": "taylorgreen", "method": "reduced",
             "nu": nu_hat, "nu_true": nu_t,
             "nu_rel_err": abs(nu_hat - nu_t) / nu_t,
             "n_forward_solves": info["n_solves"],
             "n_sensors": info["n_sensors"],
-            "wall_time_s": round(_time.perf_counter() - t0, 2),
-        }))
+        }
+        if getattr(args, "uncertainty", False):
+            from hpvpinns_tpu import uncertainty as uq
+
+            ci = uq.reduced_ns_unsteady_ci(
+                probt, nu_hat, p=info["p"], n_steps=info["n_steps"],
+                noise_std=args.sensor_noise_std or None,
+            )
+            summary_t["uncertainty"] = {
+                "method": "gauss-newton (fd-sensitivity, BDF2 unsteady-NS "
+                "solves) + Richardson debias"
+                + (" CRLB @ declared noise" if ci["crlb"] else ""),
+                "params": ci["params"],
+                "std": ci["std"],
+                "ci95": ci["ci95"],
+                "sigma_est": ci["sigma"],
+                "truth_covered": bool(ci["ci95"][0][0] <= nu_t <= ci["ci95"][0][1]),
+            }
+            if "debiased" in ci:
+                # O(dt^2)-bias removal: measured 170x on the family
+                # benchmark (uncertainty.reduced_ns_unsteady_ci)
+                nu_db = ci["debiased"][0]
+                summary_t["nu_debiased"] = nu_db
+                summary_t["nu_debiased_rel_err"] = abs(nu_db - nu_t) / nu_t
+        summary_t["wall_time_s"] = round(_time.perf_counter() - t0, 2)
+        print(json.dumps(summary_t))
         return 0
     if args.problem == "advdiff2d":
         if getattr(args, "manufactured_velocity", None):

@@ -485,3 +485,88 @@ def reduced_ns_ci(problem, nu_hat: float, p: int = 16, rel_step: float = 1e-4,
         "n_sensors": n,
         "crlb": crlb,
     }
+
+
+def reduced_ns_unsteady_ci(problem, nu_hat: float, p: int = 10,
+                           n_steps: int = 60, rel_step: float = 1e-4,
+                           noise_std: Optional[float] = None,
+                           debias: bool = True):
+    """Gauss-Newton covariance for the UNSTEADY Navier-Stokes viscosity
+    route (inverse.reduced_identify_taylorgreen): sensitivity of the
+    interior space-time (u, v) sensor predictions to nu by central
+    differences of the BDF2 spectral solver (2 solves), sigma^2 from the
+    residuals at the optimum — or the CRLB at a declared `noise_std`.
+    The time-dependent twin of reduced_ns_ci; the same plot-only
+    validation gap in the reference (AdvDiff.py:544-545) being closed.
+
+    Unlike the steady route (solver error ~2e-11, negligible), this
+    estimator's dominant error is the solver's O(dt^2) DISCRETIZATION
+    BIAS, which no variance term prices: measured at the p=10/60-step
+    default, the raw GN interval (half-width ~8e-7) misses the true nu by
+    ~4.6e-6.  `debias=True` fixes this with ONE extra solve at 2*n_steps:
+    Richardson-estimate the prediction's model error
+    e ~ (4/3)(pred_n - pred_2n), map it through the GN normal equations —
+    the optimum satisfies S'(pred - d) = 0, so
+    nu_hat - nu_true ~ -(S'e)/(S'S) — and recenter.  Measured on the
+    family benchmark: raw rel err 4.6e-5 -> debiased 2.7e-7 (170x; the
+    bias estimate matches the actual error to 0.6%), and the recentered
+    interval covers.  The Richardson remainder is priced into the
+    half-width as 0.25*|bias|.
+
+    Keep (p, n_steps) matched to the identification call — the bias being
+    removed is that discretization's.
+
+    Returns the reduced_scalar_ci dict shape plus, when debias is on,
+    "bias" (the estimated nu_hat - nu_true) and "debiased" (the
+    recentered estimate the ci95 is built around).
+    """
+    from hpvpinns_tpu.galerkin import solve_ns_unsteady
+    from hpvpinns_tpu.problems.taylorgreen import exact_fields
+
+    cfg = problem.config
+    Xs = np.asarray(problem.data["xs"], dtype=np.float64)
+    ds = np.asarray(problem.data["us"], dtype=np.float64).reshape(-1)
+
+    def g_fn(x, y, t):
+        u, v, _ = exact_fields(x, y, t, cfg.re)
+        return u, v
+
+    def u0_fn(x, y):
+        u, v, _ = exact_fields(x, y, 0.0, cfg.re)
+        return u, v
+
+    def predict(nu, steps=n_steps):
+        sol = solve_ns_unsteady(
+            cfg.domain_x, cfg.domain_y, p, float(nu), g_fn, u0_fn,
+            cfg.t_final, steps,
+        )
+        u, v = sol.velocity(Xs[:, 0], Xs[:, 1], Xs[:, 2])
+        return np.stack([u, v], axis=-1).reshape(-1)
+
+    pred = predict(nu_hat)
+    resid = pred - ds
+    h = rel_step * max(abs(nu_hat), 1e-8)
+    S = (predict(nu_hat + h) - predict(nu_hat - h)) / (2 * h)
+    n = len(ds)
+    crlb = noise_std is not None
+    sigma2 = noise_std**2 if crlb else float(resid @ resid) / max(n - 1, 1)
+    var = sigma2 / float(S @ S)
+    std = float(np.sqrt(max(var, 0.0)))
+    out = {
+        "params": ["nu"],
+        "std": [std],
+        "sigma": float(np.sqrt(sigma2)),
+        "n_sensors": n,
+        "crlb": crlb,
+    }
+    center, margin = nu_hat, 0.0
+    if debias:
+        e = (4.0 / 3.0) * (pred - predict(nu_hat, steps=2 * n_steps))
+        bias = -float(S @ e) / float(S @ S)  # est. of nu_hat - nu_true
+        center = nu_hat - bias
+        margin = 0.25 * abs(bias)  # Richardson-remainder allowance
+        out["bias"] = [bias]
+        out["debiased"] = [float(center)]
+    out["ci95"] = [(float(center - 1.96 * std - margin),
+                    float(center + 1.96 * std + margin))]
+    return out
