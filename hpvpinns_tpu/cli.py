@@ -285,6 +285,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="velocity-only walls + a pressure anchor CURVE "
                     "(one spatial point across LHS times — the unsteady "
                     "gauge freedom is a free function of t)")
+    pt.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc",
+                    help="lifted ansatz: velocity exact on the 5 data faces "
+                    "(side walls at all t + the t=0 face) by construction "
+                    "via the space-time transfinite interpolant; p soft on "
+                    "the walls (gauge)")
     pt.add_argument("--eq-weights", type=_grid_arg, dest="eq_weights",
                     metavar="WX,WY,WC",
                     help="per-equation residual weights (same contract as "
@@ -414,7 +420,7 @@ _QUALITY_PRESETS = {
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.burgers_quality,
     "kovasznay": cfgmod.kovasznay_quality,
-    "taylorgreen": cfgmod.TaylorGreenConfig,
+    "taylorgreen": cfgmod.taylorgreen_quality,
 }
 
 # f64-CPU Gauss-Newton accuracy-frontier points (MEASUREMENTS.md round-3 GN

@@ -452,6 +452,11 @@ class TaylorGreenConfig:
     adaptive_slope: bool = False
     matmul_precision: str = "highest"
     var_form: int = 1  # 0 | 1 (once-IBP diffusion + pressure, in space)
+    hard_bc: bool = False  # lifted ansatz: velocity exact on the 5 data
+    # faces (side walls at all t + the t=0 face) by construction via the
+    # space-time transfinite interpolant
+    # (problems/taylorgreen.py::coons_lift_spacetime_jnp); requires
+    # bc_pressure=True (wall p data fixes the gauge, as KovasznayConfig)
     re: float = 10.0  # Reynolds number; nu = 1/re
     n_elements_x: int = 2
     n_elements_y: int = 2
@@ -526,6 +531,17 @@ def kovasznay_precision() -> KovasznayConfig:
             gn_solve="qr",
             check_every=1000,
         ),
+    )
+
+
+def taylorgreen_quality() -> TaylorGreenConfig:
+    """Measured quality point for the UNSTEADY Navier-Stokes system
+    (round-3, benchmarks/MEASUREMENTS.md): default 2x2x2 space-time mesh /
+    6^3 test / 30-wide triple-output net at Adam-10k + L-BFGS-10k.
+    Measured f32 single chip: stacked (u, v, p) rel-L2 **6.6e-3 in
+    ~4 min** (u 3.2e-3, v 4.3e-3, p 1.8e-2)."""
+    return TaylorGreenConfig(
+        train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
     )
 
 

@@ -60,6 +60,65 @@ def exact_stacked(x, y, t, re: float):
     return np.stack([u, v, p], axis=-1)
 
 
+def exact_uv_jnp(re: float):
+    """The exact velocity pair as jnp-traceable (x, y, t) -> scalar maps
+    (the hard-BC lift differentiates through them via nested JVPs; the
+    space-time twin of problems/kovasznay.py::exact_uv_jnp)."""
+    nu = 1.0 / re
+
+    def u(x, y, t):
+        return -jnp.cos(x) * jnp.sin(y) * jnp.exp(-2.0 * nu * t)
+
+    def v(x, y, t):
+        return jnp.sin(x) * jnp.cos(y) * jnp.exp(-2.0 * nu * t)
+
+    return u, v
+
+
+def coons_lift_spacetime_jnp(g_fn, domain_x, domain_y, t_final):
+    """Space-time transfinite interpolant for the 5 DATA faces of the box
+    [a,b] x [c,d] x [0,T]: the four side walls (all t) and the t = 0 face.
+    g_fn(x, y, t) -> scalar is used ONLY on those faces and matched there
+    exactly:
+
+        L(x,y,t) = C_xy[g(.,.,t)](x,y)
+                 + (1 - t/T) * (g(x,y,0) - C_xy[g(.,.,0)](x,y))
+
+    where C_xy is the 2D Coons interpolant at frozen t (the traceable twin
+    of the per-step lifts in galerkin.solve_ns_unsteady).  The correction
+    term vanishes on the side walls (both of its factors match g there),
+    so wall exactness survives; at t = 0 it restores the full initial
+    face.  The t = T face carries no data — an IVP's outflow in time."""
+    a, b = domain_x
+    c, d = domain_y
+
+    def coons_at(x, y, t):
+        s = (x - a) / (b - a)
+        r = (y - c) / (d - c)
+        fa = jnp.full_like(x, a)
+        fb = jnp.full_like(x, b)
+        fc = jnp.full_like(y, c)
+        fd = jnp.full_like(y, d)
+        return (
+            (1 - s) * g_fn(fa, y, t)
+            + s * g_fn(fb, y, t)
+            + (1 - r) * g_fn(x, fc, t)
+            + r * g_fn(x, fd, t)
+            - (1 - s) * (1 - r) * g_fn(fa, fc, t)
+            - s * (1 - r) * g_fn(fb, fc, t)
+            - (1 - s) * r * g_fn(fa, fd, t)
+            - s * r * g_fn(fb, fd, t)
+        )
+
+    def lift(x, y, t):
+        t0 = jnp.zeros_like(t)
+        return coons_at(x, y, t) + (1.0 - t / t_final) * (
+            g_fn(x, y, t0) - coons_at(x, y, t0)
+        )
+
+    return lift
+
+
 def training_data(cfg: TaylorGreenConfig, rng: np.random.Generator):
     """LHS points on the four side walls + the t = 0 face, with exact
     full-state data (the space-time twin of the Kovasznay layout; face
@@ -167,8 +226,46 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
         precision=cfg.matmul_precision,
     )
 
-    def make_w_fn(params):
-        return lambda X: mlp_apply(spec, params["net"], X)
+    if cfg.hard_bc:
+        if not cfg.bc_pressure:
+            raise ValueError(
+                "hard_bc requires bc_pressure=True: with (u, v) exact by "
+                "construction the boundary p data is what fixes the gauge"
+            )
+        from hpvpinns_tpu.problems.base import make_composite_apply
+
+        ue_fn, ve_fn = exact_uv_jnp(cfg.re)
+        lift_u = coons_lift_spacetime_jnp(ue_fn, cfg.domain_x, cfg.domain_y, cfg.t_final)
+        lift_v = coons_lift_spacetime_jnp(ve_fn, cfg.domain_x, cfg.domain_y, cfg.t_final)
+        (xa_, xb_), (ya_, yb_) = cfg.domain_x, cfg.domain_y
+        sx = ((xb_ - xa_) / 2.0) ** 2
+        sy = ((yb_ - ya_) / 2.0) ** 2
+        T_ = cfg.t_final
+
+        def _lift(X):
+            x, y, t = X[:, 0:1], X[:, 1:2], X[:, 2:3]
+            return jnp.concatenate(
+                [lift_u(x, y, t), lift_v(x, y, t), jnp.zeros_like(x)], axis=-1
+            )
+
+        def _envelope(X):
+            # velocity envelope vanishing on the 5 DATA faces (side walls
+            # + t = 0), normalized to 1 at the domain center at t = T; the
+            # pressure output is unenveloped (soft wall-p data = gauge)
+            x, y, t = X[:, 0:1], X[:, 1:2], X[:, 2:3]
+            bub = ((x - xa_) * (xb_ - x) / sx) * ((y - ya_) * (yb_ - y) / sy)
+            bub = bub * (t / T_)
+            return jnp.concatenate([bub, bub, jnp.ones_like(bub)], axis=-1)
+
+        _composite = make_composite_apply(spec, _lift, _envelope)
+
+        def make_w_fn(params):
+            return _composite(params)
+
+    else:
+
+        def make_w_fn(params):
+            return lambda X: mlp_apply(spec, params["net"], X)
 
     def nu_of(params):
         return params["pde"]["nu"] if cfg.inverse else nu_true
@@ -281,6 +378,9 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
         loss_fn=loss_fn,
         init_params=make_net_init(spec, pde_init=pde_init, dtype=dtype),
         exact=lambda x, y, t: exact_stacked(x, y, t, cfg.re),
+        apply_override=(
+            (lambda params, X: make_w_fn(params)(X)) if cfg.hard_bc else None
+        ),
         test_points=test_points,
         test_values=test_values,
         extras={

@@ -69,8 +69,9 @@ def test_exact_solution_zero_weak_residual_both_forms():
 
 @pytest.mark.parametrize(
     "kw",
-    [{}, {"bc_pressure": False}, {"inverse": True}, {"eq_weights": (1.0, 4.0, 2.0)}],
-    ids=["bc_p", "gauge_anchor", "inverse", "eq_weights"],
+    [{}, {"bc_pressure": False}, {"inverse": True}, {"eq_weights": (1.0, 4.0, 2.0)},
+     {"hard_bc": True}],
+    ids=["bc_p", "gauge_anchor", "inverse", "eq_weights", "hard_bc"],
 )
 def test_gauss_newton_resvec_identity(kw):
     from hpvpinns_tpu.training.gauss_newton import make_residual_vector
@@ -292,3 +293,35 @@ def test_reduced_ci_richardson_debias():
     nu_db = ci["debiased"][0]
     assert abs(nu_db - nu_t) < raw_err / 10
     assert ci["ci95"][0][0] <= nu_t <= ci["ci95"][0][1]
+
+
+def test_hard_bc_exact_on_data_faces():
+    """The space-time lifted ansatz matches the exact velocity on the four
+    side walls (at arbitrary t) and on the whole t=0 face for ANY network
+    parameters; the interior at t>0 keeps a live network contribution."""
+    cfg = hv.TaylorGreenConfig(dtype="float64", hard_bc=True, layers=(3, 8, 3),
+                               n_quad=4, n_test_x=3, n_test_y=3, n_test_t=3)
+    prob = taylorgreen.build(cfg)
+    params = prob.init_params(jax.random.key(7))
+    w_fn = lambda X: prob.apply_override(params, X)  # noqa: E731
+    (xl, xr), (yl, yr), T = cfg.domain_x, cfg.domain_y, cfg.t_final
+    rng = np.random.default_rng(3)
+    n = 40
+    ys, ts = rng.uniform(yl, yr, n), rng.uniform(0, T, n)
+    xs = rng.uniform(xl, xr, n)
+    faces = [
+        np.stack([np.full(n, xl), ys, ts], axis=-1),
+        np.stack([np.full(n, xr), ys, ts], axis=-1),
+        np.stack([xs, np.full(n, yl), ts], axis=-1),
+        np.stack([xs, np.full(n, yr), ts], axis=-1),
+        np.stack([xs, ys, np.zeros(n)], axis=-1),  # the t=0 face
+    ]
+    for X in faces:
+        got = np.asarray(w_fn(jnp.asarray(X)))[:, :2]
+        want = taylorgreen.exact_stacked(X[:, 0], X[:, 1], X[:, 2], cfg.re)[:, :2]
+        np.testing.assert_allclose(got, want, atol=1e-12)
+    # interior, t > 0: the enveloped network must actually contribute
+    Xi = np.stack([xs, ys, np.maximum(ts, 0.1)], axis=-1)
+    got = np.asarray(w_fn(jnp.asarray(Xi)))[:, :2]
+    want = taylorgreen.exact_stacked(Xi[:, 0], Xi[:, 1], Xi[:, 2], cfg.re)[:, :2]
+    assert np.abs(got - want).max() > 1e-8
