@@ -434,6 +434,7 @@ _PRECISION_PRESETS = {
     "advdiff2d": cfgmod.advdiff2d_precision,  # ON-CHIP f32, FORWARD (joint
     # eps under GN measured negative — MEASUREMENTS.md)
     "kovasznay": cfgmod.kovasznay_precision,  # ON-CHIP f32, the NS system
+    "taylorgreen": cfgmod.taylorgreen_precision,  # ON-CHIP f32, UNSTEADY NS
 }
 
 _TRAIN_KEYS = (

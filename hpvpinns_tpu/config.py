@@ -545,6 +545,35 @@ def taylorgreen_quality() -> TaylorGreenConfig:
     )
 
 
+def taylorgreen_precision() -> TaylorGreenConfig:
+    """GN-grade frontier for the UNSTEADY Navier-Stokes system, ON CHIP
+    (round-3 measurement, benchmarks/MEASUREMENTS.md "Taylor-Green VPINN on
+    chip"): space-time hard-BC lift (velocity exact on the 4 side walls and
+    the t=0 face via the transfinite interpolant), 3x3x2 space-time mesh,
+    8^3 test, 50-wide net, Adam-10k + L-BFGS-10k + LM on the on-device QR
+    kernel.  Measured f32 single chip: stacked (u, v, p) rel-L2 **4.18e-4
+    in ~12 min** (u 1.57e-4, v 1.79e-4, p 1.24e-3) — 16x below the quality
+    preset; the GN phase alone is worth 11x on this family.  Pressure is
+    the component limiter (the unsteady gauge is a free function of t
+    pinned only by wall data)."""
+    return TaylorGreenConfig(
+        layers=(3, 50, 50, 50, 3),
+        n_elements_x=3,
+        n_elements_y=3,
+        n_test_x=8,
+        n_test_y=8,
+        n_test_t=8,
+        hard_bc=True,
+        train=TrainConfig(
+            iterations=10000,
+            lbfgs_iterations=10000,
+            gn_iterations=250,
+            gn_solve="qr",
+            check_every=1000,
+        ),
+    )
+
+
 def burgers_quality() -> BurgersConfig:
     """Measured quality point (benchmarks/MEASUREMENTS.md): hard-BC lifted
     ansatz + front-clustered 5-element x-grid (the nu = 0.01/pi front lives
