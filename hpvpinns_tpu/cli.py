@@ -388,7 +388,9 @@ def build_parser() -> argparse.ArgumentParser:
     idf.add_argument("--outdir", default="results/identify")
 
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
-    sw.add_argument("problem", choices=["poisson1d", "poisson2d"])
+    sw.add_argument("problem", choices=["poisson1d", "poisson2d", "poisson3d",
+                                        "advdiff", "advdiff2d", "burgers",
+                                        "kovasznay", "taylorgreen"])
     sw.add_argument("--axis", choices=["h", "p"], required=True)
     sw.add_argument("--values", required=True, help="comma-separated sweep values")
     sw.add_argument("--iterations", type=int)

@@ -43,6 +43,17 @@ def _run_point(cfg, train_cfg, mesh=None, verbose=False) -> dict:
     }
 
 
+def _family_fields(cfg, prefix):
+    """Field names matching the framework-wide mesh/test naming convention
+    (`n_elements[_x|_y|_z|_t]`, `n_test[_x|_y|_z|_t]`, `grid[_x|_y|_t]`) —
+    every problem config follows it, so sweeps are family-generic."""
+    return [
+        f.name for f in dataclasses.fields(cfg)
+        if (f.name == prefix or f.name.startswith(prefix + "_"))
+        and not f.name.endswith("_per_elem")
+    ]
+
+
 def h_sweep(
     base_cfg,
     n_elements: Sequence[int],
@@ -50,15 +61,20 @@ def h_sweep(
     mesh=None,
     verbose: bool = False,
 ):
-    """Refine in h (element count), holding the per-element order fixed."""
+    """Refine in h (element count, uniform over every mesh axis), holding
+    the per-element order fixed.  Explicit `grid*` tuples and per-element
+    test orders are cleared — they pin the mesh the sweep is varying."""
+    elem_fields = _family_fields(base_cfg, "n_elements")
+    if not elem_fields:
+        raise TypeError(f"h_sweep: {type(base_cfg).__name__} has no n_elements fields")
+    reset = {name: None for name in _family_fields(base_cfg, "grid")}
+    reset.update({
+        f.name: None for f in dataclasses.fields(base_cfg)
+        if f.name.endswith("_per_elem")
+    })
     records = []
     for ne in n_elements:
-        if isinstance(base_cfg, hv.Poisson1DConfig):
-            cfg = _with(base_cfg, n_elements=ne, grid=None)
-        elif isinstance(base_cfg, hv.Poisson2DConfig):
-            cfg = _with(base_cfg, n_elements_x=ne, n_elements_y=ne)
-        else:
-            raise TypeError(f"h_sweep supports Poisson configs, got {type(base_cfg).__name__}")
+        cfg = _with(base_cfg, **{name: ne for name in elem_fields}, **reset)
         rec = {"axis": "h", "n_elements": ne, **_run_point(cfg, train_cfg, mesh, verbose)}
         records.append(rec)
     return records
@@ -71,15 +87,18 @@ def p_sweep(
     mesh=None,
     verbose: bool = False,
 ):
-    """Refine in p (test-function order), holding the element grid fixed."""
+    """Refine in p (test-function order, uniform over every tensor axis),
+    holding the element grid fixed."""
+    test_fields = _family_fields(base_cfg, "n_test")
+    if not test_fields:
+        raise TypeError(f"p_sweep: {type(base_cfg).__name__} has no n_test fields")
+    reset = {
+        f.name: None for f in dataclasses.fields(base_cfg)
+        if f.name.endswith("_per_elem")
+    }
     records = []
     for nt in n_tests:
-        if isinstance(base_cfg, hv.Poisson1DConfig):
-            cfg = _with(base_cfg, n_test=nt)
-        elif isinstance(base_cfg, hv.Poisson2DConfig):
-            cfg = _with(base_cfg, n_test_x=nt, n_test_y=nt)
-        else:
-            raise TypeError(f"p_sweep supports Poisson configs, got {type(base_cfg).__name__}")
+        cfg = _with(base_cfg, **{name: nt for name in test_fields}, **reset)
         rec = {"axis": "p", "n_test": nt, **_run_point(cfg, train_cfg, mesh, verbose)}
         records.append(rec)
     return records

@@ -185,6 +185,30 @@ def test_p_sweep_records_and_plot(tmp_path):
     assert os.path.getsize(plot) > 0
 
 
+def test_sweeps_are_family_generic(tmp_path):
+    """h/p sweeps dispatch on the framework-wide field convention, so every
+    problem family sweeps — including the space-time NS system (3 mesh axes,
+    clears explicit grids and per-element test orders)."""
+    base = hv.BurgersConfig(
+        dtype="float64", grid_x=(-1.0, -0.2, 1.0), n_quad=6,
+        n_test_x=3, n_test_t=3, layers=(2, 6, 1),
+    )
+    tc = hv.TrainConfig(iterations=20, check_every=10)
+    recs = sweep.h_sweep(base, [1, 2], tc)
+    assert [r["n_elements"] for r in recs] == [1, 2]
+    # 2 x-elements x 2 t-elements (uniform over both axes; grid_x cleared)
+    assert len(recs[1]["per_element_rel_l2"]) == 4
+
+    base = hv.TaylorGreenConfig(
+        dtype="float64", n_quad=4, layers=(3, 6, 3),
+        n_elements_x=1, n_elements_y=1, n_elements_t=1,
+        n_test_x_per_elem=(3,), n_test_y_per_elem=(3,), n_test_t_per_elem=(3,),
+    )
+    recs = sweep.p_sweep(base, [2, 3], tc)
+    assert [r["n_test"] for r in recs] == [2, 3]
+    assert all(np.isfinite(r["rel_l2"]) for r in recs)
+
+
 def test_sweep_cli(capsys, tmp_path):
     from hpvpinns_tpu.cli import main
 
