@@ -70,6 +70,29 @@ def test_ensemble_multi_step_losses_track_serial():
                                    serial.final_aux["loss"], rtol=5e-3)
 
 
+def test_ensemble_system_families():
+    """The ensemble step is family-generic: the vector-output NS systems
+    (steady Kovasznay, unsteady space-time Taylor-Green) train as a stacked
+    fleet and every member's loss is finite and decreasing."""
+    for cfg in (
+        hv.KovasznayConfig(
+            dtype="float64", layers=(2, 6, 3), n_quad=4, n_test_x=3, n_test_y=3,
+            train=hv.TrainConfig(iterations=20, check_every=10),
+        ),
+        hv.TaylorGreenConfig(
+            dtype="float64", layers=(3, 6, 3), n_quad=4,
+            n_test_x=3, n_test_y=3, n_test_t=3,
+            train=hv.TrainConfig(iterations=20, check_every=10),
+        ),
+    ):
+        prob = hv.build(cfg)
+        ens = hv.train_ensemble(prob, cfg.train, seeds=(0, 1), verbose=False)
+        losses = np.asarray(ens.final_aux["loss"])
+        first = np.asarray(ens.history["loss"][0])
+        assert losses.shape == (2,) and np.all(np.isfinite(losses))
+        assert np.all(losses < first), (losses, first)
+
+
 def test_ensemble_history_and_best_member():
     prob = hv.build(_cfg())
     ens = hv.train_ensemble(prob, seeds=(0, 1, 2), verbose=False)
