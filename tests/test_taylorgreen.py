@@ -70,8 +70,9 @@ def test_exact_solution_zero_weak_residual_both_forms():
 @pytest.mark.parametrize(
     "kw",
     [{}, {"bc_pressure": False}, {"inverse": True}, {"eq_weights": (1.0, 4.0, 2.0)},
-     {"hard_bc": True}],
-    ids=["bc_p", "gauge_anchor", "inverse", "eq_weights", "hard_bc"],
+     {"hard_bc": True}, {"hard_bc": True, "var_form": 0}],
+    ids=["bc_p", "gauge_anchor", "inverse", "eq_weights", "hard_bc",
+         "hard_bc_vf0"],
 )
 def test_gauss_newton_resvec_identity(kw):
     from hpvpinns_tpu.training.gauss_newton import make_residual_vector
