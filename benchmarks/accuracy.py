@@ -373,8 +373,9 @@ def precision_records(q):
         # the Navier-Stokes SYSTEM frontier (hard-BC lift; stacked rel-L2 5.6e-5
         # measured — `run kovasznay --preset precision`)
         run("kovasznay_precision_f32_tpu", scaled(hv.kovasznay_precision())),
-        # the UNSTEADY NS frontier (space-time hard-BC lift; stacked rel-L2
-        # 4.18e-4 measured — `run taylorgreen --preset precision`)
+        # the UNSTEADY NS frontier (space-time hard-BC lift + direct-grad-p
+        # form 0; stacked rel-L2 3.43e-4 measured — `run taylorgreen
+        # --preset precision`)
         run("taylorgreen_precision_f32_tpu", scaled(hv.taylorgreen_precision())),
     ]
 

@@ -550,19 +550,20 @@ def taylorgreen_precision() -> TaylorGreenConfig:
     (round-3 measurement, benchmarks/MEASUREMENTS.md "Taylor-Green VPINN on
     chip"): space-time hard-BC lift (velocity exact on the 4 side walls and
     the t=0 face via the transfinite interpolant), 3x3x2 space-time mesh,
-    8^3 test, 50-wide net, Adam-10k + L-BFGS-10k + LM on the on-device QR
-    kernel.  Measured f32 single chip: stacked (u, v, p) rel-L2 **4.18e-4
-    in ~12 min** (u 1.57e-4, v 1.79e-4, p 1.24e-3) — 16x below the quality
-    preset; the GN phase alone is worth 11x on this family.  Pressure is
-    the component limiter (the unsteady gauge is a free function of t
-    pinned only by wall data)."""
+    6^3 test, 50-wide net, var_form 0, Adam-10k + L-BFGS-10k + LM on the
+    on-device QR kernel.  Measured f32 single chip: stacked (u, v, p)
+    rel-L2 **3.43e-4 in ~13 min** (u 1.19e-4, v 1.09e-4, p 1.04e-3) — 19x
+    below the quality preset; the GN phase alone is worth 11x on this
+    family.  Pressure is the component limiter (the unsteady gauge is a
+    free function of t pinned only by wall data), and testing grad p
+    DIRECTLY (var_form 0, no spatial IBP) is the measured best attack:
+    it beats once-IBP form 1 at both 6^3 (4.69e-4) and 8^3 (4.18e-4) test
+    enrichment, which buy nothing further at form 0 (3.96e-4)."""
     return TaylorGreenConfig(
         layers=(3, 50, 50, 50, 3),
         n_elements_x=3,
         n_elements_y=3,
-        n_test_x=8,
-        n_test_y=8,
-        n_test_t=8,
+        var_form=0,
         hard_bc=True,
         train=TrainConfig(
             iterations=10000,

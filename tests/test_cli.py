@@ -144,10 +144,11 @@ def test_precision_presets():
     assert cfg.hard_bc and cfg.layers == (2, 50, 50, 50, 3)
     assert cfg.train.gn_iterations == 250 and cfg.train.gn_solve == "qr"
 
-    # the UNSTEADY NS frontier (space-time hard-BC lift, 4.18e-4 on chip)
+    # the UNSTEADY NS frontier (space-time hard-BC lift + direct-grad-p
+    # form 0, 3.43e-4 on chip)
     cfg = _config_from_args(parse("run taylorgreen --preset precision".split()))
     assert cfg.hard_bc and cfg.layers == (3, 50, 50, 50, 3)
-    assert cfg.n_test_x == cfg.n_test_y == cfg.n_test_t == 8
+    assert cfg.var_form == 0
     assert (cfg.n_elements_x, cfg.n_elements_y, cfg.n_elements_t) == (3, 3, 2)
     assert cfg.train.gn_iterations == 250 and cfg.train.gn_solve == "qr"
 
