@@ -56,6 +56,12 @@ from hpvpinns_tpu.config import (
 from hpvpinns_tpu.evaluate import evaluate as evaluate_problem
 from hpvpinns_tpu.evaluate import predict, rel_l2
 from hpvpinns_tpu.problems import build
+from hpvpinns_tpu.serving import (
+    ServedModel,
+    export_model,
+    load_model,
+    save_model,
+)
 from hpvpinns_tpu.training import (
     EnsembleResult,
     GNResult,

@@ -77,6 +77,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "form (galerkin.vpinn_gap_*; f64 CPU, seconds)")
     p.add_argument("--plots", action="store_true", help="write the reference plot set")
     p.add_argument("--record", metavar="PATH", help="write a results record (.npz/.mat)")
+    p.add_argument("--export", metavar="DIR", dest="export_dir",
+                   help="write a self-contained StableHLO serving artifact of "
+                   "the trained ansatz (jax.export, cpu+tpu platforms, "
+                   "symbolic batch; load with `hpvpinns_tpu serve DIR`)")
     p.add_argument("--mesh", action="store_true", help="shard elements over all devices")
     p.add_argument("--seeds", type=int, default=None,
                    help="train N seeds as one vmapped ensemble (Adam phase; "
@@ -305,6 +309,22 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_flags(pt)
 
     sub.add_parser("presets", help="print the shipped configurations of record")
+
+    sv = sub.add_parser(
+        "serve",
+        help="load a StableHLO serving artifact (run ... --export DIR) and "
+        "evaluate it — no model-building code needed, any exported platform",
+    )
+    sv.add_argument("artifact", help="artifact directory written by run --export")
+    sv.add_argument("--points", metavar="NPZ",
+                    help=".npz with array 'X' of evaluation points "
+                    "(default: the problem's dense test grid, rebuilt from "
+                    "the stored config)")
+    sv.add_argument("--out", metavar="NPZ", help="write X/Y predictions to .npz")
+    sv.add_argument("--check", action="store_true",
+                    help="rebuild the problem from the stored config and "
+                    "report rel-L2 of the served artifact vs the exact "
+                    "solution on the dense test grid")
 
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
     ad.add_argument(
@@ -1008,6 +1028,11 @@ def cmd_run(args) -> int:
                 **mp,
             }
         print(json.dumps(summary))
+        # export the polished winner if a phase-2 ran, else the best member
+        _maybe_export(
+            args, prob,
+            res_p.eval_params if "polished" in summary else ens.member(int(_np.argmin(rel))),
+        )
         return 0
     res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
     metrics = hv.evaluate_problem(prob, res.eval_params)
@@ -1097,6 +1122,7 @@ def cmd_run(args) -> int:
 
         written = save_record(prob, res, args.record)
         print(json.dumps({"record": written}))
+    _maybe_export(args, prob, res.eval_params)
     return 0
 
 
@@ -1241,6 +1267,73 @@ def cmd_adapt(args) -> int:
     return 0
 
 
+def _maybe_export(args, prob, params) -> None:
+    """`run ... --export DIR`: write the StableHLO serving artifact of the
+    final parameters (serving.save_model)."""
+    outdir = getattr(args, "export_dir", None)
+    if not outdir:
+        return
+    from hpvpinns_tpu import serving
+
+    meta = serving.save_model(outdir, prob, params)
+    print(json.dumps({
+        "export": outdir,
+        "platforms": meta["platforms"],
+        "n_params": meta["n_params"],
+        "dtype": meta["dtype"],
+    }))
+
+
+def cmd_serve(args) -> int:
+    import time as _time
+
+    import numpy as np
+
+    from hpvpinns_tpu import serving
+    from hpvpinns_tpu.evaluate import rel_l2
+
+    _enable_compile_cache()
+    model = serving.load_model(args.artifact)
+    if model.meta["dtype"] == "float64":
+        _maybe_enable_x64("float64")
+    summary = {
+        "artifact": args.artifact,
+        "problem": model.meta["problem"],
+        "platforms": model.meta["platforms"],
+        "n_params": model.meta["n_params"],
+        "d_in": model.meta["d_in"],
+        "n_out": model.meta["n_out"],
+        "dtype": model.meta["dtype"],
+    }
+    prob = None
+    if args.points:
+        X = np.asarray(np.load(args.points)["X"])
+    else:
+        prob = model.rebuild_problem()
+        X = np.asarray(prob.test_points)
+    t0 = _time.perf_counter()
+    Y = model.predict(X)
+    summary["n_points"] = int(X.shape[0])
+    summary["wall_s"] = round(_time.perf_counter() - t0, 3)
+    if args.check:
+        if prob is None:
+            prob = model.rebuild_problem()
+        Yg = Y if not args.points else model.predict(np.asarray(prob.test_points))
+        summary["rel_l2"] = rel_l2(Yg, np.asarray(prob.test_values))
+        truth = np.asarray(prob.test_values)
+        if truth.ndim == 2 and truth.shape[1] > 1 and Yg.shape == truth.shape:
+            names = prob.extras.get(
+                "component_names", tuple(f"c{i}" for i in range(truth.shape[1]))
+            )
+            for i, nm in enumerate(names):
+                summary[f"rel_l2_{nm}"] = rel_l2(Yg[:, i], truth[:, i])
+    if args.out:
+        np.savez(args.out, X=X, Y=Y)
+        summary["out"] = args.out
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "presets":
@@ -1251,6 +1344,8 @@ def main(argv=None) -> int:
         return cmd_adapt(args)
     if args.command == "identify":
         return cmd_identify(args)
+    if args.command == "serve":
+        return cmd_serve(args)
     return cmd_run(args)
 
 
