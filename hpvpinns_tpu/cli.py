@@ -1275,7 +1275,12 @@ def _maybe_export(args, prob, params) -> None:
         return
     from hpvpinns_tpu import serving
 
-    meta = serving.save_model(outdir, prob, params)
+    extra = None
+    if getattr(args, "manufactured_velocity", None):
+        # the manufactured u_fn/f_fn live outside the config; flag the
+        # artifact so serve --check refuses the wrong-truth comparison
+        extra = {"manufactured": True}
+    meta = serving.save_model(outdir, prob, params, extra_meta=extra)
     print(json.dumps({
         "export": outdir,
         "platforms": meta["platforms"],

@@ -145,6 +145,13 @@ class ServedModel:
         (grid, quadrature, exact solution) from the stored config."""
         import hpvpinns_tpu as hv
 
+        if self.meta.get("manufactured"):
+            raise ValueError(
+                "artifact was trained on a --manufactured-* problem whose "
+                "u_fn/f_fn are not stored in the config; rebuild_problem "
+                "would compare against the WRONG truth.  predict() remains "
+                "fully usable (the artifact is self-contained)."
+            )
         return hv.build(config_from_meta(self.meta))
 
 

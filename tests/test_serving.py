@@ -105,6 +105,17 @@ def test_f64_artifact_drops_tpu_platform_tag(tmp_path):
     assert meta["platforms"] == ["cpu"]
 
 
+def test_manufactured_artifact_refuses_wrong_truth_check(tmp_path):
+    prob = hv.build(hv.Poisson1DConfig())
+    params = prob.init_params(jax.random.key(0))
+    hv.save_model(str(tmp_path / "m"), prob, params, platforms=("cpu",),
+                  extra_meta={"manufactured": True})
+    model = hv.load_model(str(tmp_path / "m"))
+    model.predict(np.zeros((3, 1)))  # predict stays usable
+    with pytest.raises(ValueError, match="manufactured"):
+        model.rebuild_problem()
+
+
 def test_predict_rejects_wrong_width(tmp_path):
     prob = hv.build(hv.Poisson1DConfig())
     params = prob.init_params(jax.random.key(0))
