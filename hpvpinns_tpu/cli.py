@@ -30,10 +30,11 @@ def _add_train_flags(p: argparse.ArgumentParser):
                    "second-order residual optimizer, breaks the first-order "
                    "u~2e-3 plateau)")
     p.add_argument("--gn-solve", dest="gn_solve",
-                   choices=("normal", "host", "qr"),
+                   choices=("normal", "host", "qr", "cg"),
                    help="LM step kernel: damped normal equations on device, "
-                   "host-f64 solve (default for sub-f64 runs), or pure-"
-                   "on-device QR of the augmented system")
+                   "host-f64 solve (default for sub-f64 runs), pure-"
+                   "on-device QR of the augmented system, or matrix-free "
+                   "CG on jvp/vjp products (O(M+P) memory, mesh-shardable)")
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--threshold", type=float, help="early-stop loss threshold")
     p.add_argument("--seed", type=int)
@@ -991,7 +992,8 @@ def cmd_run(args) -> int:
         import numpy as _np
 
         ens = hv.train_ensemble(
-            prob, cfg.train, seeds=range(args.seeds), verbose=not args.quiet
+            prob, cfg.train, seeds=range(args.seeds), verbose=not args.quiet,
+            mesh=mesh,
         )
         per_seed = []
         for i in range(args.seeds):
@@ -1019,7 +1021,8 @@ def cmd_run(args) -> int:
 
             best = ens.member(int(_np.argmin(rel)))
             polish_cfg = _dc.replace(cfg.train, iterations=0)
-            res_p = hv.train(prob, polish_cfg, params=best, verbose=not args.quiet)
+            res_p = hv.train(prob, polish_cfg, params=best, mesh=mesh,
+                             verbose=not args.quiet)
             mp = hv.evaluate_problem(prob, res_p.eval_params)
             summary["polished"] = {
                 "seed": int(_np.argmin(rel)),

@@ -32,8 +32,10 @@ class TrainConfig:
     # drops to the discretization floor in O(100) steps (MEASUREMENTS.md).
     gn_damping_init: float = 1e-3  # initial LM damping lambda
     gn_solve: Optional[str] = None  # LM step kernel: "normal" | "host" |
-    # "qr"; None = auto (host-f64 solve for sub-f64 runs — the measured
-    # on-chip conditioning fix; "qr" is the pure-on-device alternative).
+    # "qr" | "cg"; None = auto (host-f64 solve for sub-f64 runs — the
+    # measured on-chip conditioning fix; "qr" is the pure-on-device
+    # alternative; "cg" is the matrix-free kernel — no [M, P] Jacobian,
+    # O(M+P) memory, and the one that stays element-sharded under a mesh).
     threshold: Optional[float] = None  # early stop when loss < threshold
     check_every: int = 10  # host-side loss poll cadence (reference: 10)
     log_every: int = 100  # console print cadence (reference: 100)

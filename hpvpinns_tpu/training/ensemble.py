@@ -113,12 +113,19 @@ def train_ensemble(
     cfg: Optional[TrainConfig] = None,
     seeds: Sequence[int] = (0, 1, 2, 3),
     verbose: bool = True,
+    mesh=None,
 ) -> EnsembleResult:
     """Train len(seeds) independent initializations in one vmapped loop.
 
     Adam phase only: the ensemble exists for seed studies and
     best-of-S selection, both of which the Adam phase decides; polish the
     selected member afterwards with L-BFGS/Gauss-Newton if wanted.
+
+    `mesh` shards the element axis of the shared data pytree across the
+    device mesh (GSPMD, same layout as trainer.train) and replicates the
+    stacked parameters: the seed axis composes with the element sharding —
+    vmap batches the contraction, XLA partitions its element dimension and
+    inserts the per-seed loss/grad all-reduce.
     """
     cfg = cfg or problem.config.train
     loss_fn = problem.loss_fn
@@ -126,6 +133,11 @@ def train_ensemble(
     seeds = list(seeds)
 
     params_stack = init_ensemble(problem, seeds)
+    if mesh is not None:
+        from hpvpinns_tpu.parallel.sharding import replicate, shard_problem
+
+        data = shard_problem(data, mesh)
+        params_stack = replicate(params_stack, mesh)
     opt = make_optimizer(cfg)
     opt_state = opt.init(params_stack)
 

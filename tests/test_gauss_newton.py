@@ -313,3 +313,56 @@ def test_chunked_jacobian_matches_whole_vmap():
     _, Jf = rJ_full2(theta2)
     _, Jc = rJ_chunk2(theta2)
     np.testing.assert_allclose(np.asarray(Jc), np.asarray(Jf), atol=1e-13)
+
+
+def test_cg_step_matches_normal_equations_f64():
+    """The matrix-free CG kernel must reproduce the dense damped step when
+    solved tightly (cg_tol ~ 0 forces CG to convergence; maxiter >= P makes
+    that reachable): same quadratic, same minimizer, in both M >= P and
+    M < P regimes (with damping the solution is unique either way)."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from hpvpinns_tpu.training.gauss_newton import _build_kernels, make_residual_vector
+
+    for layers in ((1, 4, 1), (1, 14, 14, 1)):
+        prob = hv.build(hv.Poisson1DConfig(
+            dtype="float64", n_test=8, n_quad=16, layers=layers))
+        resvec = make_residual_vector(prob)
+        params = prob.init_params(jax.random.key(2))
+        theta, unravel = ravel_pytree(params)
+        r = resvec(params, prob.data)
+        M, P = int(r.size), int(theta.size)
+        rJ, _, steps = _build_kernels(
+            resvec, unravel, prob.data, P, M, cg_maxiter=4 * (M + P),
+            cg_tol=1e-14)
+        _, J = rJ(theta)
+        lam = jnp.asarray(1e-4, dtype=theta.dtype)
+        d_ne, p_ne, g_ne = steps["normal"](r, J, lam)
+        d_cg, p_cg, g_cg, k = steps["cg"](theta, lam)
+        np.testing.assert_allclose(np.asarray(d_cg), np.asarray(d_ne),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(float(p_cg), float(p_ne), rtol=1e-8)
+        np.testing.assert_allclose(float(g_cg), float(g_ne), rtol=1e-10)
+        assert int(k) <= 4 * (M + P)
+
+
+def test_cg_solve_variant_deep_convergence():
+    """solve='cg' end-to-end: the matrix-free LM must keep pace with the
+    dense normal-equations solve on an f64 polish (measured: cg_tol=1e-3
+    reaches 3.4e-12 where 'normal' reaches 8e-12 — same deep-convergence
+    regime) and record its CG iteration counts."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float64", n_test=10, n_quad=20, layers=(1, 12, 12, 1),
+        train=hv.TrainConfig(iterations=300, check_every=100),
+    )
+    prob = hv.build(cfg)
+    adam = hv.train(prob, verbose=False)
+    g_ne = gauss_newton(prob, adam.params, iterations=20, verbose=False,
+                        solve="normal")
+    g_cg = gauss_newton(prob, adam.params, iterations=20, verbose=False,
+                        solve="cg")
+    assert g_cg.final_aux["loss"] < 1e-6 * adam.final_aux["loss"]
+    assert g_cg.final_aux["loss"] <= 1e3 * g_ne.final_aux["loss"]
+    ci = g_cg.history["cg_iters"]
+    assert len(ci) == g_cg.accepted and np.all(ci >= 1)

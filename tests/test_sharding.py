@@ -194,3 +194,52 @@ def test_gspmd_burgers_and_advdiff_shard():
             ),
             g0, g1,
         )
+
+
+def test_gauss_newton_sharded_matches_single_device(problem, params):
+    """The precision phase on the mesh: LM with the matrix-free CG kernel
+    (the solver whose matvecs keep the element axis sharded, never
+    materializing J) must reproduce the unsharded trajectory — loss AND
+    parameters — after several accepted steps."""
+    from jax.flatten_util import ravel_pytree
+
+    from hpvpinns_tpu.training.gauss_newton import gauss_newton
+
+    gn0 = gauss_newton(problem, params, iterations=5, verbose=False, solve="cg")
+    gn1 = gauss_newton(problem, params, iterations=5, verbose=False,
+                       solve="cg", mesh=element_mesh())
+    # CG's iterate path is rounding-sensitive, so sharded reduction order
+    # drifts the trajectory by ~1e-7 relative over 5 steps; a missing
+    # collective would be off by ~n_devices, far outside these tolerances.
+    np.testing.assert_allclose(
+        gn1.final_aux["loss"], gn0.final_aux["loss"], rtol=1e-5)
+    t0, _ = ravel_pytree(gn0.params)
+    t1, _ = ravel_pytree(gn1.params)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                               rtol=1e-2, atol=1e-4)
+
+
+def test_gauss_newton_sharded_dense_qr(problem, params):
+    """The dense kernels must stay CORRECT under the mesh too (GSPMD may
+    gather J — documented; cg is the scaling path): sharded qr == unsharded."""
+    from hpvpinns_tpu.training.gauss_newton import gauss_newton
+
+    gn0 = gauss_newton(problem, params, iterations=3, verbose=False, solve="qr")
+    gn1 = gauss_newton(problem, params, iterations=3, verbose=False,
+                       solve="qr", mesh=element_mesh())
+    np.testing.assert_allclose(
+        gn1.final_aux["loss"], gn0.final_aux["loss"], rtol=1e-8)
+
+
+def test_ensemble_on_mesh_matches_unsharded(problem):
+    """--mesh --seeds: the vmapped seed ensemble over element-sharded data
+    (the round-3 silent-ignore fix) must match the unsharded ensemble."""
+    from hpvpinns_tpu.training.ensemble import train_ensemble
+
+    cfg = hv.TrainConfig(iterations=20, check_every=10)
+    e0 = train_ensemble(problem, cfg, seeds=(0, 1, 2), verbose=False)
+    e1 = train_ensemble(problem, cfg, seeds=(0, 1, 2), verbose=False,
+                        mesh=element_mesh())
+    np.testing.assert_allclose(
+        np.asarray(e1.final_aux["loss"]), np.asarray(e0.final_aux["loss"]),
+        rtol=1e-9)
