@@ -300,6 +300,18 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="WX,WY,WC",
                     help="per-equation residual weights (same contract as "
                     "the kovasznay knob)")
+    pt.add_argument("--p-zero-mean", type=float, dest="p_zero_mean_weight",
+                    metavar="W",
+                    help="zero-mean-per-time-slice pressure gauge penalty "
+                    "weight (pins the spatial quadrature mean of p to the "
+                    "exact slice mean at --n-zero-mean-t times; attacks "
+                    "the unsteady gauge — the family's measured p limiter)")
+    pt.add_argument("--n-zero-mean-t", type=int, dest="n_zero_mean_t")
+    pt.add_argument("--p-test-enrich", type=int, dest="p_test_enrich",
+                    metavar="E",
+                    help="raise the tensor test orders by E for the "
+                    "MOMENTUM equations only (the rows that see grad p); "
+                    "continuity keeps the base orders")
     pt.add_argument("--inverse", action="store_const", const=True, default=None,
                     dest="inverse",
                     help="trainable viscosity identified from interior "

@@ -174,6 +174,24 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
     ntx = cfg.n_test_x_per_elem if cfg.n_test_x_per_elem is not None else cfg.n_test_x
     nty = cfg.n_test_y_per_elem if cfg.n_test_y_per_elem is not None else cfg.n_test_y
     ntt = cfg.n_test_t_per_elem if cfg.n_test_t_per_elem is not None else cfg.n_test_t
+    eq_sel = None
+    if cfg.p_test_enrich > 0:
+        # MOMENTUM-targeted test enrichment (pressure-gauge treatment): the
+        # tensor test orders rise by p_test_enrich for the equations that
+        # see grad p (x/y-momentum, rows 0-1); continuity keeps the base
+        # orders via an equation-selective mask over the extra modes.
+        if any(v is not None for v in (cfg.n_test_x_per_elem,
+                                       cfg.n_test_y_per_elem,
+                                       cfg.n_test_t_per_elem)):
+            raise ValueError("p_test_enrich does not compose with "
+                             "per-element test orders")
+        e = int(cfg.p_test_enrich)
+        bx0, by0, bt0 = cfg.n_test_x, cfg.n_test_y, cfg.n_test_t
+        ntx, nty, ntt = bx0 + e, by0 + e, bt0 + e
+        sel = np.ones((3, ntt, nty, ntx))
+        sel[2] = 0.0
+        sel[2, :bt0, :by0, :bx0] = 1.0  # continuity: base block only
+        eq_sel = jnp.asarray(sel, dtype=dtype)
     nx_max, ny_max, nt_max = (int(np.max(v)) for v in (ntx, nty, ntt))
     bx = make_weighted_basis(nx_max, xq, wq, dtype)
     by = make_weighted_basis(ny_max, xq, wq, dtype)
@@ -206,6 +224,29 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
         Xs, us = sensor_data(cfg, rng)
         data["xs"] = jnp.asarray(Xs, dtype=dtype)
         data["us"] = jnp.asarray(us, dtype=dtype)
+    if cfg.p_zero_mean_weight > 0.0:
+        # Zero-mean-per-time-slice gauge penalty (pressure treatment): pin
+        # the spatial quadrature mean of p at n_zero_mean_t slices to the
+        # exact slice mean (identically 0 on the standard [0, pi]^2 box —
+        # the classical zero-mean gauge convention).  Everything here is
+        # offline f64 host precompute, per the framework's split.
+        nq_zm = 16
+        xg, wg = gauss_lobatto_jacobi(nq_zm, 0.0, 0.0)
+        xs_zm = 0.5 * (xg + 1.0) * (cfg.domain_x[1] - cfg.domain_x[0]) + cfg.domain_x[0]
+        ys_zm = 0.5 * (xg + 1.0) * (cfg.domain_y[1] - cfg.domain_y[0]) + cfg.domain_y[0]
+        W2 = np.outer(wg, wg)
+        w_norm = (W2 / W2.sum()).reshape(-1)
+        YZ, XZ = np.meshgrid(ys_zm, xs_zm, indexing="ij")
+        t_zm = np.linspace(0.0, cfg.t_final, cfg.n_zero_mean_t + 1)[1:]
+        pts = np.stack([
+            np.broadcast_to(XZ.reshape(-1), (len(t_zm), w_norm.size)),
+            np.broadcast_to(YZ.reshape(-1), (len(t_zm), w_norm.size)),
+            np.broadcast_to(t_zm[:, None], (len(t_zm), w_norm.size)),
+        ], axis=-1)
+        _, _, p_ex = exact_fields(pts[..., 0], pts[..., 1], pts[..., 2], cfg.re)
+        data["x_zeromean"] = jnp.asarray(pts.reshape(-1, 3), dtype=dtype)
+        data["w_zeromean"] = jnp.asarray(w_norm, dtype=dtype)
+        data["p_mean_exact"] = jnp.asarray(p_ex @ w_norm, dtype=dtype)  # [K]
 
     var_form, wb_weight = cfg.var_form, cfg.lossb_weight
     wa = cfg.p_anchor_weight
@@ -218,6 +259,19 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
 
     def _weighted(res):
         return res if eqw is None else res * eqw
+
+    def _mask_eq(res):
+        # equation-selective p_test_enrich mask (TRAINING basis shape only —
+        # the enriched adaptive indicator builds its own larger mask)
+        return res if eq_sel is None else res * eq_sel[None]
+
+    w_zm = cfg.p_zero_mean_weight
+    n_zm = cfg.n_zero_mean_t
+
+    def _zeromean_resvec(params, data):
+        p_pred = make_w_fn(params)(data["x_zeromean"])[:, 2].reshape(n_zm, -1)
+        means = p_pred @ data["w_zeromean"]
+        return jnp.sqrt(w_zm / n_zm) * (means - data["p_mean_exact"])
 
     spec = MLP(
         layers=cfg.layers,
@@ -279,7 +333,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
             make_w_fn(params), el, data["basis_x"], data["basis_y"],
             data["basis_t"], var_form, nu_of(params),
         )
-        return _weighted(res) * el.mask[:, None]
+        return _weighted(_mask_eq(res)) * el.mask[:, None]
 
     _enriched_cache = {}
 
@@ -313,7 +367,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
             w_fn, el, data["basis_x"], data["basis_y"], data["basis_t"],
             var_form, nu_of(params),
         )
-        lossv = variational_loss(_weighted(res), el.mask[:, None], el.n_test)
+        lossv = variational_loss(_weighted(_mask_eq(res)), el.mask[:, None], el.n_test)
         if axis_name is not None:  # explicit ICI all-reduce (shard_map path)
             lossv = jax.lax.psum(lossv, axis_name)
         wb_pred = w_fn(data["xb"])
@@ -327,6 +381,12 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
             lossa = jnp.mean((p_pred - data["p_anchor"]) ** 2)
             loss = loss + wa * lossa
             aux["lossa"] = lossa
+            aux["loss"] = loss
+        if w_zm > 0.0:
+            rz = _zeromean_resvec(params, data)
+            lossz = jnp.sum(rz * rz)
+            loss = loss + lossz
+            aux["lossz"] = lossz
             aux["loss"] = loss
         if cfg.inverse:
             us_pred = w_fn(data["xs"])[:, :2]
@@ -350,6 +410,8 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
             lambda params, data: jnp.sqrt(wb_weight / data["us"].size)
             * (make_w_fn(params)(data["xs"])[:, :2] - data["us"]).reshape(-1)
         )
+    if w_zm > 0.0:
+        reg_parts.append(_zeromean_resvec)
 
     def reg_resvec_fn(params, data):
         return jnp.concatenate([f(params, data) for f in reg_parts])

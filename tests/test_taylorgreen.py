@@ -326,3 +326,59 @@ def test_hard_bc_exact_on_data_faces():
     got = np.asarray(w_fn(jnp.asarray(Xi)))[:, :2]
     want = taylorgreen.exact_stacked(Xi[:, 0], Xi[:, 1], Xi[:, 2], cfg.re)[:, :2]
     assert np.abs(got - want).max() > 1e-8
+
+
+def test_zero_mean_gauge_penalty_identity_and_exactness():
+    """p_zero_mean_weight: the per-time-slice zero-mean gauge penalty must
+    (a) keep the GN residual identity sum(r^2) == loss exact, and (b) vanish
+    on the exact solution (the exact p's quadrature slice means ARE the
+    pinned targets)."""
+    from hpvpinns_tpu.problems.taylorgreen import exact_stacked
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    cfg = hv.TaylorGreenConfig(
+        dtype="float64", layers=(3, 8, 3), n_quad=4,
+        n_elements_x=1, n_elements_y=1, n_elements_t=1,
+        n_test_x=3, n_test_y=3, n_test_t=3,
+        p_zero_mean_weight=5.0, n_zero_mean_t=4)
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(0))
+    r = make_residual_vector(prob)(params, prob.data)
+    loss = float(prob.loss_fn(params, prob.data)[0])
+    np.testing.assert_allclose(float(np.sum(np.asarray(r) ** 2)), loss,
+                               rtol=1e-10)
+    # exact p on the zero-mean grid reproduces the pinned means exactly
+    X = np.asarray(prob.data["x_zeromean"])
+    p_ex = exact_stacked(X[:, 0], X[:, 1], X[:, 2], cfg.re)[:, 2]
+    w = np.asarray(prob.data["w_zeromean"])
+    means = p_ex.reshape(cfg.n_zero_mean_t, -1) @ w
+    np.testing.assert_allclose(means, np.asarray(prob.data["p_mean_exact"]),
+                               atol=1e-12)
+    # ... and those targets are the zero-mean gauge (standard [0, pi]^2 box)
+    np.testing.assert_allclose(means, 0.0, atol=1e-12)
+
+
+def test_p_test_enrich_masks_continuity_only():
+    """p_test_enrich=2: momentum rows get the enriched tensor orders, the
+    continuity row keeps the base block (enriched rows exactly zero), and
+    the GN residual identity survives the equation-selective mask."""
+    from hpvpinns_tpu.training.gauss_newton import make_residual_vector
+
+    cfg = hv.TaylorGreenConfig(
+        dtype="float64", layers=(3, 8, 3), n_quad=6,
+        n_elements_x=1, n_elements_y=1, n_elements_t=1,
+        n_test_x=3, n_test_y=3, n_test_t=3, p_test_enrich=2)
+    prob = hv.build(cfg)
+    params = prob.init_params(jax.random.key(1))
+    res = np.asarray(prob.extras["residual_fn"](params, prob.data))
+    assert res.shape == (1, 3, 5, 5, 5)
+    cont = res[0, 2]
+    assert np.abs(cont[3:]).max() == 0.0
+    assert np.abs(cont[:, 3:]).max() == 0.0
+    assert np.abs(cont[:, :, 3:]).max() == 0.0
+    # momentum rows DO carry enriched content
+    assert np.abs(res[0, :2, 3:]).max() > 0.0
+    r = make_residual_vector(prob)(params, prob.data)
+    loss = float(prob.loss_fn(params, prob.data)[0])
+    np.testing.assert_allclose(float(np.sum(np.asarray(r) ** 2)), loss,
+                               rtol=1e-10)
