@@ -30,11 +30,12 @@ def _add_train_flags(p: argparse.ArgumentParser):
                    "second-order residual optimizer, breaks the first-order "
                    "u~2e-3 plateau)")
     p.add_argument("--gn-solve", dest="gn_solve",
-                   choices=("normal", "host", "qr", "cg"),
+                   choices=("normal", "host", "qr", "cg", "lsqr"),
                    help="LM step kernel: damped normal equations on device, "
                    "host-f64 solve (default for sub-f64 runs), pure-"
-                   "on-device QR of the augmented system, or matrix-free "
-                   "CG on jvp/vjp products (O(M+P) memory, mesh-shardable)")
+                   "on-device QR of the augmented system, matrix-free "
+                   "CG on jvp/vjp products (O(M+P) memory, mesh-shardable), "
+                   "or matrix-free LSQR (cond(J)-stable f32 twin of qr)")
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--threshold", type=float, help="early-stop loss threshold")
     p.add_argument("--seed", type=int)

@@ -289,9 +289,83 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         grad_inf = jnp.max(jnp.abs(g))
         return delta, pred_decrease, grad_inf, k
 
+    @jax.jit
+    def lm_step_lsqr(theta, lam):
+        """MATRIX-FREE damped step via LSQR (Paige & Saunders 1982, the
+        damped variant): Golub-Kahan bidiagonalization of J itself applied
+        through jvp/vjp products, solving min ||J d + r||^2 + lam ||d||^2
+        WITHOUT ever forming J^T J.  This is the f32-chip twin of the dense
+        "qr" kernel: backward-stable at cond(J) where CG-on-the-normal-
+        operator squares it (the measured f32 damping-stall mechanism,
+        MEASUREMENTS.md), at the identical per-iteration cost (one jvp +
+        one vjp) and the same O(M + P), element-sharded memory profile.
+
+        Stopping mirrors the CG kernel's Eisenstat-Walker forcing: the LSQR
+        running estimate of ||A_aug^T r_aug|| (= phibar * alpha * |c|)
+        against eta * ||J^T r||, eta = min(cg_tol, ||J^T r||).
+        """
+        r, jvp_lin = jax.linearize(r_of, theta)
+        _, vjp = jax.vjp(r_of, theta)
+        g = vjp(r)[0]  # J^T r (for grad_inf and the forcing scale)
+        damp = jnp.sqrt(lam)
+
+        b = -r
+        eps_tiny = jnp.asarray(1e-30, dtype=r.dtype)
+
+        beta1 = jnp.linalg.norm(b)
+        u0 = b / jnp.maximum(beta1, eps_tiny)
+        v_raw = vjp(u0)[0]
+        alpha1 = jnp.linalg.norm(v_raw)
+        v0 = v_raw / jnp.maximum(alpha1, eps_tiny)
+
+        gnorm = alpha1 * beta1  # ||A^T b|| = ||J^T r||
+        eta = jnp.minimum(cg_tol, jnp.sqrt(gnorm))
+        tol = eta * gnorm
+
+        def cond(state):
+            _, _, _, _, _, _, ntest, k = state
+            return (k < max_cg) & (ntest > tol)
+
+        def body(state):
+            x, w, u, v, alpha, (phibar, rhobar), _, k = state
+            u_new = jvp_lin(v) - alpha * u
+            beta = jnp.linalg.norm(u_new)
+            u_new = u_new / jnp.maximum(beta, eps_tiny)
+            v_new = vjp(u_new)[0] - beta * v
+            alpha_new = jnp.linalg.norm(v_new)
+            v_new = v_new / jnp.maximum(alpha_new, eps_tiny)
+            # eliminate the damping row
+            rhobar1 = jnp.sqrt(rhobar * rhobar + damp * damp)
+            c1 = rhobar / jnp.maximum(rhobar1, eps_tiny)
+            phibar1 = c1 * phibar
+            # Givens rotation on the bidiagonal
+            rho = jnp.sqrt(rhobar1 * rhobar1 + beta * beta)
+            c = rhobar1 / jnp.maximum(rho, eps_tiny)
+            s = beta / jnp.maximum(rho, eps_tiny)
+            theta_ = s * alpha_new
+            rhobar_new = -c * alpha_new
+            phi = c * phibar1
+            phibar_new = s * phibar1
+            x = x + (phi / jnp.maximum(rho, eps_tiny)) * w
+            w = v_new - (theta_ / jnp.maximum(rho, eps_tiny)) * w
+            # running estimate of ||A_aug^T r_aug||; phibar carries an
+            # alternating sign through the damping elimination (cs1 < 0
+            # when rhobar < 0), so the magnitude is what converges
+            ntest = jnp.abs(phibar_new * alpha_new * c)
+            return (x, w, u_new, v_new, alpha_new,
+                    (phibar_new, rhobar_new), ntest, k + 1)
+
+        x0 = jnp.zeros_like(g)
+        init = (x0, v0, u0, v0, alpha1, (beta1, alpha1), gnorm + tol, 0)
+        delta, *_, k = jax.lax.while_loop(cond, body, init)
+        pred = r + jvp_lin(delta)
+        pred_decrease = jnp.sum(r * r) - jnp.sum(pred * pred)
+        grad_inf = jnp.max(jnp.abs(g))
+        return delta, pred_decrease, grad_inf, k
+
     return r_and_J, loss_of, {
         "normal": lm_step, "host": lm_step_host, "qr": lm_step_qr,
-        "cg": lm_step_cg,
+        "cg": lm_step_cg, "lsqr": lm_step_lsqr,
     }
 
 
@@ -343,9 +417,9 @@ def gauss_newton(
     if solve is None:
         if host_solve is not None:
             solve = "host" if host_solve else "normal"
-    elif solve not in ("normal", "host", "qr", "cg"):
+    elif solve not in ("normal", "host", "qr", "cg", "lsqr"):
         raise ValueError(
-            f"solve must be 'normal', 'host', 'qr' or 'cg', got {solve!r}"
+            f"solve must be 'normal', 'host', 'qr', 'cg' or 'lsqr', got {solve!r}"
         )
     data = problem.data if data is None else data
     resvec = make_residual_vector(problem)
@@ -389,7 +463,7 @@ def gauss_newton(
     accepted = 0
     t0 = time.perf_counter()
 
-    matrix_free = solve == "cg"
+    matrix_free = solve in ("cg", "lsqr")
     if matrix_free:
         r = J = None
         loss = float(loss_of(theta))

@@ -366,3 +366,53 @@ def test_cg_solve_variant_deep_convergence():
     assert g_cg.final_aux["loss"] <= 1e3 * g_ne.final_aux["loss"]
     ci = g_cg.history["cg_iters"]
     assert len(ci) == g_cg.accepted and np.all(ci >= 1)
+
+
+def test_lsqr_step_matches_normal_equations_f64():
+    """The matrix-free LSQR kernel (Golub-Kahan on the damped system through
+    jvp/vjp — the cond(J)-stable twin of 'qr' with 'cg' memory) must
+    reproduce the dense damped step when solved tightly, in both regimes."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from hpvpinns_tpu.training.gauss_newton import _build_kernels, make_residual_vector
+
+    for layers in ((1, 4, 1), (1, 14, 14, 1)):
+        prob = hv.build(hv.Poisson1DConfig(
+            dtype="float64", n_test=8, n_quad=16, layers=layers))
+        resvec = make_residual_vector(prob)
+        params = prob.init_params(jax.random.key(2))
+        theta, unravel = ravel_pytree(params)
+        r = resvec(params, prob.data)
+        M, P = int(r.size), int(theta.size)
+        rJ, _, steps = _build_kernels(
+            resvec, unravel, prob.data, P, M, cg_maxiter=8 * (M + P),
+            cg_tol=1e-12)
+        _, J = rJ(theta)
+        lam = jnp.asarray(1e-4, dtype=theta.dtype)
+        d_ne, p_ne, g_ne = steps["normal"](r, J, lam)
+        d_ls, p_ls, g_ls, k = steps["lsqr"](theta, lam)
+        np.testing.assert_allclose(np.asarray(d_ls), np.asarray(d_ne),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(float(p_ls), float(p_ne), rtol=1e-8)
+        np.testing.assert_allclose(float(g_ls), float(g_ne), rtol=1e-10)
+        # exhausts well under the Krylov bound (the sign-flip stopping bug
+        # of the first implementation terminated at k=2 with garbage)
+        assert 3 <= int(k) <= M + P
+
+
+def test_lsqr_solve_variant_f32():
+    """solve='lsqr' end-to-end in f32 (the chip regime): like qr/host it
+    must stay productive where the f32 normal equations stall."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float32", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
+        train=hv.TrainConfig(iterations=200, check_every=100),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    g_qr = gauss_newton(prob, res.params, iterations=25, verbose=False,
+                        solve="qr")
+    g_ls = gauss_newton(prob, res.params, iterations=25, verbose=False,
+                        solve="lsqr")
+    assert g_ls.final_aux["loss"] <= 10.0 * g_qr.final_aux["loss"]
+    assert g_ls.final_aux["loss"] < 1e-3 * res.final_aux["loss"]

@@ -243,3 +243,15 @@ def test_ensemble_on_mesh_matches_unsharded(problem):
     np.testing.assert_allclose(
         np.asarray(e1.final_aux["loss"]), np.asarray(e0.final_aux["loss"]),
         rtol=1e-9)
+
+
+def test_trainer_gn_phase_on_mesh(problem):
+    """run --mesh with a gn_iterations phase: the trainer hands the SHARDED
+    data pytree into gauss_newton, so the full three-phase pipeline must
+    reproduce the unsharded result."""
+    cfg = hv.TrainConfig(iterations=40, check_every=20, gn_iterations=3,
+                         gn_solve="cg")
+    r0 = hv.train(problem, cfg, verbose=False)
+    r1 = hv.train(problem, cfg, mesh=element_mesh(), verbose=False)
+    np.testing.assert_allclose(r1.final_aux["loss"], r0.final_aux["loss"],
+                               rtol=1e-4)
