@@ -119,16 +119,33 @@ def test_pinns_scheme_rejected():
         make_residual_vector(prob)
 
 
-def test_lm_monotone_descent_and_beats_first_order():
-    """LM accepts only loss decreases (monotone history) and lands orders of
-    magnitude below an Adam run of the same problem."""
+@pytest.fixture(scope="module")
+def f64_warm():
+    """Shared f64 warm start (poisson1d, Adam-300) for the LM solver
+    variants — one training run instead of one per test."""
     cfg = hv.Poisson1DConfig(
         dtype="float64", n_test=10, n_quad=20, layers=(1, 12, 12, 1),
         train=hv.TrainConfig(iterations=300, check_every=100),
     )
     prob = hv.build(cfg)
-    adam = hv.train(prob, verbose=False)
+    return prob, hv.train(prob, verbose=False)
 
+
+@pytest.fixture(scope="module")
+def f32_warm():
+    """Shared f32 warm start (the chip-regime conditioning fixture)."""
+    cfg = hv.Poisson1DConfig(
+        dtype="float32", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
+        train=hv.TrainConfig(iterations=200, check_every=100),
+    )
+    prob = hv.build(cfg)
+    return prob, hv.train(prob, verbose=False)
+
+
+def test_lm_monotone_descent_and_beats_first_order(f64_warm):
+    """LM accepts only loss decreases (monotone history) and lands orders of
+    magnitude below an Adam run of the same problem."""
+    prob, adam = f64_warm
     gn = gauss_newton(prob, adam.params, iterations=30, verbose=False)
     losses = gn.history["loss"]
     assert len(losses) == gn.accepted
@@ -178,16 +195,11 @@ def test_gn_inverse_epsilon():
     assert err_gn < 0.01, f"GN epsilon rel err {err_gn:.3e}"
 
 
-def test_host_solve_variant_f32():
+def test_host_solve_variant_f32(f32_warm):
     """host_solve=True (the f32-chip conditioning fix) solves the damped
     normal equations on the host in f64; it must auto-enable for f32
     parameters and match-or-beat the on-device f32 solve."""
-    cfg = hv.Poisson1DConfig(
-        dtype="float32", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
-        train=hv.TrainConfig(iterations=200, check_every=100),
-    )
-    prob = hv.build(cfg)
-    res = hv.train(prob, verbose=False)
+    prob, res = f32_warm
     g_dev = gauss_newton(prob, res.params, iterations=25, verbose=False,
                          host_solve=False)
     g_host = gauss_newton(prob, res.params, iterations=25, verbose=False)
@@ -224,17 +236,12 @@ def test_qr_step_matches_normal_equations_f64():
         np.testing.assert_allclose(float(g_qr), float(g_ne), rtol=1e-10)
 
 
-def test_qr_solve_variant_f32():
+def test_qr_solve_variant_f32(f32_warm):
     """solve='qr' (the pure-on-device f32 conditioning fix — no host pull)
     must, like the host-f64 solve, keep LM productive where the f32 normal
     equations stall: match-or-beat the on-device normal solve and cut the
     warm-start loss by orders of magnitude."""
-    cfg = hv.Poisson1DConfig(
-        dtype="float32", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
-        train=hv.TrainConfig(iterations=200, check_every=100),
-    )
-    prob = hv.build(cfg)
-    res = hv.train(prob, verbose=False)
+    prob, res = f32_warm
     g_dev = gauss_newton(prob, res.params, iterations=25, verbose=False,
                          solve="normal")
     g_qr = gauss_newton(prob, res.params, iterations=25, verbose=False,
@@ -347,17 +354,12 @@ def test_cg_step_matches_normal_equations_f64():
         assert int(k) <= 4 * (M + P)
 
 
-def test_cg_solve_variant_deep_convergence():
+def test_cg_solve_variant_deep_convergence(f64_warm):
     """solve='cg' end-to-end: the matrix-free LM must keep pace with the
     dense normal-equations solve on an f64 polish (measured: cg_tol=1e-3
     reaches 3.4e-12 where 'normal' reaches 8e-12 — same deep-convergence
     regime) and record its CG iteration counts."""
-    cfg = hv.Poisson1DConfig(
-        dtype="float64", n_test=10, n_quad=20, layers=(1, 12, 12, 1),
-        train=hv.TrainConfig(iterations=300, check_every=100),
-    )
-    prob = hv.build(cfg)
-    adam = hv.train(prob, verbose=False)
+    prob, adam = f64_warm
     g_ne = gauss_newton(prob, adam.params, iterations=20, verbose=False,
                         solve="normal")
     g_cg = gauss_newton(prob, adam.params, iterations=20, verbose=False,
@@ -401,15 +403,10 @@ def test_lsqr_step_matches_normal_equations_f64():
         assert 3 <= int(k) <= M + P
 
 
-def test_lsqr_solve_variant_f32():
+def test_lsqr_solve_variant_f32(f32_warm):
     """solve='lsqr' end-to-end in f32 (the chip regime): like qr/host it
     must stay productive where the f32 normal equations stall."""
-    cfg = hv.Poisson1DConfig(
-        dtype="float32", n_test=8, n_quad=16, layers=(1, 10, 10, 1),
-        train=hv.TrainConfig(iterations=200, check_every=100),
-    )
-    prob = hv.build(cfg)
-    res = hv.train(prob, verbose=False)
+    prob, res = f32_warm
     g_qr = gauss_newton(prob, res.params, iterations=25, verbose=False,
                         solve="qr")
     g_ls = gauss_newton(prob, res.params, iterations=25, verbose=False,
