@@ -362,3 +362,20 @@ def test_run_seeds_polish_phase(capsys):
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["polished"]["gn_iterations"] == 12
     assert s["polished"]["rel_l2"] <= s["rel_l2_min"]
+
+
+def test_run_seeds_with_mesh(capsys):
+    """--mesh --seeds: the ensemble branch receives the mesh (the round-3
+    silent-ignore fix) — runs on the 8-device virtual mesh and reports the
+    same summary shape."""
+    import json
+
+    from hpvpinns_tpu.cli import main
+
+    rc = main(
+        "run poisson1d --seeds 2 --mesh --iterations 30 --n-quad 10 "
+        "--layers 1,8,1 --dtype float64 --quiet".split()
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["seeds"] == 2 and len(s["per_seed"]) == 2
