@@ -36,6 +36,11 @@ def _add_train_flags(p: argparse.ArgumentParser):
                    "on-device QR of the augmented system, matrix-free "
                    "CG on jvp/vjp products (O(M+P) memory, mesh-shardable), "
                    "or matrix-free LSQR (cond(J)-stable f32 twin of qr)")
+    p.add_argument("--gn-cg-tol", type=float, dest="gn_cg_tol",
+                   help="matrix-free LM kernels: relative forcing tolerance")
+    p.add_argument("--gn-cg-maxiter", type=int, dest="gn_cg_maxiter",
+                   help="matrix-free LM kernels: iteration cap "
+                   "(default min(n_params, 2000))")
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--threshold", type=float, help="early-stop loss threshold")
     p.add_argument("--seed", type=int)
@@ -475,6 +480,7 @@ _PRECISION_PRESETS = {
 
 _TRAIN_KEYS = (
     "iterations", "lbfgs_iterations", "gn_iterations", "gn_solve",
+    "gn_cg_tol", "gn_cg_maxiter",
     "learning_rate", "threshold", "seed", "checkpoint_dir", "checkpoint_every",
 )
 

@@ -32,10 +32,14 @@ class TrainConfig:
     # drops to the discretization floor in O(100) steps (MEASUREMENTS.md).
     gn_damping_init: float = 1e-3  # initial LM damping lambda
     gn_solve: Optional[str] = None  # LM step kernel: "normal" | "host" |
-    # "qr" | "cg"; None = auto (host-f64 solve for sub-f64 runs — the
-    # measured on-chip conditioning fix; "qr" is the pure-on-device
-    # alternative; "cg" is the matrix-free kernel — no [M, P] Jacobian,
-    # O(M+P) memory, and the one that stays element-sharded under a mesh).
+    # "qr" | "cg" | "lsqr"; None = auto (host-f64 solve for sub-f64 runs —
+    # the measured on-chip conditioning fix; "qr" is the pure-on-device
+    # alternative; "cg"/"lsqr" are MATRIX-FREE kernels via jvp/vjp — no
+    # [M, P] Jacobian, O(M+P) memory, element-sharded under a mesh; lsqr
+    # is the cond(J)-stable one).
+    gn_cg_tol: float = 1e-3  # matrix-free kernels: relative forcing tolerance
+    gn_cg_maxiter: Optional[int] = None  # matrix-free iteration cap
+    # (None = min(n_params, 2000) — the measured poisson3d-equalizing cap)
     threshold: Optional[float] = None  # early stop when loss < threshold
     check_every: int = 10  # host-side loss poll cadence (reference: 10)
     log_every: int = 100  # console print cadence (reference: 100)

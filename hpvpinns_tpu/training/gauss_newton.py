@@ -227,7 +227,12 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         grad_inf = float(np.max(np.abs(J64.T @ r64)))
         return jnp.asarray(delta, dtype=r.dtype), pred_decrease, grad_inf
 
-    max_cg = cg_maxiter if cg_maxiter is not None else min(n_params, 500)
+    # Default iteration cap: n_params (the exact-arithmetic Krylov bound),
+    # capped at 2000.  Measured on poisson3d precision (f32 chip, P ~ 5k):
+    # the old min(P, 500) cap truncated the solve to rel-L2 1.64e-3 where
+    # maxiter 2000 reaches 1.04e-3 — EQUAL to the dense qr kernel at 10.8x
+    # less GN wall (34 s vs 371 s for 30 accepted steps; MEASUREMENTS.md).
+    max_cg = cg_maxiter if cg_maxiter is not None else min(n_params, 2000)
 
     @jax.jit
     def lm_step_cg(theta, lam):

@@ -318,6 +318,8 @@ def train(
             iterations=cfg.gn_iterations,
             damping_init=cfg.gn_damping_init,
             solve=cfg.gn_solve,
+            cg_tol=cfg.gn_cg_tol,
+            cg_maxiter=cfg.gn_cg_maxiter,
             verbose=verbose,
             log_every=max(1, cfg.log_every // 10),
         )
