@@ -778,28 +778,31 @@ def poisson3d_quality(hard_bc: bool = False) -> Poisson3DConfig:
 
 
 def poisson3d_precision(hard_bc: bool = True) -> Poisson3DConfig:
-    """GN-grade volumetric frontier, ON CHIP (round-3 late measurement,
-    benchmarks/MEASUREMENTS.md): quality with the test space raised to 8^3
-    plus a 30-accepted-step LM phase.  The whole-Jacobian vmap OOMed the
-    16G chip (17.4G); the memory-bounded lax.map block build (gauss_newton
-    jac_chunk, auto-enabled) fits.  Measured f32 single chip: rel-L2
-    **1.06e-3** (~17 min with the host-f64 solve; **~4.6 min** with the
-    shipped on-device QR kernel, same result to 4 digits) — 8.1x below
-    the hard-BC quality record
-    (8.6e-3).  At the quality p=6 the same GN phase gives only 6.59e-3 in
-    ~5 min: the 6^3 weak objective's own minimizer is ~6e-3-class, so p is
-    the lever GN unlocks (the measured 1D p=30 -> p=50 mechanism, now
-    confirmed volumetric)."""
+    """GN-grade volumetric frontier, ON CHIP (round-3 measurement, round-4
+    matrix-free update — benchmarks/MEASUREMENTS.md): quality with the test
+    space raised to 8^3 plus a 30-accepted-step LM phase on the MATRIX-FREE
+    CG kernel.  Measured f32 single chip, same warm start: rel-L2
+    **1.037e-3 with a 34 s GN phase** (cg, tol 1e-4) vs 1.056e-3 / 371 s
+    for the dense QR kernel and 1.057e-3 / ~17 min for the round-3 host-f64
+    row — equal accuracy, 10.8x less GN wall, total ~2.6 min.  The dense
+    build had to chunk the Jacobian after a 17.4G OOM (jac_chunk); the CG
+    kernel never materializes J at all (O(M+P) memory, element-shardable).
+    At the quality p=6 the same GN phase gives only 6.59e-3: the 6^3 weak
+    objective's own minimizer is ~6e-3-class, so p is the lever GN unlocks
+    (the measured 1D p=30 -> p=50 mechanism, confirmed volumetric)."""
     base = poisson3d_quality(hard_bc=hard_bc)
     return replace(
         base,
         n_test_x=8, n_test_y=8, n_test_z=8,
-        # The pure-on-device QR kernel reproduces the host-f64 record to 4
-        # digits (1.0564e-3 vs 1.0568e-3) at 3.7x less wall (~4.6 min vs
-        # ~17) — measured, MEASUREMENTS.md "LM step kernels" — so the 3D
-        # preset ships it.  p=10 measured NEGATIVE (1.22e-3): p=8 is the
-        # volumetric optimum, like 2D/burgers at their shipped orders.
-        train=replace(base.train, gn_iterations=30, gn_solve="qr"),
+        # Matrix-free CG at tol 1e-4 / cap 2000 reproduces the dense-kernel
+        # record (1.0367e-3 vs qr 1.0564e-3, SAME warm start) at 10.8x less
+        # GN wall (34 s vs 371 s) — measured round 4, MEASUREMENTS.md
+        # "matrix-free LM on chip" — so the 3D preset ships it.  The old
+        # min(P, 500) iteration cap was the earlier stall (1.64e-3).
+        # p=10 measured NEGATIVE (1.22e-3): p=8 is the volumetric optimum,
+        # like 2D/burgers at their shipped orders.
+        train=replace(base.train, gn_iterations=30, gn_solve="cg",
+                      gn_cg_tol=1e-4, gn_cg_maxiter=2000),
     )
 
 
