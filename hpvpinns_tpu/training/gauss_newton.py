@@ -94,7 +94,8 @@ class GNResult:
 
 def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
                    jac_chunk: Optional[int] = None,
-                   cg_maxiter: Optional[int] = None, cg_tol: float = 1e-3):
+                   cg_maxiter: Optional[int] = None, cg_tol: float = 1e-3,
+                   cg_precond: int = 0):
     """Jitted LM computational kernels over the FLAT parameter vector.
 
     `jac_chunk` bounds the Jacobian build's peak memory: the min(M, P)
@@ -260,6 +261,13 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         measured: on a poisson1d f64 polish, 1e-2 stalls at loss 3e-5 while
         1e-3 matches the dense normal-equations solve (3.4e-12 after 20
         accepted steps) at mean 9 CG iterations/step.
+
+        `cg_precond` > 0 turns on a Jacobi preconditioner with the diagonal
+        of J^T J ESTIMATED matrix-free by Hutchinson probing: for Rademacher
+        z, E[(J^T z) ∘ (J^T z)] = diag(J^T J) exactly, so cg_precond vjp
+        passes per accepted iterate buy a column-scale equilibration —
+        the standard cure when CG's iteration count is dominated by
+        badly-scaled parameter blocks (biases vs weights).
         """
         r, jvp_lin = jax.linearize(r_of, theta)
         _, vjp = jax.vjp(r_of, theta)
@@ -268,27 +276,43 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         def matvec(v):
             return vjp(jvp_lin(v))[0] + lam * v
 
+        if cg_precond > 0:
+            key = jax.random.key(17)
+            zs = jax.random.rademacher(
+                key, (cg_precond, n_res), dtype=r.dtype)
+            diag_est = jax.lax.map(
+                lambda z: vjp(z)[0] ** 2, zs).mean(axis=0)
+            minv = 1.0 / (diag_est + lam)
+        else:
+            minv = None
+
+        def precond(v):
+            return v if minv is None else minv * v
+
         b = -g
         rs0 = jnp.vdot(b, b)
         eta = jnp.minimum(cg_tol, jnp.sqrt(rs0))
         tol2 = (eta * eta) * rs0
 
         def cond(state):
-            _, _, _, rs, k = state
+            _, _, _, _, rs, k = state
             return (k < max_cg) & (rs > tol2)
 
         def body(state):
-            x, rk, p, rs, k = state
+            x, rk, p, rz, rs, k = state
             Ap = matvec(p)
-            alpha = rs / jnp.vdot(p, Ap)
+            alpha = rz / jnp.vdot(p, Ap)
             x = x + alpha * p
             rk = rk - alpha * Ap
-            rs_new = jnp.vdot(rk, rk)
-            beta = rs_new / rs
-            return (x, rk, p * beta + rk, rs_new, k + 1)
+            zk = precond(rk)
+            rz_new = jnp.vdot(rk, zk)
+            beta = rz_new / rz
+            return (x, rk, zk + beta * p, rz_new, jnp.vdot(rk, rk), k + 1)
 
         x0 = jnp.zeros_like(g)
-        delta, _, _, _, k = jax.lax.while_loop(cond, body, (x0, b, b, rs0, 0))
+        z0 = precond(b)
+        delta, _, _, _, _, k = jax.lax.while_loop(
+            cond, body, (x0, b, z0, jnp.vdot(b, z0), rs0, 0))
         pred = r + jvp_lin(delta)
         pred_decrease = jnp.sum(r * r) - jnp.sum(pred * pred)
         grad_inf = jnp.max(jnp.abs(g))
@@ -391,6 +415,7 @@ def gauss_newton(
     mesh=None,
     cg_maxiter: Optional[int] = None,
     cg_tol: float = 1e-3,
+    cg_precond: int = 0,
 ) -> GNResult:
     """Levenberg-Marquardt polish of a (usually pre-trained) parameter pytree.
 
@@ -452,7 +477,7 @@ def gauss_newton(
     n_res, n_params = int(probe.size), int(theta.size)
     r_and_J, loss_of, lm_steps = _build_kernels(
         resvec, unravel, data, n_params, n_res, jac_chunk=jac_chunk,
-        cg_maxiter=cg_maxiter, cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter, cg_tol=cg_tol, cg_precond=cg_precond,
     )
     if solve is None:
         solve = (

@@ -413,3 +413,30 @@ def test_lsqr_solve_variant_f32(f32_warm):
                         solve="lsqr")
     assert g_ls.final_aux["loss"] <= 10.0 * g_qr.final_aux["loss"]
     assert g_ls.final_aux["loss"] < 1e-3 * res.final_aux["loss"]
+
+
+def test_cg_precond_same_solution():
+    """Jacobi-preconditioned CG (Hutchinson-estimated diag(J^T J)) changes
+    the iterate PATH, never the solution: solved tightly it must match the
+    dense damped step like plain CG does."""
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from hpvpinns_tpu.training.gauss_newton import _build_kernels, make_residual_vector
+
+    prob = hv.build(hv.Poisson1DConfig(
+        dtype="float64", n_test=8, n_quad=16, layers=(1, 14, 14, 1)))
+    resvec = make_residual_vector(prob)
+    params = prob.init_params(jax.random.key(2))
+    theta, unravel = ravel_pytree(params)
+    r = resvec(params, prob.data)
+    M, P = int(r.size), int(theta.size)
+    rJ, _, steps = _build_kernels(
+        resvec, unravel, prob.data, P, M, cg_maxiter=8 * (M + P),
+        cg_tol=1e-13, cg_precond=8)
+    _, J = rJ(theta)
+    lam = jnp.asarray(1e-4, dtype=theta.dtype)
+    d_ne, *_ = steps["normal"](r, J, lam)
+    d_pc, _, _, k = steps["cg"](theta, lam)
+    np.testing.assert_allclose(np.asarray(d_pc), np.asarray(d_ne),
+                               rtol=1e-6, atol=1e-8)
