@@ -163,14 +163,15 @@ def measure_ensemble_scaling(seed_counts=(1, 4, 8), steps: int = 100, trials: in
                 raise
             chunk = _build_ens_stepwise_chunk(prob.loss_fn, opt, chunk_len)
             params, opt_state, aux = chunk(params, opt_state, data)
-        jax.block_until_ready(aux["loss"])
+        # first-readback handshake before timing (see measure_wide_point)
+        float(aux["loss"][0])
         best_dt = float("inf")
         n_chunks = max(1, steps // chunk_len)
         for _ in range(trials):
             t0 = time.perf_counter()
             for _ in range(n_chunks):
                 params, opt_state, aux = chunk(params, opt_state, data)
-            jax.block_until_ready(aux["loss"])
+            float(aux["loss"][0])  # sync point: real readback
             best_dt = min(best_dt, time.perf_counter() - t0)
         sps = n_chunks * chunk_len / best_dt
         rows.append({"seeds": s, "steps_per_sec": sps, "seed_steps_per_sec": sps * s})
@@ -217,7 +218,12 @@ def measure_wide_point(width: int = 256, seeds: int = 8, depth: int = 3,
             raise
         chunk = _build_ens_stepwise_chunk(prob.loss_fn, opt, chunk_len)
         params, opt_state, aux = chunk(params, opt_state, data)
-    jax.block_until_ready(aux["loss"])
+    # Pay the backend's one-time first-readback handshake BEFORE timing:
+    # until a real device->host readback has completed in the process, the
+    # tunneled backend's block_until_ready does not actually synchronize
+    # (measured: the un-handshaken sweep printed 52k steps/s / 22x "MFU" —
+    # dispatch rates, not execution rates; with the readback, 42 steps/s).
+    float(aux["loss"][0])
 
     best_dt = float("inf")
     n_chunks = max(1, steps // chunk_len)
@@ -225,7 +231,7 @@ def measure_wide_point(width: int = 256, seeds: int = 8, depth: int = 3,
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             params, opt_state, aux = chunk(params, opt_state, data)
-        jax.block_until_ready(aux["loss"])
+        float(aux["loss"][0])  # sync point: real readback, not just block
         best_dt = min(best_dt, time.perf_counter() - t0)
     sps = n_chunks * chunk_len / best_dt
 
