@@ -178,7 +178,7 @@ def measure_ensemble_scaling(seed_counts=(1, 4, 8), steps: int = 100, trials: in
     return rows
 
 
-def measure_wide_point(width: int = 256, seeds: int = 8, depth: int = 3,
+def measure_wide_point(width: int = 256, seeds: int = 4, depth: int = 3,
                        steps: int = 50, trials: int = 3) -> dict:
     """The HIGH-UTILIZATION operating line: width x seed-ensemble COMPOSED.
 
