@@ -374,8 +374,8 @@ def precision_records(q):
         # measured — `run kovasznay --preset precision`)
         run("kovasznay_precision_f32_tpu", scaled(hv.kovasznay_precision())),
         # the UNSTEADY NS frontier (space-time hard-BC lift + direct-grad-p
-        # form 0; stacked rel-L2 3.43e-4 measured — `run taylorgreen
-        # --preset precision`)
+        # form 0 + zero-mean pressure-gauge penalty; stacked rel-L2 2.09e-4
+        # measured — `run taylorgreen --preset precision`)
         run("taylorgreen_precision_f32_tpu", scaled(hv.taylorgreen_precision())),
     ]
 

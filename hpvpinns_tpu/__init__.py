@@ -52,6 +52,8 @@ from hpvpinns_tpu.config import (
     poisson2d_scaled,
     poisson3d_precision,
     poisson3d_quality,
+    taylorgreen_precision,
+    taylorgreen_quality,
 )
 from hpvpinns_tpu.evaluate import evaluate as evaluate_problem
 from hpvpinns_tpu.evaluate import predict, rel_l2

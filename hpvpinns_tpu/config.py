@@ -570,20 +570,25 @@ def taylorgreen_precision() -> TaylorGreenConfig:
     chip"): space-time hard-BC lift (velocity exact on the 4 side walls and
     the t=0 face via the transfinite interpolant), 3x3x2 space-time mesh,
     6^3 test, 50-wide net, var_form 0, Adam-10k + L-BFGS-10k + LM on the
-    on-device QR kernel.  Measured f32 single chip: stacked (u, v, p)
-    rel-L2 **3.43e-4 in ~13 min** (u 1.19e-4, v 1.09e-4, p 1.04e-3) — 19x
-    below the quality preset; the GN phase alone is worth 11x on this
-    family.  Pressure is the component limiter (the unsteady gauge is a
-    free function of t pinned only by wall data), and testing grad p
-    DIRECTLY (var_form 0, no spatial IBP) is the measured best attack:
-    it beats once-IBP form 1 at both 6^3 (4.69e-4) and 8^3 (4.18e-4) test
-    enrichment, which buy nothing further at form 0 (3.96e-4)."""
+    on-device QR kernel, PLUS the zero-mean-per-time-slice pressure-gauge
+    penalty at weight 10 (round-4 ablation, MEASUREMENTS.md "gauge
+    treatments": zm10 beats zm1 beats none — p 1.04e-3 -> 6.8e-4 -> 5.7e-4;
+    momentum-row test enrichment measured WORSE, 1.14e-3).  Measured f32
+    single chip: stacked (u, v, p) rel-L2 **2.09e-4 in ~15 min**
+    (u 1.06e-4, v 1.25e-4, p 5.72e-4) — 32x below the quality preset; the
+    GN phase alone is worth 11x on this family.  Pressure is the component
+    limiter (the unsteady gauge is a free function of t pinned only by
+    wall data); the two measured attacks compose: testing grad p DIRECTLY
+    (var_form 0, no spatial IBP — beats once-IBP form 1 at both 6^3 and
+    8^3 test budgets) and pinning the gauge's one soft mode (the slice
+    mean) to its exact value."""
     return TaylorGreenConfig(
         layers=(3, 50, 50, 50, 3),
         n_elements_x=3,
         n_elements_y=3,
         var_form=0,
         hard_bc=True,
+        p_zero_mean_weight=10.0,
         train=TrainConfig(
             iterations=10000,
             lbfgs_iterations=10000,

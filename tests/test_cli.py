@@ -145,10 +145,11 @@ def test_precision_presets():
     assert cfg.train.gn_iterations == 250 and cfg.train.gn_solve == "qr"
 
     # the UNSTEADY NS frontier (space-time hard-BC lift + direct-grad-p
-    # form 0, 3.43e-4 on chip)
+    # form 0 + zero-mean pressure-gauge penalty, 2.09e-4 on chip)
     cfg = _config_from_args(parse("run taylorgreen --preset precision".split()))
     assert cfg.hard_bc and cfg.layers == (3, 50, 50, 50, 3)
     assert cfg.var_form == 0
+    assert cfg.p_zero_mean_weight == 10.0
     assert (cfg.n_elements_x, cfg.n_elements_y, cfg.n_elements_t) == (3, 3, 2)
     assert cfg.train.gn_iterations == 250 and cfg.train.gn_solve == "qr"
 
