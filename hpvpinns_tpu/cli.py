@@ -41,6 +41,16 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--gn-cg-maxiter", type=int, dest="gn_cg_maxiter",
                    help="matrix-free LM kernels: iteration cap "
                    "(default min(n_params, 2000))")
+    p.add_argument("--polish-f64", type=int, dest="polish_f64", metavar="N",
+                   help="after training, run N accepted float64 LM steps on "
+                   "the HOST (subprocess, training/hybrid.py): recovers the "
+                   "f64 digits the f32 chip cannot represent; reported under "
+                   "summary['polish_f64'], exported params are the polished "
+                   "ones")
+    p.add_argument("--polish-solve", dest="polish_solve", default="normal",
+                   choices=("normal", "qr", "cg", "lsqr"),
+                   help="LM step kernel for --polish-f64 (f64 host: normal "
+                   "is the right default; cg/lsqr stay matrix-free)")
     p.add_argument("--learning-rate", type=float)
     p.add_argument("--threshold", type=float, help="early-stop loss threshold")
     p.add_argument("--seed", type=int)
@@ -991,6 +1001,30 @@ def cmd_identify(args) -> int:
     return 0
 
 
+def _maybe_polish_f64(args, cfg, prob, params, summary):
+    """--polish-f64 N: host-f64 LM polish of the trained params
+    (training/hybrid.py).  Returns the polished params (cast back to the
+    run dtype) and records both the f64-evaluated and the cast-back
+    metrics in summary; no-op without the flag."""
+    n = getattr(args, "polish_f64", None)
+    if not n:
+        return params
+    import hpvpinns_tpu as hv
+    from hpvpinns_tpu.training.hybrid import polish_f64
+
+    pr = polish_f64(cfg, params, iterations=n,
+                    solve=getattr(args, "polish_solve", "normal"),
+                    verbose=not args.quiet)
+    summary["polish_f64"] = {
+        "iterations": n, "solve": getattr(args, "polish_solve", "normal"),
+        "loss": pr.loss, "accepted": pr.accepted, "stopped": pr.stopped,
+        "wall_s": pr.wall_s,
+        "metrics_f64": pr.metrics, "metrics_f64_start": pr.metrics_start,
+        "castback": hv.evaluate_problem(prob, pr.params),
+    }
+    return pr.params
+
+
 def cmd_run(args) -> int:
     import hpvpinns_tpu as hv
 
@@ -1049,12 +1083,14 @@ def cmd_run(args) -> int:
                 "gn_iterations": cfg.train.gn_iterations,
                 **mp,
             }
-        print(json.dumps(summary))
-        # export the polished winner if a phase-2 ran, else the best member
-        _maybe_export(
-            args, prob,
-            res_p.eval_params if "polished" in summary else ens.member(int(_np.argmin(rel))),
+        # winner = the phase-2-polished member if one ran, else the best
+        final_params = (
+            res_p.eval_params if "polished" in summary
+            else ens.member(int(_np.argmin(rel)))
         )
+        final_params = _maybe_polish_f64(args, cfg, prob, final_params, summary)
+        print(json.dumps(summary))
+        _maybe_export(args, prob, final_params)
         return 0
     res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
     metrics = hv.evaluate_problem(prob, res.eval_params)
@@ -1112,6 +1148,11 @@ def cmd_run(args) -> int:
             summary["fit_eps_field_rel_l2"] = float(
                 _np.linalg.norm(eh - et) / _np.linalg.norm(et)
             )
+    polished = _maybe_polish_f64(args, cfg, prob, res.eval_params, summary)
+    if "polish_f64" in summary:
+        # downstream consumers (gap/plots/record/export) see the polished
+        # network as the run result; the history stays the training one
+        res = dataclasses.replace(res, params=polished, best_params=None)
     print(json.dumps(summary))
 
     if getattr(args, "gap", False):
