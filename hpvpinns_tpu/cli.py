@@ -94,6 +94,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
                    "form (galerkin.vpinn_gap_*; f64 CPU, seconds)")
     p.add_argument("--plots", action="store_true", help="write the reference plot set")
     p.add_argument("--record", metavar="PATH", help="write a results record (.npz/.mat)")
+    p.add_argument("--record-params", action="store_true",
+                   help="include the trained parameter leaves in --record "
+                   "(restorable via utils.records.params_from_record)")
     p.add_argument("--export", metavar="DIR", dest="export_dir",
                    help="write a self-contained StableHLO serving artifact of "
                    "the trained ansatz (jax.export, cpu+tpu platforms, "
@@ -1183,7 +1186,8 @@ def cmd_run(args) -> int:
     if args.record:
         from hpvpinns_tpu.utils.records import save_record
 
-        written = save_record(prob, res, args.record)
+        written = save_record(prob, res, args.record,
+                              include_params=getattr(args, "record_params", False))
         print(json.dumps({"record": written}))
     _maybe_export(args, prob, res.eval_params)
     return 0

@@ -74,18 +74,30 @@ def _fields_kernel(x_ref, *refs, activation, n_layers, n_dirs, second: bool):
         h = a
         hk = [d1 * t for t in zk]
 
-    W = wrefs[2 * (n_layers - 1)][:]
-    b = wrefs[2 * (n_layers - 1) + 1][:]
+    # Final layer: only column 0 of the padded [Hp, Hp] weight is real (the
+    # network output is scalar), so one lane tile of W_L is enough — halves
+    # the final matmul passes for Hp > 128.
+    W = wrefs[2 * (n_layers - 1)][:, :128]
+    b = wrefs[2 * (n_layers - 1) + 1][:, :128]
     u = jnp.dot(h, W, preferred_element_type=jnp.float32, precision=_PREC) + b
     cols = [u] + [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hk]
     if second:
         cols += [jnp.dot(t, W, preferred_element_type=jnp.float32, precision=_PREC) for t in hkk]
 
-    # Each col is [BP, Hp] with the real scalar at lane 0 (padding weights
-    # and biases are zero).  Keep only the first lane tile of each so the
-    # output block stays [BP, n_fields*128] regardless of Hp: field f lives
-    # at lane f * 128.
-    out_ref[:] = jnp.concatenate([c[:, :128] for c in cols], axis=1)
+    # Pack every field into ONE lane tile: field f lives at lane f.  Each
+    # col is [BP, 128] with its scalar at lane 0 (padding weights/biases
+    # are zero), so a lane-reduce extracts it and a lane mask places it —
+    # VPU-cheap, and the output block (with its HBM write and the XLA-side
+    # gather) shrinks n_fields-fold vs the old tile-per-field layout.
+    # Measured NEUTRAL on step time at the W=256 wide point (the kernel is
+    # bound by per-block weight re-fetch, not output bandwidth —
+    # MEASUREMENTS.md round-4 revisit); kept for the memory win.
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (BP, 128), 1)
+    acc = jnp.zeros((BP, 128), jnp.float32)
+    for f, c in enumerate(cols):
+        v = jnp.sum(c, axis=1, keepdims=True)
+        acc = acc + v * jnp.where(lane128 == f, 1.0, 0.0).astype(acc.dtype)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _padded_width(spec: MLP) -> int:
@@ -129,7 +141,7 @@ def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_p
     Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
     padded = _pad_params(spec, params, dtype)
 
-    Fp = n_fields * 128  # one (mostly-zero) lane tile per field column
+    Fp = 128  # all fields packed into one lane tile (field f at lane f)
     kernel = functools.partial(
         _fields_kernel,
         activation=spec.activation,
@@ -155,8 +167,8 @@ def _pallas_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool, block_p
         out_shape=jax.ShapeDtypeStruct((Pp, Fp), dtype),
         interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
     )(*operands)
-    # Gather lane f*128 of each field tile into a dense [P, n_fields] array.
-    return out[:P, ::128]
+    # Fields sit in the first n_fields lanes of the single output tile.
+    return out[:P, :n_fields]
 
 
 def _xla_fields_flat(spec: MLP, params, X, n_dirs: int, second: bool):
@@ -285,14 +297,26 @@ def _fields_bwd_kernel(x_ref, g_ref, *refs, activation, n_layers, n_dirs):
         hkk = [d2 * t * t + d1 * s for t, s in zip(zk, zkk)]
 
     # ---- final (linear) layer ----
+    # g arrives PACKED: one lane tile, cotangent of field f at lane f
+    # (the [BP, n_fields*Hp] layout it replaces was the dominant bwd HBM
+    # read).  Unpack each field to the [BP, Hp]-with-lane-0 layout the
+    # reverse chain expects: lane-reduce to extract, lane-0 mask to place.
     W_L = wrefs[2 * (n_layers - 1)][:]
     Hp = W_L.shape[1]
-    gu = g_ref[:, 0:Hp]
-    guk = [g_ref[:, (1 + d) * Hp : (2 + d) * Hp] for d in range(n_dirs)]
-    gukk = [
-        g_ref[:, (1 + n_dirs + d) * Hp : (2 + n_dirs + d) * Hp]
-        for d in range(n_dirs)
-    ]
+    gpk = g_ref[:]  # [BP, 128]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, gpk.shape, 1)
+    lane0 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (gpk.shape[0], Hp), 1) == 0,
+        1.0, 0.0,
+    ).astype(gpk.dtype)
+
+    def _unpack(f):
+        v = jnp.sum(jnp.where(lane128 == f, gpk, 0.0), axis=1, keepdims=True)
+        return v * lane0
+
+    gu = _unpack(0)
+    guk = [_unpack(1 + d) for d in range(n_dirs)]
+    gukk = [_unpack(1 + n_dirs + d) for d in range(n_dirs)]
     gW_L = dotT_lhs(h, gu)
     for d in range(n_dirs):
         gW_L = gW_L + dotT_lhs(hk[d], guk[d]) + dotT_lhs(hkk[d], gukk[d])
@@ -369,10 +393,7 @@ def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int =
     Pp = _round_up(P, block_points)
     din_p = _round_up(d, 128)
     Xp = jnp.zeros((Pp, din_p), dtype=dtype).at[:P, :d].set(X)
-    Hp = _padded_width(spec)
-    Gp = jnp.zeros((Pp, n_fields * Hp), dtype=dtype)
-    for f in range(n_fields):
-        Gp = Gp.at[:P, f * Hp].set(g[:, f])
+    Gp = jnp.zeros((Pp, 128), dtype=dtype).at[:P, :n_fields].set(g)
     padded = _pad_params(spec, params, dtype)
 
     kernel = functools.partial(
@@ -384,7 +405,7 @@ def _pallas_fields_bwd(spec: MLP, params, X, g, n_dirs: int, block_points: int =
     grid = (Pp // block_points,)
     in_specs = [
         pl.BlockSpec((block_points, din_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_points, n_fields * Hp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_points, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [Xp, Gp]
     for W, b in padded:

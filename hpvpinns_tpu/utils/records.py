@@ -10,14 +10,19 @@ from __future__ import annotations
 
 import os
 
+import jax
 import numpy as np
+
+from jax.tree_util import tree_flatten as _tree_flatten
+from jax.tree_util import tree_unflatten as _tree_unflatten
 
 from hpvpinns_tpu.evaluate import predict
 from hpvpinns_tpu.problems.base import Problem
 from hpvpinns_tpu.training.trainer import TrainResult
 
 
-def build_record(problem: Problem, result: TrainResult) -> dict:
+def build_record(problem: Problem, result: TrainResult,
+                 include_params: bool = False) -> dict:
     rec = {
         "x_test": problem.test_points,
         "u_test": problem.test_values,
@@ -28,6 +33,14 @@ def build_record(problem: Problem, result: TrainResult) -> dict:
     for key, val in result.history.items():
         if key != "iteration":
             rec[f"history_{key}"] = val
+    if include_params:
+        # flattened parameter leaves so the trained network itself is
+        # restorable from the record (the reference's .mat keeps only
+        # predictions, AdvDiff.py:500-508 — a record without the weights
+        # cannot seed a polish/serving step; see params_from_record)
+        leaves, _ = _tree_flatten(result.eval_params)
+        for i, leaf in enumerate(leaves):
+            rec[f"param_leaf_{i}"] = np.asarray(leaf)
     mesh = problem.extras.get("mesh")
     if mesh is not None:
         if hasattr(mesh, "axis_x"):  # tensor-product mesh
@@ -40,12 +53,15 @@ def build_record(problem: Problem, result: TrainResult) -> dict:
     return rec
 
 
-def save_record(problem: Problem, result: TrainResult, path: str) -> list:
+def save_record(problem: Problem, result: TrainResult, path: str,
+                include_params: bool = False) -> list:
     """Write <path>.npz (always) and <path>.mat (if scipy is available).
 
-    Returns the list of files written.
+    Returns the list of files written.  ``include_params=True`` adds the
+    flattened parameter leaves (``param_leaf_i``) so the record can seed
+    :func:`params_from_record`.
     """
-    rec = build_record(problem, result)
+    rec = build_record(problem, result, include_params=include_params)
     base, ext = os.path.splitext(path)
     if ext in (".mat", ".npz"):
         path = base
@@ -61,6 +77,34 @@ def save_record(problem: Problem, result: TrainResult, path: str) -> list:
     except ImportError:
         pass
     return written
+
+
+def params_from_record(problem: Problem, record: dict):
+    """Rebuild the trained parameter pytree from a record written with
+    ``include_params=True`` (leaf order is the problem's own flatten
+    order, so the record is portable across processes but tied to the
+    config that built the problem)."""
+    keys = sorted(
+        (k for k in record if k.startswith("param_leaf_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
+    if not keys:
+        raise ValueError(
+            "record has no param_leaf_* entries "
+            "(written without include_params=True)"
+        )
+    template = problem.init_params(jax.random.key(0))
+    leaves, treedef = _tree_flatten(template)
+    if len(keys) != len(leaves):
+        raise ValueError(
+            f"record has {len(keys)} param leaves, problem expects "
+            f"{len(leaves)} — config mismatch"
+        )
+    return _tree_unflatten(
+        treedef,
+        [np.asarray(record[k]).reshape(np.shape(l)).astype(
+            np.asarray(l).dtype) for k, l in zip(keys, leaves)],
+    )
 
 
 def load_record(path: str) -> dict:

@@ -45,6 +45,26 @@ def test_record_roundtrip(tmp_path, trained_1d):
         )
 
 
+def test_record_params_roundtrip(tmp_path, trained_1d):
+    from hpvpinns_tpu.evaluate import predict
+    from hpvpinns_tpu.utils.records import params_from_record
+
+    prob, res = trained_1d
+    written = save_record(prob, res, str(tmp_path / "recp"),
+                          include_params=True)
+    for path in written:  # .npz and (when scipy is present) .mat
+        back = load_record(path)
+        params = params_from_record(prob, back)
+        np.testing.assert_allclose(
+            predict(prob, params), predict(prob, res.eval_params),
+            rtol=1e-12, atol=1e-12,
+        )
+    # a record without params refuses loudly
+    plain = load_record(save_record(prob, res, str(tmp_path / "rec0"))[0])
+    with pytest.raises(ValueError):
+        params_from_record(prob, plain)
+
+
 def test_record_contains_grids(trained_adv):
     prob, res = trained_adv
     rec = build_record(prob, res)
