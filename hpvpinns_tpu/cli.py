@@ -97,6 +97,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--record-params", action="store_true",
                    help="include the trained parameter leaves in --record "
                    "(restorable via utils.records.params_from_record)")
+    p.add_argument("--init-record", metavar="PATH", dest="init_record",
+                   help="warm-start training from the parameters stored in a "
+                   "record written with --record-params (same config family; "
+                   "incompatible with --seeds > 1)")
     p.add_argument("--export", metavar="DIR", dest="export_dir",
                    help="write a self-contained StableHLO serving artifact of "
                    "the trained ansatz (jax.export, cpu+tpu platforms, "
@@ -1041,6 +1045,16 @@ def cmd_run(args) -> int:
         from hpvpinns_tpu.parallel.sharding import element_mesh
 
         mesh = element_mesh()
+    init_params = None
+    if getattr(args, "init_record", None):
+        if getattr(args, "seeds", None) and args.seeds > 1:
+            print("error: --init-record warm-starts ONE network; it cannot "
+                  "seed a --seeds ensemble (every member would collapse to "
+                  "the same start)", file=sys.stderr)
+            return 2
+        from hpvpinns_tpu.utils.records import load_record, params_from_record
+
+        init_params = params_from_record(prob, load_record(args.init_record))
     if getattr(args, "seeds", None) and args.seeds > 1:
         # Seed-fleet study: one vmapped run over S stacked networks
         # (training/ensemble.py), reporting per-seed metrics + the best
@@ -1095,7 +1109,7 @@ def cmd_run(args) -> int:
         print(json.dumps(summary))
         _maybe_export(args, prob, final_params)
         return 0
-    res = hv.train(prob, mesh=mesh, verbose=not args.quiet)
+    res = hv.train(prob, mesh=mesh, params=init_params, verbose=not args.quiet)
     metrics = hv.evaluate_problem(prob, res.eval_params)
     summary = {
         "problem": prob.name,

@@ -50,6 +50,39 @@ def test_run_end_to_end(capsys, tmp_path):
     assert (tmp_path / "rec.npz").exists()
 
 
+def test_run_init_record_warm_start(capsys, tmp_path):
+    """--record-params then --init-record: the warm-started run resumes from
+    the stored network (first-step loss ~= the recorded final loss, far below
+    a cold init's)."""
+    base = (
+        "run poisson1d --iterations 40 --n-quad 10 --n-test 4 --layers 1,6,1 "
+        "--quiet"
+    ).split()
+    rc = main(base + ["--record", f"{tmp_path}/warm", "--record-params"])
+    assert rc == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    rc = main(base + ["--init-record", f"{tmp_path}/warm.npz"])
+    assert rc == 0
+    warm = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    # 40 more steps from the stored params can only improve on the record
+    assert warm["final_loss"] <= first["final_loss"] * 1.05
+
+
+def test_run_init_record_rejects_ensemble(capsys, tmp_path):
+    rc = main(
+        "run poisson1d --iterations 20 --n-quad 10 --n-test 4 --layers 1,6,1 "
+        f"--quiet --record {tmp_path}/w --record-params".split()
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(
+        f"run poisson1d --iterations 20 --n-quad 10 --n-test 4 --layers 1,6,1 "
+        f"--quiet --seeds 2 --init-record {tmp_path}/w.npz".split()
+    )
+    assert rc == 2
+    assert "--seeds" in capsys.readouterr().err
+
+
 def test_advdiff_quadratic_epsilon_run(capsys):
     """Regression: the summary's epsilon report must not KeyError when the pde
     pytree holds 'eps_coef' instead of 'epsilon' (quadratic epsilon_model)."""
