@@ -67,8 +67,10 @@ from hpvpinns_tpu.serving import (
 from hpvpinns_tpu.training import (
     EnsembleResult,
     GNResult,
+    TimeMarchResult,
     TrainResult,
     gauss_newton,
+    time_march,
     train,
     train_ensemble,
 )

@@ -400,6 +400,51 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
     ad.add_argument("--outdir", default="results/adapt")
 
+    mr = sub.add_parser(
+        "march",
+        help="slab-sequential time marching for the unsteady families: "
+        "split [t_start, t_final] into S slabs, train each as its own "
+        "space-time solve, hand the network state at each slab end to the "
+        "next slab as its initial condition (training/timemarch.py; no "
+        "reference analog — the reference trains single space-time domains "
+        "only, AdvDiff.py:35-53)",
+    )
+    mr.add_argument("problem", choices=["burgers", "advdiff"])
+    mr.add_argument("--slabs", type=int, required=True, help="number of time slabs")
+    mr.add_argument("--edges", type=_grid_arg,
+                    help="explicit slab boundaries (slabs+1 ascending times "
+                    "spanning [t_start, t_final]); default uniform")
+    mr.add_argument("--ic", choices=["net", "exact"], default="net",
+                    help="'net' hands each slab the previous network's state "
+                    "(honest marching; errors propagate); 'exact' restarts "
+                    "every slab from the analytic solution (per-slab-capacity "
+                    "control)")
+    mr.add_argument("--fresh-start", action="store_true",
+                    help="fresh Xavier init per slab instead of warm-starting "
+                    "from the previous slab's trained parameters")
+    mr.add_argument("--preset", choices=["record", "quality", "precision"],
+                    default="record")
+    mr.add_argument("--t-final", type=float, dest="t_final",
+                    help="horizon end (the march splits [0, t_final])")
+    mr.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    mr.add_argument("--n-elements-t", type=int, dest="n_elements_t",
+                    help="time elements PER SLAB")
+    mr.add_argument("--n-test-x", type=int, dest="n_test_x")
+    mr.add_argument("--n-test-t", type=int, dest="n_test_t")
+    mr.add_argument("--layers", type=str, help="comma-separated MLP widths")
+    mr.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
+    mr.add_argument("--iterations", type=int, help="Adam iterations PER SLAB")
+    mr.add_argument("--lbfgs-iterations", type=int)
+    mr.add_argument("--gn-iterations", type=int, dest="gn_iterations")
+    mr.add_argument("--gn-solve", dest="gn_solve",
+                    choices=("normal", "host", "qr", "cg", "lsqr"))
+    mr.add_argument("--mesh", action="store_true",
+                    help="shard each slab's elements over all devices")
+    mr.add_argument("--plots", action="store_true",
+                    help="write the stitched solution/error space-time panel")
+    mr.add_argument("--outdir", default="results/march")
+    mr.add_argument("--quiet", action="store_true")
+
     idf = sub.add_parser(
         "identify",
         help="NETWORK-FREE coefficient identification (advdiff): 'reduced' "
@@ -1370,6 +1415,66 @@ def _maybe_export(args, prob, params) -> None:
     }))
 
 
+def cmd_march(args) -> int:
+    import hpvpinns_tpu as hv
+
+    _enable_compile_cache()
+    # Reuse the run-command config plumbing: march shares the preset tables
+    # and override keys; advdiff marches the FORWARD problem (the inverse
+    # problem's sensors live on the global horizon — identify first, then
+    # march; timemarch.py enforces this).
+    if args.problem == "advdiff":
+        args.forward = True
+    cfg = _config_from_args(args)
+    _maybe_enable_x64(cfg.dtype)
+    mesh = None
+    if args.mesh:
+        from hpvpinns_tpu.parallel.sharding import element_mesh
+
+        mesh = element_mesh()
+
+    def progress(k, m):
+        if not args.quiet:
+            print(
+                f"[march] slab {k + 1}/{args.slabs} "
+                f"[{m['t0']:.3f}, {m['t1']:.3f}]: rel_l2={m['rel_l2']:.3e} "
+                f"loss={m['final_loss']:.3e}",
+                file=sys.stderr,
+            )
+
+    res = hv.time_march(
+        cfg,
+        n_slabs=args.slabs,
+        warm_start=not args.fresh_start,
+        ic=args.ic,
+        mesh=mesh,
+        edges=args.edges,
+        verbose=False,
+        progress=progress,
+    )
+    summary = {
+        "problem": args.problem,
+        "command": "march",
+        "slabs": args.slabs,
+        "ic": args.ic,
+        "warm_start": not args.fresh_start,
+        "edges": [float(e) for e in res.edges],
+        "wall_time_s": round(res.wall_time_s, 3),
+        "per_slab": [
+            {k: v for k, v in m.items() if k != "per_element"}
+            for m in res.per_slab
+        ],
+        **res.metrics,
+    }
+    print(json.dumps(summary))
+    if args.plots:
+        from hpvpinns_tpu.viz import plot_march
+
+        paths = plot_march(res, args.outdir)
+        print(json.dumps({"plots": paths}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     import time as _time
 
@@ -1428,6 +1533,8 @@ def main(argv=None) -> int:
         return cmd_sweep(args)
     if args.command == "adapt":
         return cmd_adapt(args)
+    if args.command == "march":
+        return cmd_march(args)
     if args.command == "identify":
         return cmd_identify(args)
     if args.command == "serve":

@@ -223,6 +223,10 @@ class AdvDiffConfig:
     # sensor READINGS only (boundary/initial data stay exact) — robustness
     # studies for the inverse problem (beyond the reference)
     t_final: float = 1.0
+    t_start: float = 0.0  # time-slab lower edge: the space-time domain is
+    # [domain_x] x [t_start, t_final] with the IC placed at t = t_start
+    # (exact series values by default, or a handed-off network state via
+    # build(..., ic_fn=) — training/timemarch.py drives slab sequences)
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     fourier_terms: int = 800  # exact-solution series truncation (AdvDiff.py:416)
     dtype: str = "float32"
@@ -353,6 +357,9 @@ class BurgersConfig:
     # the collocation points in (e.g. a front strip (-0.15, 0.15));
     # None = the whole spatial domain
     t_final: float = 1.0
+    t_start: float = 0.0  # time-slab lower edge (IC at t = t_start: exact
+    # Cole-Hopf values by default, or build(..., ic_fn=) for a handed-off
+    # network state — training/timemarch.py drives slab sequences)
     domain_x: Tuple[float, float] = (-1.0, 1.0)
     dtype: str = "float32"
     deriv_mode: str = "taylor"

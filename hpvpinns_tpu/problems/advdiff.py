@@ -95,33 +95,47 @@ def make_default_envelope(cfg: AdvDiffConfig, rate: float = 4.0):
     return envelope
 
 
-def training_data(cfg: AdvDiffConfig, rng: np.random.Generator, u_data_fn=None):
+def training_data(cfg: AdvDiffConfig, rng: np.random.Generator, u_data_fn=None,
+                  ic_fn=None):
     """Boundary + initial + interior-sensor data (AdvDiff.py:357-384,464-483).
 
     `u_data_fn(x, t) -> u` (host numpy, column arrays) overrides the data
     source everywhere — boundary, initial edge, AND sensor readings — for
     manufactured-solution problems (make_manufactured); the default is the
     benchmark's homogeneous BC / -sin(pi x) IC / exact-series sensors.
+    `ic_fn(x) -> u` overrides the INITIAL edge only (placed at t =
+    cfg.t_start) — a previous time slab's network state in a time-marching
+    sequence (training/timemarch.py); without it a t_start > 0 slab uses
+    the exact series at t_start.
     """
-    T, (xl, xr) = cfg.t_final, cfg.domain_x
+    T0, T, (xl, xr) = cfg.t_start, cfg.t_final, cfg.domain_x
     n = cfg.n_bound
     eps_true = cfg.gamma / np.pi
 
-    t_up = T * lhs_interval(0, 1, n, rng)
-    t_lo = T * lhs_interval(0, 1, n, rng)
+    t_up = T0 + (T - T0) * lhs_interval(0, 1, n, rng)
+    t_lo = T0 + (T - T0) * lhs_interval(0, 1, n, rng)
     x_in = lhs_interval(xl, xr, n, rng)
+    t_in = np.full_like(x_in, T0)
     pts = [
         np.hstack([np.full_like(t_up, xr), t_up]),
         np.hstack([np.full_like(t_lo, xl), t_lo]),
-        np.hstack([x_in, np.zeros_like(x_in)]),
+        np.hstack([x_in, t_in]),
     ]
+    if ic_fn is not None:
+        u0 = np.asarray(ic_fn(x_in)).reshape(n, 1)
+    elif u_data_fn is not None:
+        u0 = u_data_fn(x_in, t_in)
+    elif T0 == 0.0:
+        u0 = u_initial(x_in)
+    else:
+        u0 = u_exact(x_in, t_in, eps_true, cfg.velocity, cfg.fourier_terms)
     if u_data_fn is None:
-        vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
+        vals = [np.zeros((n, 1)), np.zeros((n, 1)), u0]
     else:
         vals = [
             u_data_fn(np.full_like(t_up, xr), t_up),
             u_data_fn(np.full_like(t_lo, xl), t_lo),
-            u_data_fn(x_in, np.zeros_like(x_in)),
+            u0,
         ]
 
     # Interior sensors: fixed x stations, LHS times, exact-series readings
@@ -130,7 +144,7 @@ def training_data(cfg: AdvDiffConfig, rng: np.random.Generator, u_data_fn=None):
     # sensor LOCATIONS are identical with and without noise.
     noise_rng = np.random.default_rng(rng.integers(0, 2**31))
     for station in cfg.sensor_stations:
-        ts = T * lhs_interval(0, 1, cfg.n_sensors_per_station, rng)
+        ts = T0 + (T - T0) * lhs_interval(0, 1, cfg.n_sensors_per_station, rng)
         xs = np.full_like(ts, station)
         pts.append(np.hstack([xs, ts]))
         if u_data_fn is None:
@@ -219,6 +233,7 @@ def build(
     f_fn=None,
     velocity_fn=None,
     epsilon_fn=None,
+    ic_fn=None,
 ) -> Problem:
     """`cfg.hard_bc` (or explicit lift_fn/envelope_fn, jnp-traceable
     [P,2] -> [P,1]) switches on the lifted ansatz u = g + D * N: the IC and BC
@@ -259,12 +274,13 @@ def build(
         at = (
             Interval1D(np.asarray(cfg.grid_t, dtype=np.float64))
             if cfg.grid_t is not None
-            else Interval1D.uniform(0.0, cfg.t_final, cfg.n_elements_t)
+            else Interval1D.uniform(cfg.t_start, cfg.t_final, cfg.n_elements_t)
         )
         mesh = TensorMesh2D(axis_x=ax, axis_y=at)
     else:
         mesh = TensorMesh2D.uniform(
-            *cfg.domain_x, cfg.n_elements_x, 0.0, cfg.t_final, cfg.n_elements_t
+            *cfg.domain_x, cfg.n_elements_x, cfg.t_start, cfg.t_final,
+            cfg.n_elements_t,
         )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
@@ -282,7 +298,7 @@ def build(
     bt = make_weighted_basis(int(ntt.max()), xq, wq, dtype)
     elems = build_elements_2d(mesh, xq, wq, xq, wq, f_fn, ntx, ntt, dtype)
 
-    Xb, ub = training_data(cfg, rng, u_data_fn=u_fn)
+    Xb, ub = training_data(cfg, rng, u_data_fn=u_fn, ic_fn=ic_fn)
     data = {
         "elements": elems,
         "basis_x": bx,
@@ -340,6 +356,12 @@ def build(
     if hard_bc:
         from hpvpinns_tpu.problems.base import make_composite_apply
 
+        if ic_fn is not None or cfg.t_start != 0.0:
+            raise ValueError(
+                "hard_bc's lifted ansatz interpolates the analytic IC at "
+                "t = 0; time-slab runs (t_start > 0 or a handed-off ic_fn) "
+                "need soft BC"
+            )
         if u_fn is not None and lift_fn is None:
             raise ValueError(
                 "hard_bc with a manufactured u_fn needs an explicit lift_fn: "
@@ -582,7 +604,7 @@ def build(
 
     # Dense space-time test grid: 256 x-points, time step 0.01 (AdvDiff.py:448-450).
     xt = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 256)
-    tt = np.arange(0, cfg.t_final + 0.01, 0.01)
+    tt = np.arange(cfg.t_start, cfg.t_final + 0.01, 0.01)
     XT, TT = np.meshgrid(xt, tt)
     test_points = np.stack([XT.reshape(-1), TT.reshape(-1)], axis=-1)
     if u_fn is None:

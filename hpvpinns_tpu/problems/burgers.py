@@ -85,20 +85,31 @@ def make_default_envelope(cfg: BurgersConfig, rate: float = 4.0):
     return envelope
 
 
-def training_data(cfg: BurgersConfig, rng: np.random.Generator):
+def training_data(cfg: BurgersConfig, rng: np.random.Generator, ic_fn=None):
     """Boundary walls + initial edge, LHS-sampled (AdvDiff's layout without
-    the interior sensors — this is a forward problem)."""
-    T, (xl, xr) = cfg.t_final, cfg.domain_x
+    the interior sensors — this is a forward problem).
+
+    The initial edge sits at t = cfg.t_start with values from `ic_fn(x)`
+    (host numpy, [n,1] -> [n,1]) when given — a previous time slab's network
+    state in a time-marching sequence — else the exact Cole-Hopf solution at
+    t_start (which is the canonical -sin(pi x) IC for t_start = 0)."""
+    T0, T, (xl, xr) = cfg.t_start, cfg.t_final, cfg.domain_x
     n = cfg.n_bound
-    t_up = T * lhs_interval(0, 1, n, rng)
-    t_lo = T * lhs_interval(0, 1, n, rng)
+    t_up = T0 + (T - T0) * lhs_interval(0, 1, n, rng)
+    t_lo = T0 + (T - T0) * lhs_interval(0, 1, n, rng)
     x_in = lhs_interval(xl, xr, n, rng)
     pts = [
         np.hstack([np.full_like(t_up, xr), t_up]),
         np.hstack([np.full_like(t_lo, xl), t_lo]),
-        np.hstack([x_in, np.zeros_like(x_in)]),
+        np.hstack([x_in, np.full_like(x_in, T0)]),
     ]
-    vals = [np.zeros((n, 1)), np.zeros((n, 1)), u_initial(x_in)]
+    if ic_fn is not None:
+        u0 = np.asarray(ic_fn(x_in)).reshape(n, 1)
+    elif T0 == 0.0:
+        u0 = u_initial(x_in)
+    else:
+        u0 = u_exact(x_in, np.full_like(x_in, T0), cfg.nu)
+    vals = [np.zeros((n, 1)), np.zeros((n, 1)), u0]
     return np.concatenate(pts), np.concatenate(vals)
 
 
@@ -107,9 +118,18 @@ def build(
     rng: np.random.Generator | None = None,
     lift_fn=None,
     envelope_fn=None,
+    ic_fn=None,
 ) -> Problem:
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
+    if (cfg.hard_bc or lift_fn is not None) and (
+        ic_fn is not None or cfg.t_start != 0.0
+    ):
+        raise ValueError(
+            "hard_bc's lifted ansatz interpolates the analytic -sin(pi x) IC "
+            "at t = 0; time-slab runs (t_start > 0 or a handed-off ic_fn) "
+            "need soft BC"
+        )
     if cfg.grid_x is not None or cfg.grid_t is not None:
         from hpvpinns_tpu.geometry.mesh import Interval1D
 
@@ -122,12 +142,13 @@ def build(
             axis_y=(
                 Interval1D(np.asarray(cfg.grid_t, dtype=np.float64))
                 if cfg.grid_t is not None
-                else Interval1D.uniform(0.0, cfg.t_final, cfg.n_elements_t)
+                else Interval1D.uniform(cfg.t_start, cfg.t_final, cfg.n_elements_t)
             ),
         )
     else:
         mesh = TensorMesh2D.uniform(
-            *cfg.domain_x, cfg.n_elements_x, 0.0, cfg.t_final, cfg.n_elements_t
+            *cfg.domain_x, cfg.n_elements_x, cfg.t_start, cfg.t_final,
+            cfg.n_elements_t,
         )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
 
@@ -145,7 +166,7 @@ def build(
     bt = make_weighted_basis(int(ntt.max()), xq, wq, dtype)
     elems = build_elements_2d(mesh, xq, wq, xq, wq, None, ntx, ntt, dtype)
 
-    Xb, ub = training_data(cfg, rng)
+    Xb, ub = training_data(cfg, rng, ic_fn=ic_fn)
     data = {
         "elements": elems,
         "basis_x": bx,
@@ -157,7 +178,9 @@ def build(
     if n_strong > 0:
         xlw, xrw = cfg.strong_window or cfg.domain_x
         xs = lhs_interval(xlw, xrw, n_strong, rng)
-        ts = cfg.t_final * lhs_interval(0.0, 1.0, n_strong, rng)
+        ts = cfg.t_start + (cfg.t_final - cfg.t_start) * lhs_interval(
+            0.0, 1.0, n_strong, rng
+        )
         data["xr"] = jnp.asarray(np.hstack([xs, ts]), dtype=dtype)
 
     var_form, wb, nu = cfg.var_form, cfg.lossb_weight, cfg.nu
@@ -291,7 +314,7 @@ def build(
 
     # Dense space-time test grid, matching the AdvDiff layout.
     xt = np.linspace(cfg.domain_x[0], cfg.domain_x[1], 256)
-    tt = np.arange(0, cfg.t_final + 0.01, 0.01)
+    tt = np.arange(cfg.t_start, cfg.t_final + 0.01, 0.01)
     XT, TT = np.meshgrid(xt, tt)
     test_points = np.stack([XT.reshape(-1), TT.reshape(-1)], axis=-1)
     test_values = u_exact(test_points[:, 0:1], test_points[:, 1:2], nu)

@@ -1,0 +1,194 @@
+"""Slab-sequential time marching for the unsteady space-time families.
+
+A single space-time solve must represent the whole horizon [0, T] in one
+network; for long horizons the optimizer spreads capacity over an
+ever-larger domain and accuracy decays.  Time marching splits the horizon
+into S slabs and solves them sequentially, handing the trained network's
+state at each slab's end time to the next slab as its initial condition —
+the variational analog of a one-step time integrator, with the slab
+interface enforced through the data loss exactly like the t = 0 IC.
+
+No reference analog (the reference trains single space-time domains only,
+AdvDiff.py:35-53); this composes the framework's existing machinery:
+per-slab configs are ordinary `replace(cfg, t_start=a, t_final=b)`
+problems built with `ic_fn=` (problems/burgers.py, problems/advdiff.py),
+trained by the ordinary trainer (optionally warm-started from the previous
+slab's parameters — the solution evolves smoothly, so the previous slab is
+a better init than Xavier), and evaluated against the global exact
+solution on each slab's own test grid.
+
+TPU notes: every slab is a full jitted train (Adam/L-BFGS/GN phases,
+element-sharded under a mesh if given); the only host work between slabs
+is one batched prediction at the interface (the IC handoff).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+
+from hpvpinns_tpu.problems.base import Problem
+
+
+@dataclass
+class TimeMarchResult:
+    edges: np.ndarray  # slab boundaries in time, [S+1]
+    problems: List[Problem]  # one per slab (each carries its own test grid)
+    params: List[Any]  # trained eval-params per slab
+    per_slab: List[dict]  # per-slab metrics (rel_l2 vs exact on the slab)
+    metrics: dict  # global metrics over the concatenated horizon grid
+    wall_time_s: float = 0.0
+    history: List[Any] = field(default_factory=list)
+
+    def slab_of(self, t: np.ndarray) -> np.ndarray:
+        """Owning slab index for each time (interface points go to the
+        EARLIER slab, whose network actually matched data there)."""
+        idx = np.searchsorted(self.edges[1:-1], np.asarray(t), side="left")
+        return np.clip(idx, 0, len(self.problems) - 1)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """Piecewise prediction over the full horizon: each point is
+        evaluated by the network of the slab that owns its time."""
+        from hpvpinns_tpu.evaluate import predict
+
+        X = np.asarray(X)
+        owner = self.slab_of(X[:, -1])
+        out = np.zeros((X.shape[0], 1), dtype=np.float64)
+        for k, (prob, p) in enumerate(zip(self.problems, self.params)):
+            m = owner == k
+            if m.any():
+                out[m] = np.asarray(predict(prob, p, X[m])).reshape(-1, 1)
+        return out
+
+
+def _slab_builder(cfg):
+    """Family dispatch: the slab-capable builders take ic_fn."""
+    from hpvpinns_tpu.config import AdvDiffConfig, BurgersConfig
+    from hpvpinns_tpu.problems import advdiff, burgers
+
+    if isinstance(cfg, BurgersConfig):
+        return burgers.build
+    if isinstance(cfg, AdvDiffConfig):
+        if cfg.inverse:
+            raise ValueError(
+                "time_march solves forward problems (the sensors of an "
+                "inverse run live on the GLOBAL horizon; identify the "
+                "coefficient first, then march the forward solve)"
+            )
+        return advdiff.build
+    raise TypeError(
+        f"time_march supports the slab-capable unsteady families "
+        f"(BurgersConfig, AdvDiffConfig); got {type(cfg).__name__}"
+    )
+
+
+def time_march(
+    cfg,
+    n_slabs: int,
+    train_cfg=None,
+    warm_start: bool = True,
+    ic: str = "net",
+    mesh=None,
+    edges=None,
+    verbose: bool = True,
+    progress: Optional[Callable[[int, dict], None]] = None,
+) -> TimeMarchResult:
+    """Solve cfg's problem over [cfg.t_start, cfg.t_final] in `n_slabs`
+    sequential time slabs.
+
+    cfg: a slab-capable unsteady config; its n_elements_t / iteration budget
+        are PER SLAB (a 3-slab march with n_elements_t=2 spends 6 time
+        elements and 3x the training budget of the single solve — compare
+        at equal totals by dividing both by n_slabs).
+    ic: "net" hands each slab the previous slab's trained network state
+        (the honest marching mode — errors propagate); "exact" uses the
+        analytic solution at every slab start (a per-slab-capacity control
+        that isolates propagation error from representation error).
+    warm_start: initialize each slab's network at the previous slab's
+        trained parameters instead of a fresh Xavier draw.
+    edges: explicit slab boundaries (len n_slabs+1, ascending, spanning
+        [t_start, t_final]); default uniform.
+    """
+    import hpvpinns_tpu as hv
+
+    if n_slabs < 1:
+        raise ValueError("n_slabs must be >= 1")
+    if ic not in ("net", "exact"):
+        raise ValueError(f"ic must be 'net' or 'exact', got {ic!r}")
+    build = _slab_builder(cfg)
+    t0 = float(getattr(cfg, "t_start", 0.0))
+    edges = (
+        np.linspace(t0, cfg.t_final, n_slabs + 1)
+        if edges is None
+        else np.asarray(edges, dtype=np.float64)
+    )
+    if len(edges) != n_slabs + 1 or not np.all(np.diff(edges) > 0):
+        raise ValueError("edges must be n_slabs+1 ascending times")
+
+    t_begin = time.perf_counter()
+    problems: List[Problem] = []
+    params_list: List[Any] = []
+    per_slab: List[dict] = []
+    histories: List[Any] = []
+    prev_prob, prev_params = None, None
+    for k in range(n_slabs):
+        scfg = dataclasses.replace(
+            cfg, t_start=float(edges[k]), t_final=float(edges[k + 1])
+        )
+        ic_fn = None
+        if k > 0 and ic == "net":
+            t_if = float(edges[k])
+            p_prob, p_params = prev_prob, prev_params
+
+            def ic_fn(x, _prob=p_prob, _params=p_params, _t=t_if):
+                from hpvpinns_tpu.evaluate import predict
+
+                X = np.hstack([np.asarray(x), np.full_like(x, _t)])
+                return np.asarray(predict(_prob, _params, X)).reshape(-1, 1)
+
+        prob = build(scfg, ic_fn=ic_fn)
+        init = prev_params if (warm_start and prev_params is not None) else None
+        res = hv.train(prob, train_cfg, mesh=mesh, params=init, verbose=verbose)
+        m = hv.evaluate_problem(prob, res.eval_params)
+        loss = res.final_aux.get("loss")
+        m = {"slab": k, "t0": float(edges[k]), "t1": float(edges[k + 1]),
+             "iterations": res.iterations_run,
+             "final_loss": None if loss is None else float(loss), **m}
+        per_slab.append(m)
+        if progress is not None:
+            progress(k, m)
+        problems.append(prob)
+        params_list.append(res.eval_params)
+        histories.append(res.history)
+        prev_prob, prev_params = prob, res.eval_params
+
+    # Global metrics: every slab's own dense test grid, concatenated.  The
+    # slabs are equal-length by default so this is (near-)uniform coverage
+    # of the horizon; interface rows appear once per adjacent slab, each
+    # evaluated by its own network — a deliberate stress on the handoff.
+    preds, exacts = [], []
+    from hpvpinns_tpu.evaluate import predict
+
+    for prob, p in zip(problems, params_list):
+        preds.append(np.asarray(predict(prob, p)).reshape(-1))
+        exacts.append(np.asarray(prob.test_values).reshape(-1))
+    u_pred, u_true = np.concatenate(preds), np.concatenate(exacts)
+    err = u_pred - u_true
+    metrics = {
+        "rel_l2": float(np.linalg.norm(err) / np.linalg.norm(u_true)),
+        "max_abs_err": float(np.max(np.abs(err))),
+        "mean_abs_err": float(np.mean(np.abs(err))),
+    }
+    return TimeMarchResult(
+        edges=edges,
+        problems=problems,
+        params=params_list,
+        per_slab=per_slab,
+        metrics=metrics,
+        wall_time_s=time.perf_counter() - t_begin,
+        history=histories,
+    )

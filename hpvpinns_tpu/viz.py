@@ -530,3 +530,53 @@ def plot_identified_field(eps_fn, outdir: str, eps_true_fn=None, domain=(-1.0, 1
     path = _save(fig, outdir, "identified_field", fmt)
     plt.close(fig)
     return path
+
+
+def plot_march(result, outdir: str, fmt: str = "png"):
+    """Stitched space-time panels for a time-marching run
+    (training/timemarch.py): predicted u(x, t), exact u, and pointwise
+    |error| over the full horizon, with the slab interfaces drawn as
+    vertical lines.  Each slab's stripe is evaluated by its OWN network on
+    its own dense test grid (the same data the global rel-L2 uses).
+    Contour-panel parity convention: AdvDiff.py:520-560's space-time plots.
+    """
+    plt = _plt()
+    stripes_p, stripes_t, stripes_time = [], [], []
+    nx = None
+    for prob, params in zip(result.problems, result.params):
+        from hpvpinns_tpu.evaluate import predict
+
+        X = np.asarray(prob.test_points)
+        ts = np.unique(X[:, 1])
+        nx = X.shape[0] // len(ts)
+        up = np.asarray(predict(prob, params)).reshape(len(ts), nx)
+        ut = np.asarray(prob.test_values).reshape(len(ts), nx)
+        if stripes_p:  # drop the duplicated interface row (owned by the
+            up, ut, ts = up[1:], ut[1:], ts[1:]  # earlier slab)
+        stripes_p.append(up)
+        stripes_t.append(ut)
+        stripes_time.append(ts)
+    UP = np.vstack(stripes_p)
+    UT = np.vstack(stripes_t)
+    tt = np.concatenate(stripes_time)
+    xs = np.linspace(
+        result.problems[0].test_points[:, 0].min(),
+        result.problems[0].test_points[:, 0].max(),
+        nx,
+    )
+    fig, axes = plt.subplots(1, 3, figsize=(18, 5))
+    for ax, Z, title in zip(
+        axes,
+        (UP, UT, np.abs(UP - UT)),
+        ("marched $\\hat u(x, t)$", "exact $u(x, t)$", "$|\\hat u - u|$"),
+    ):
+        cs = ax.pcolormesh(tt, xs, Z.T, cmap="jet", shading="nearest")
+        fig.colorbar(cs, ax=ax)
+        for e in result.edges[1:-1]:
+            ax.axvline(float(e), color="w", lw=0.8, ls="--")
+        ax.set_xlabel("$t$")
+        ax.set_ylabel("$x$")
+        ax.set_title(title)
+    path = _save(fig, outdir, "march", fmt)
+    plt.close(fig)
+    return [path]

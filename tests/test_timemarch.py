@@ -1,0 +1,198 @@
+"""Slab-sequential time marching (training/timemarch.py): t_start/ic_fn
+slab plumbing in the unsteady builders, the marching driver, and the CLI
+`march` subcommand.  No reference analog — the reference trains single
+space-time domains only (AdvDiff.py:35-53); marching composes the
+framework's existing slab configs + IC handoff."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+import hpvpinns_tpu as hv
+from hpvpinns_tpu.cli import main
+from hpvpinns_tpu.problems import advdiff, burgers
+
+
+def _tiny_burgers(**kw):
+    base = dict(
+        n_elements_x=3,
+        n_elements_t=2,
+        n_test_x=5,
+        n_test_t=5,
+        n_quad=10,
+        n_bound=16,
+        layers=(2, 10, 10, 1),
+        dtype="float64",
+        train=hv.TrainConfig(iterations=150, check_every=75, lbfgs_iterations=0),
+    )
+    base.update(kw)
+    return hv.BurgersConfig(**base)
+
+
+def _tiny_advdiff(**kw):
+    base = dict(
+        n_elements_x=2,
+        n_elements_t=2,
+        n_test_x=4,
+        n_test_t=4,
+        n_quad=10,
+        n_bound=12,
+        n_sensors_per_station=4,
+        inverse=False,
+        fourier_terms=200,
+        layers=(2, 8, 8, 1),
+        dtype="float64",
+        train=hv.TrainConfig(iterations=100, check_every=50, lbfgs_iterations=0),
+    )
+    base.update(kw)
+    return hv.AdvDiffConfig(**base)
+
+
+# ---------------------------------------------------------------- builders
+
+
+def test_burgers_tstart_shifts_training_data():
+    """A t_start > 0 slab places the initial edge at t_start with exact
+    Cole-Hopf values and samples the walls inside [t_start, t_final]."""
+    cfg = _tiny_burgers(t_start=0.4, t_final=0.7)
+    rng = np.random.default_rng(0)
+    X, u = burgers.training_data(cfg, rng)
+    n = cfg.n_bound
+    walls = X[: 2 * n]
+    assert walls[:, 1].min() >= 0.4 and walls[:, 1].max() <= 0.7
+    ic = X[2 * n :]
+    np.testing.assert_allclose(ic[:, 1], 0.4)
+    np.testing.assert_allclose(
+        u[2 * n :], burgers.u_exact(ic[:, 0:1], ic[:, 1:2], cfg.nu), atol=0
+    )
+
+
+def test_burgers_ic_fn_overrides_initial_edge():
+    cfg = _tiny_burgers(t_start=0.5)
+    rng = np.random.default_rng(1)
+    X, u = burgers.training_data(cfg, rng, ic_fn=lambda x: 2.0 * x)
+    n = cfg.n_bound
+    np.testing.assert_allclose(u[2 * n :], 2.0 * X[2 * n :, 0:1], atol=0)
+
+
+def test_advdiff_tstart_shifts_training_data():
+    """AdvDiff slab: IC edge at t_start uses the exact 800-term series (not
+    the -sin(pi x) t=0 initial profile); sensors sample slab times only."""
+    cfg = _tiny_advdiff(t_start=0.3, t_final=0.8)
+    rng = np.random.default_rng(2)
+    X, u = advdiff.training_data(cfg, rng)
+    n = cfg.n_bound
+    ic = X[2 * n : 3 * n]
+    np.testing.assert_allclose(ic[:, 1], 0.3)
+    want = advdiff.u_exact(
+        ic[:, 0:1], ic[:, 1:2], cfg.gamma / np.pi, cfg.velocity, cfg.fourier_terms
+    )
+    np.testing.assert_allclose(u[2 * n : 3 * n], want, atol=1e-12)
+    sensors = X[3 * n :]
+    assert sensors[:, 1].min() >= 0.3 and sensors[:, 1].max() <= 0.8
+
+
+def test_advdiff_ic_fn_overrides_initial_edge():
+    cfg = _tiny_advdiff(t_start=0.25)
+    rng = np.random.default_rng(3)
+    X, u = advdiff.training_data(cfg, rng, ic_fn=lambda x: np.cos(x))
+    n = cfg.n_bound
+    np.testing.assert_allclose(u[2 * n : 3 * n], np.cos(X[2 * n : 3 * n, 0:1]))
+
+
+def test_slab_build_meshes_span_the_slab():
+    """The slab problem's time elements and test grid span [t_start,
+    t_final], not [0, t_final]."""
+    prob = burgers.build(_tiny_burgers(t_start=0.5, t_final=1.0))
+    ts = prob.test_points[:, 1]
+    assert ts.min() >= 0.5 - 1e-12 and ts.max() <= 1.0 + 1e-9
+    prob2 = advdiff.build(_tiny_advdiff(t_start=0.5, t_final=1.0))
+    ts2 = prob2.test_points[:, 1]
+    assert ts2.min() >= 0.5 - 1e-12
+
+
+def test_hard_bc_rejects_slab_configs():
+    """The lifted ansatz interpolates the analytic t=0 IC; slab runs
+    (t_start > 0 / handed-off ic_fn) must fail loudly, not silently train
+    against the wrong IC."""
+    with pytest.raises(ValueError, match="soft BC"):
+        burgers.build(_tiny_burgers(t_start=0.5, hard_bc=True))
+    with pytest.raises(ValueError, match="soft BC"):
+        advdiff.build(_tiny_advdiff(t_start=0.5, hard_bc=True))
+    with pytest.raises(ValueError, match="soft BC"):
+        burgers.build(_tiny_burgers(hard_bc=True), ic_fn=lambda x: x)
+
+
+# ------------------------------------------------------------------ driver
+
+
+def test_time_march_runs_and_stitches():
+    cfg = _tiny_burgers()
+    res = hv.time_march(cfg, n_slabs=2, verbose=False)
+    np.testing.assert_allclose(res.edges, [0.0, 0.5, 1.0])
+    assert len(res.problems) == len(res.params) == len(res.per_slab) == 2
+    for k, m in enumerate(res.per_slab):
+        assert m["slab"] == k
+        assert np.isfinite(m["rel_l2"]) and np.isfinite(m["final_loss"])
+    assert np.isfinite(res.metrics["rel_l2"])
+    # slab ownership: interior times to their slab, the interface to the
+    # EARLIER slab (whose network matched data there)
+    np.testing.assert_array_equal(res.slab_of(np.array([0.1, 0.5, 0.9])), [0, 0, 1])
+    # piecewise predict routes each point to its owner's network
+    X = np.array([[0.3, 0.2], [0.3, 0.8]])
+    from hpvpinns_tpu.evaluate import predict
+
+    want0 = predict(res.problems[0], res.params[0], X[:1])
+    want1 = predict(res.problems[1], res.params[1], X[1:])
+    np.testing.assert_allclose(
+        res.predict(X), np.vstack([want0, want1]).reshape(-1, 1), rtol=1e-12
+    )
+
+
+def test_time_march_exact_ic_fresh_start_and_edges():
+    cfg = _tiny_advdiff()
+    res = hv.time_march(
+        cfg, n_slabs=2, ic="exact", warm_start=False,
+        edges=[0.0, 0.3, 1.0], verbose=False,
+    )
+    np.testing.assert_allclose(res.edges, [0.0, 0.3, 1.0])
+    assert res.per_slab[1]["t0"] == 0.3
+    assert np.isfinite(res.metrics["rel_l2"])
+
+
+def test_time_march_validation():
+    cfg = _tiny_burgers()
+    with pytest.raises(ValueError, match="n_slabs"):
+        hv.time_march(cfg, n_slabs=0)
+    with pytest.raises(ValueError, match="ascending"):
+        hv.time_march(cfg, n_slabs=2, edges=[0.0, 0.7, 0.5])
+    with pytest.raises(ValueError, match="ic must be"):
+        hv.time_march(cfg, n_slabs=2, ic="both")
+    with pytest.raises(ValueError, match="forward"):
+        hv.time_march(_tiny_advdiff(inverse=True), n_slabs=2)
+    with pytest.raises(TypeError, match="slab-capable"):
+        hv.time_march(hv.Poisson2DConfig(), n_slabs=2)
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def test_cli_march_end_to_end(capsys, tmp_path):
+    rc = main(
+        (
+            "march burgers --slabs 2 --n-elements-x 3 --n-elements-t 2 "
+            "--n-test-x 5 --n-test-t 5 --layers 2,10,10,1 --iterations 150 "
+            "--lbfgs-iterations 0 --dtype float64 --quiet --plots "
+            f"--outdir {tmp_path}"
+        ).split()
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[0]
+    assert summary["command"] == "march"
+    assert summary["slabs"] == 2 and len(summary["per_slab"]) == 2
+    assert summary["edges"] == [0.0, 0.5, 1.0]
+    assert np.isfinite(summary["rel_l2"])
+    assert any("plots" in l for l in lines)
