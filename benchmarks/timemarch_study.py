@@ -1,0 +1,120 @@
+"""Time-marching study: slab-sequential solves vs the single space-time net.
+
+training/timemarch.py splits the horizon into S slabs and hands the network
+state across each interface (no reference analog — the reference trains one
+space-time domain per run, AdvDiff.py:35-53).  This study answers the two
+questions the feature raises, with EQUAL-TOTAL-BUDGET controls:
+
+1. At the benchmark horizon (T = 1), does marching beat the single solve
+   when both spend the same total time elements and the same total
+   optimizer iterations?  (single arm gets n_elements_t = S so the test /
+   quadrature budgets match the S slabs' exactly)
+2. On a LONGER horizon (T = 2, advdiff), where a single net must spread its
+   capacity over twice the domain, does marching recover accuracy?
+
+Each marched point also runs the ic="exact" control (every slab restarts
+from the analytic solution), which splits the marched error into per-slab
+representation error vs interface-propagation error.
+
+Run from the repo root on the chip: python benchmarks/timemarch_study.py
+(ARMS=adv1,adv2,burg env override to subset).  One JSON row per arm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import hpvpinns_tpu as hv  # noqa: E402
+
+
+def _split_train(train, s):
+    """Per-slab budget = total / S for every phase (accepted GN steps
+    included), so the march spends what the single solve spends."""
+    return dataclasses.replace(
+        train,
+        iterations=max(1, train.iterations // s),
+        lbfgs_iterations=max(0, train.lbfgs_iterations // s),
+        gn_iterations=max(0, train.gn_iterations // s),
+        check_every=max(1, train.check_every // s),
+    )
+
+
+def _advdiff_cfg(t_final: float, n_et: int) -> "hv.AdvDiffConfig":
+    """The forward-precision operating point (layer_feature + clustered
+    x-grid + QR-LM, config.advdiff_forward_precision) with the time-element
+    count as the study variable."""
+    base = hv.config.advdiff_forward_precision()
+    return dataclasses.replace(base, t_final=t_final, n_elements_t=n_et)
+
+
+def _burgers_cfg(n_et: int) -> "hv.BurgersConfig":
+    """The quality point's front-clustered grid, soft-BC (the lifted ansatz
+    interpolates the analytic t=0 IC, so marching requires soft BC; both
+    arms use it for a like-for-like comparison)."""
+    base = hv.config.burgers_quality()
+    return dataclasses.replace(
+        base, hard_bc=False, n_elements_t=n_et,
+        train=dataclasses.replace(base.train, gn_iterations=40, gn_solve="qr"),
+    )
+
+
+def run_single(name, cfg):
+    prob = hv.build(cfg)
+    t0 = time.perf_counter()
+    res = hv.train(prob, verbose=False)
+    wall = time.perf_counter() - t0
+    m = hv.evaluate_problem(prob, res.eval_params)
+    return {"arm": name, "mode": "single", "slabs": 1,
+            "wall_s": round(wall, 1), **{k: float(v) for k, v in m.items()}}
+
+
+def run_march(name, cfg, s, ic="net"):
+    scfg = dataclasses.replace(
+        cfg,
+        n_elements_t=max(1, cfg.n_elements_t // s),
+        train=_split_train(cfg.train, s),
+    )
+    res = hv.time_march(scfg, n_slabs=s, ic=ic, verbose=False)
+    return {"arm": name, "mode": f"march-{ic}", "slabs": s,
+            "wall_s": round(res.wall_time_s, 1),
+            "per_slab_rel_l2": [round(m["rel_l2"], 6) for m in res.per_slab],
+            **{k: float(v) for k, v in res.metrics.items()}}
+
+
+ARMS = {
+    # benchmark horizon, equal totals: 4 time elements / 1500 Adam / 150 GN
+    "adv1": lambda: [
+        run_single("advdiff T=1", _advdiff_cfg(1.0, 4)),
+        run_march("advdiff T=1", _advdiff_cfg(1.0, 4), 4, ic="net"),
+        run_march("advdiff T=1", _advdiff_cfg(1.0, 4), 4, ic="exact"),
+    ],
+    # doubled horizon, equal totals: 8 time elements over [0, 2]
+    "adv2": lambda: [
+        run_single("advdiff T=2", _advdiff_cfg(2.0, 8)),
+        run_march("advdiff T=2", _advdiff_cfg(2.0, 8), 4, ic="net"),
+        run_march("advdiff T=2", _advdiff_cfg(2.0, 8), 4, ic="exact"),
+    ],
+    # nonlinear front, soft-BC both arms: 2 time elements / 10k+20k+40
+    "burg": lambda: [
+        run_single("burgers T=1", _burgers_cfg(2)),
+        run_march("burgers T=1", _burgers_cfg(2), 2, ic="net"),
+        run_march("burgers T=1", _burgers_cfg(2), 2, ic="exact"),
+    ],
+}
+
+
+def main():
+    arms = os.environ.get("ARMS", "adv1,adv2,burg").split(",")
+    for arm in arms:
+        for row in ARMS[arm.strip()]():
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

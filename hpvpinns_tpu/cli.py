@@ -409,7 +409,7 @@ def build_parser() -> argparse.ArgumentParser:
         "reference analog — the reference trains single space-time domains "
         "only, AdvDiff.py:35-53)",
     )
-    mr.add_argument("problem", choices=["burgers", "advdiff"])
+    mr.add_argument("problem", choices=["burgers", "advdiff", "taylorgreen"])
     mr.add_argument("--slabs", type=int, required=True, help="number of time slabs")
     mr.add_argument("--edges", type=_grid_arg,
                     help="explicit slab boundaries (slabs+1 ascending times "
@@ -427,9 +427,13 @@ def build_parser() -> argparse.ArgumentParser:
     mr.add_argument("--t-final", type=float, dest="t_final",
                     help="horizon end (the march splits [0, t_final])")
     mr.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    mr.add_argument("--n-elements-y", type=int, dest="n_elements_y",
+                    help="taylorgreen only")
     mr.add_argument("--n-elements-t", type=int, dest="n_elements_t",
                     help="time elements PER SLAB")
     mr.add_argument("--n-test-x", type=int, dest="n_test_x")
+    mr.add_argument("--n-test-y", type=int, dest="n_test_y",
+                    help="taylorgreen only")
     mr.add_argument("--n-test-t", type=int, dest="n_test_t")
     mr.add_argument("--layers", type=str, help="comma-separated MLP widths")
     mr.add_argument("--dtype", choices=["float32", "float64", "bfloat16"])
@@ -1468,10 +1472,16 @@ def cmd_march(args) -> int:
     }
     print(json.dumps(summary))
     if args.plots:
-        from hpvpinns_tpu.viz import plot_march
+        if args.problem == "taylorgreen":
+            print(json.dumps({"plots": [], "note": "march panels are the "
+                              "scalar space-time families' (2D (x, t) "
+                              "grids); use run taylorgreen --plots for the "
+                              "system's component slices"}))
+        else:
+            from hpvpinns_tpu.viz import plot_march
 
-        paths = plot_march(res, args.outdir)
-        print(json.dumps({"plots": paths}))
+            paths = plot_march(res, args.outdir)
+            print(json.dumps({"plots": paths}))
     return 0
 
 

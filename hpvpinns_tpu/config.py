@@ -516,6 +516,10 @@ class TaylorGreenConfig:
     domain_x: Tuple[float, float] = (0.0, float(np.pi))
     domain_y: Tuple[float, float] = (0.0, float(np.pi))
     t_final: float = 1.0
+    t_start: float = 0.0  # time-slab lower edge: the space-time box is
+    # [domain] x [t_start, t_final] with the IC face at t = t_start (exact
+    # vortex values by default, or a handed-off network state via
+    # build(..., ic_fn=) — training/timemarch.py drives slab sequences)
     dtype: str = "float32"
     deriv_mode: str = "jvp"  # vector ansatz: the shape-generic JVP engine
     train: TrainConfig = field(

@@ -119,36 +119,46 @@ def coons_lift_spacetime_jnp(g_fn, domain_x, domain_y, t_final):
     return lift
 
 
-def training_data(cfg: TaylorGreenConfig, rng: np.random.Generator):
-    """LHS points on the four side walls + the t = 0 face, with exact
+def training_data(cfg: TaylorGreenConfig, rng: np.random.Generator, ic_fn=None):
+    """LHS points on the four side walls + the t = t_start face, with exact
     full-state data (the space-time twin of the Kovasznay layout; face
     structure as advdiff2d's — problems/advdiff2d.py::training_data).
+
+    `ic_fn(xy) -> [n, 3]` (host numpy, (u, v, p) columns) overrides the
+    INITIAL face only — a previous time slab's network state in a
+    time-marching sequence (training/timemarch.py); without it any slab
+    starts from the exact decaying vortex at t_start.
 
     Returns (Xb [5n, 3], wb [5n, 3]); the caller slices off p when
     cfg.bc_pressure is False.
     """
-    T = cfg.t_final
+    T0, T = cfg.t_start, cfg.t_final
     (xl, xr), (yl, yr) = cfg.domain_x, cfg.domain_y
     n = cfg.n_bound
     pts = []
     for fixed_axis, lo_hi, free in (
-        (0, (xl, xr), [(yl, yr), (0.0, T)]),
-        (1, (yl, yr), [(xl, xr), (0.0, T)]),
+        (0, (xl, xr), [(yl, yr), (T0, T)]),
+        (1, (yl, yr), [(xl, xr), (T0, T)]),
     ):
         for val in lo_hi:
             free_pts = lhs_box(free, n, rng)
             pts.append(np.insert(free_pts, fixed_axis, val, axis=1))
     xy0 = lhs_box([(xl, xr), (yl, yr)], n, rng)
-    pts.append(np.hstack([xy0, np.zeros((n, 1))]))
+    pts.append(np.hstack([xy0, np.full((n, 1), T0)]))
     Xb = np.concatenate(pts)
     vals = exact_stacked(Xb[:, 0], Xb[:, 1], Xb[:, 2], cfg.re)
+    if ic_fn is not None:
+        vals = vals.copy()
+        vals[4 * n :] = np.asarray(ic_fn(xy0)).reshape(n, 3)
     return Xb, vals
 
 
 def sensor_data(cfg: TaylorGreenConfig, rng: np.random.Generator):
     """Interior space-time (u, v) velocity sensors (inverse mode)."""
     (xl, xr), (yl, yr) = cfg.domain_x, cfg.domain_y
-    pts = lhs_box([(xl, xr), (yl, yr), (0.0, cfg.t_final)], cfg.n_sensors, rng)
+    pts = lhs_box(
+        [(xl, xr), (yl, yr), (cfg.t_start, cfg.t_final)], cfg.n_sensors, rng
+    )
     u, v, _ = exact_fields(pts[:, 0], pts[:, 1], pts[:, 2], cfg.re)
     vals = np.stack([u, v], axis=-1)
     if cfg.sensor_noise > 0.0:
@@ -156,9 +166,24 @@ def sensor_data(cfg: TaylorGreenConfig, rng: np.random.Generator):
     return pts, vals
 
 
-def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Problem:
+def build(
+    cfg: TaylorGreenConfig,
+    rng: np.random.Generator | None = None,
+    ic_fn=None,
+) -> Problem:
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
+    if cfg.hard_bc and (ic_fn is not None or cfg.t_start != 0.0):
+        raise ValueError(
+            "hard_bc's space-time lift interpolates the analytic vortex on "
+            "the t = 0 face; time-slab runs (t_start > 0 or a handed-off "
+            "ic_fn) need soft BC"
+        )
+    if cfg.inverse and ic_fn is not None:
+        raise ValueError(
+            "ic_fn marches the FORWARD problem (an inverse run's sensors "
+            "live on the global horizon); set inverse=False"
+        )
 
     def _axis(grid, lo, hi, n):
         if grid is not None:
@@ -168,7 +193,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
     mesh = TensorMesh3D(
         axis_x=_axis(cfg.grid_x, *cfg.domain_x, cfg.n_elements_x),
         axis_y=_axis(cfg.grid_y, *cfg.domain_y, cfg.n_elements_y),
-        axis_z=_axis(cfg.grid_t, 0.0, cfg.t_final, cfg.n_elements_t),
+        axis_z=_axis(cfg.grid_t, cfg.t_start, cfg.t_final, cfg.n_elements_t),
     )
     xq, wq = gauss_lobatto_jacobi(cfg.n_quad, 0.0, 0.0)
     ntx = cfg.n_test_x_per_elem if cfg.n_test_x_per_elem is not None else cfg.n_test_x
@@ -198,7 +223,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
     bt = make_weighted_basis(nt_max, xq, wq, dtype)
     elems = build_elements_3d(mesh, xq, wq, None, ntx, nty, ntt, dtype)
 
-    Xb, wb_full = training_data(cfg, rng)
+    Xb, wb_full = training_data(cfg, rng, ic_fn=ic_fn)
     ub = wb_full if cfg.bc_pressure else wb_full[:, :2]
     data = {
         "elements": elems,
@@ -211,7 +236,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
     if not cfg.bc_pressure:
         # Pressure anchor CURVE: unsteady gauge freedom is a free function
         # of t, so the anchor is one spatial point across LHS times.
-        ta = lhs_interval(0.0, cfg.t_final, cfg.n_anchor, rng).reshape(-1)
+        ta = lhs_interval(cfg.t_start, cfg.t_final, cfg.n_anchor, rng).reshape(-1)
         xa = np.stack([
             np.full_like(ta, cfg.domain_x[0]),
             np.full_like(ta, cfg.domain_y[0]),
@@ -237,7 +262,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
         W2 = np.outer(wg, wg)
         w_norm = (W2 / W2.sum()).reshape(-1)
         YZ, XZ = np.meshgrid(ys_zm, xs_zm, indexing="ij")
-        t_zm = np.linspace(0.0, cfg.t_final, cfg.n_zero_mean_t + 1)[1:]
+        t_zm = np.linspace(cfg.t_start, cfg.t_final, cfg.n_zero_mean_t + 1)[1:]
         pts = np.stack([
             np.broadcast_to(XZ.reshape(-1), (len(t_zm), w_norm.size)),
             np.broadcast_to(YZ.reshape(-1), (len(t_zm), w_norm.size)),
@@ -423,7 +448,7 @@ def build(cfg: TaylorGreenConfig, rng: np.random.Generator | None = None) -> Pro
     # Dense evaluation grid (x fastest, t slowest); trailing component axis.
     xt = np.linspace(*cfg.domain_x, 41)
     yt = np.linspace(*cfg.domain_y, 41)
-    tt = np.linspace(0.0, cfg.t_final, 9)
+    tt = np.linspace(cfg.t_start, cfg.t_final, 9)
     TT, YT, XT = np.meshgrid(tt, yt, xt, indexing="ij")
     test_points = np.stack(
         [XT.reshape(-1), YT.reshape(-1), TT.reshape(-1)], axis=-1

@@ -11,7 +11,9 @@ interface enforced through the data loss exactly like the t = 0 IC.
 No reference analog (the reference trains single space-time domains only,
 AdvDiff.py:35-53); this composes the framework's existing machinery:
 per-slab configs are ordinary `replace(cfg, t_start=a, t_final=b)`
-problems built with `ic_fn=` (problems/burgers.py, problems/advdiff.py),
+problems built with `ic_fn=` (problems/burgers.py, problems/advdiff.py,
+problems/taylorgreen.py — the unsteady NS system marches too, with the
+full (u, v, p) state handed across each interface),
 trained by the ordinary trainer (optionally warm-started from the previous
 slab's parameters — the solution evolves smoothly, so the previous slab is
 a better init than Xavier), and evaluated against the global exact
@@ -52,37 +54,47 @@ class TimeMarchResult:
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         """Piecewise prediction over the full horizon: each point is
-        evaluated by the network of the slab that owns its time."""
+        evaluated by the network of the slab that owns its time.  Output
+        is [P, C] with C the problem's component count (1 for the scalar
+        families, 3 for the (u, v, p) systems)."""
         from hpvpinns_tpu.evaluate import predict
 
         X = np.asarray(X)
         owner = self.slab_of(X[:, -1])
-        out = np.zeros((X.shape[0], 1), dtype=np.float64)
+        n_comp = np.asarray(self.problems[0].test_values).reshape(
+            len(self.problems[0].test_points), -1
+        ).shape[1]
+        out = np.zeros((X.shape[0], n_comp), dtype=np.float64)
         for k, (prob, p) in enumerate(zip(self.problems, self.params)):
             m = owner == k
             if m.any():
-                out[m] = np.asarray(predict(prob, p, X[m])).reshape(-1, 1)
+                out[m] = np.asarray(predict(prob, p, X[m])).reshape(-1, n_comp)
         return out
 
 
 def _slab_builder(cfg):
     """Family dispatch: the slab-capable builders take ic_fn."""
-    from hpvpinns_tpu.config import AdvDiffConfig, BurgersConfig
-    from hpvpinns_tpu.problems import advdiff, burgers
+    from hpvpinns_tpu.config import (
+        AdvDiffConfig,
+        BurgersConfig,
+        TaylorGreenConfig,
+    )
+    from hpvpinns_tpu.problems import advdiff, burgers, taylorgreen
 
     if isinstance(cfg, BurgersConfig):
         return burgers.build
-    if isinstance(cfg, AdvDiffConfig):
+    if isinstance(cfg, (AdvDiffConfig, TaylorGreenConfig)):
         if cfg.inverse:
             raise ValueError(
                 "time_march solves forward problems (the sensors of an "
                 "inverse run live on the GLOBAL horizon; identify the "
                 "coefficient first, then march the forward solve)"
             )
-        return advdiff.build
+        return advdiff.build if isinstance(cfg, AdvDiffConfig) else taylorgreen.build
     raise TypeError(
         f"time_march supports the slab-capable unsteady families "
-        f"(BurgersConfig, AdvDiffConfig); got {type(cfg).__name__}"
+        f"(BurgersConfig, AdvDiffConfig, TaylorGreenConfig); "
+        f"got {type(cfg).__name__}"
     )
 
 
@@ -107,7 +119,9 @@ def time_march(
     ic: "net" hands each slab the previous slab's trained network state
         (the honest marching mode — errors propagate); "exact" uses the
         analytic solution at every slab start (a per-slab-capacity control
-        that isolates propagation error from representation error).
+        that isolates propagation error from representation error).  For
+        the (u, v, p) system the full state is handed across (the builder
+        slices the components its IC face actually constrains).
     warm_start: initialize each slab's network at the previous slab's
         trained parameters instead of a fresh Xavier draw.
     edges: explicit slab boundaries (len n_slabs+1, ascending, spanning
@@ -145,10 +159,14 @@ def time_march(
             p_prob, p_params = prev_prob, prev_params
 
             def ic_fn(x, _prob=p_prob, _params=p_params, _t=t_if):
+                # x: spatial columns only ([n, 1] scalar families, [n, 2]
+                # systems); append the interface time and return the full
+                # state [n, C] — the family builder slices what it needs.
                 from hpvpinns_tpu.evaluate import predict
 
-                X = np.hstack([np.asarray(x), np.full_like(x, _t)])
-                return np.asarray(predict(_prob, _params, X)).reshape(-1, 1)
+                x = np.asarray(x)
+                X = np.hstack([x, np.full((len(x), 1), _t)])
+                return np.asarray(predict(_prob, _params, X)).reshape(len(x), -1)
 
         prob = build(scfg, ic_fn=ic_fn)
         init = prev_params if (warm_start and prev_params is not None) else None
@@ -171,11 +189,12 @@ def time_march(
     # of the horizon; interface rows appear once per adjacent slab, each
     # evaluated by its own network — a deliberate stress on the handoff.
     preds, exacts = [], []
-    from hpvpinns_tpu.evaluate import predict
+    from hpvpinns_tpu.evaluate import predict, rel_l2
 
     for prob, p in zip(problems, params_list):
-        preds.append(np.asarray(predict(prob, p)).reshape(-1))
-        exacts.append(np.asarray(prob.test_values).reshape(-1))
+        n_pts = len(prob.test_points)
+        preds.append(np.asarray(predict(prob, p)).reshape(n_pts, -1))
+        exacts.append(np.asarray(prob.test_values).reshape(n_pts, -1))
     u_pred, u_true = np.concatenate(preds), np.concatenate(exacts)
     err = u_pred - u_true
     metrics = {
@@ -183,6 +202,12 @@ def time_march(
         "max_abs_err": float(np.max(np.abs(err))),
         "mean_abs_err": float(np.mean(np.abs(err))),
     }
+    if u_true.shape[1] > 1:
+        names = problems[0].extras.get(
+            "component_names", tuple(f"c{i}" for i in range(u_true.shape[1]))
+        )
+        for i, name in enumerate(names):
+            metrics[f"rel_l2_{name}"] = rel_l2(u_pred[:, i], u_true[:, i])
     return TimeMarchResult(
         edges=edges,
         problems=problems,

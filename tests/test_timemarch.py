@@ -125,6 +125,65 @@ def test_hard_bc_rejects_slab_configs():
         burgers.build(_tiny_burgers(hard_bc=True), ic_fn=lambda x: x)
 
 
+def _tiny_tg(**kw):
+    base = dict(
+        n_elements_x=1,
+        n_elements_y=1,
+        n_elements_t=2,
+        n_test_x=4,
+        n_test_y=4,
+        n_test_t=4,
+        n_quad=6,
+        n_bound=12,
+        layers=(3, 10, 10, 3),
+        dtype="float64",
+        train=hv.TrainConfig(iterations=100, check_every=50, lbfgs_iterations=0),
+    )
+    base.update(kw)
+    return hv.TaylorGreenConfig(**base)
+
+
+def test_taylorgreen_tstart_and_ic_fn():
+    """TG slab: walls/anchor span [t_start, t_final], the IC face sits at
+    t_start with exact vortex values, and ic_fn hands off a full (u, v, p)
+    state."""
+    from hpvpinns_tpu.problems import taylorgreen
+
+    cfg = _tiny_tg(t_start=0.4, t_final=0.9)
+    rng = np.random.default_rng(4)
+    Xb, wb = taylorgreen.training_data(cfg, rng)
+    n = cfg.n_bound
+    walls = Xb[: 4 * n]
+    assert walls[:, 2].min() >= 0.4 and walls[:, 2].max() <= 0.9
+    icf = Xb[4 * n :]
+    np.testing.assert_allclose(icf[:, 2], 0.4)
+    np.testing.assert_allclose(
+        wb[4 * n :], taylorgreen.exact_stacked(icf[:, 0], icf[:, 1], icf[:, 2], cfg.re)
+    )
+    Xb2, wb2 = taylorgreen.training_data(
+        cfg, np.random.default_rng(4),
+        ic_fn=lambda xy: np.stack([xy[:, 0], xy[:, 1], 0 * xy[:, 0]], axis=-1),
+    )
+    np.testing.assert_allclose(wb2[4 * n :, 0], Xb2[4 * n :, 0])
+    np.testing.assert_allclose(wb2[4 * n :, 2], 0.0)
+    # hard-BC lift interpolates the analytic t=0 face: slabs must reject
+    with pytest.raises(ValueError, match="soft BC"):
+        taylorgreen.build(_tiny_tg(t_start=0.4, hard_bc=True))
+
+
+def test_taylorgreen_time_march_runs():
+    """The unsteady NS SYSTEM marches: full (u, v, p) state handed across
+    the interface, component-wise global metrics."""
+    res = hv.time_march(_tiny_tg(), n_slabs=2, verbose=False)
+    assert len(res.problems) == 2
+    for key in ("rel_l2", "rel_l2_u", "rel_l2_v", "rel_l2_p"):
+        assert np.isfinite(res.metrics[key])
+    X = np.array([[1.0, 1.0, 0.2], [1.0, 1.0, 0.8]])
+    assert res.predict(X).shape == (2, 3)
+    with pytest.raises(ValueError, match="forward"):
+        hv.time_march(_tiny_tg(inverse=True), n_slabs=2)
+
+
 # ------------------------------------------------------------------ driver
 
 
