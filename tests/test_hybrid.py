@@ -43,6 +43,7 @@ def test_config_spec_rejects_unknown_family():
         config_from_spec({"family": "NoSuchConfig", "fields": {}})
 
 
+@pytest.mark.slow  # spawns the f64 subprocess worker (~30 s incl. re-import)
 def test_polish_f64_improves_and_preserves_dtype():
     prob = hv.build(TINY)
     res = hv.train(prob, verbose=False)
