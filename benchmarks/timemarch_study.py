@@ -53,6 +53,14 @@ def _advdiff_cfg(t_final: float, n_et: int) -> "hv.AdvDiffConfig":
     return dataclasses.replace(base, t_final=t_final, n_elements_t=n_et)
 
 
+def _tg_cfg(n_et: int) -> "hv.TaylorGreenConfig":
+    """The quality point (soft-BC already — the hard-BC lift interpolates
+    the analytic t=0 face, so it cannot march), time elements as the study
+    variable, zero-mean gauge penalty on (the measured round-4 winner)."""
+    base = hv.config.taylorgreen_quality()
+    return dataclasses.replace(base, n_elements_t=n_et, p_zero_mean_weight=10.0)
+
+
 def _burgers_cfg(n_et: int) -> "hv.BurgersConfig":
     """The quality point's front-clustered grid, soft-BC (the lifted ansatz
     interpolates the analytic t=0 IC, so marching requires soft BC; both
@@ -74,17 +82,21 @@ def run_single(name, cfg):
             "wall_s": round(wall, 1), **{k: float(v) for k, v in m.items()}}
 
 
-def run_march(name, cfg, s, ic="net"):
+def run_march(name, cfg, s, ic="net", weights=None):
     scfg = dataclasses.replace(
         cfg,
         n_elements_t=max(1, cfg.n_elements_t // s),
         train=_split_train(cfg.train, s),
     )
-    res = hv.time_march(scfg, n_slabs=s, ic=ic, verbose=False)
-    return {"arm": name, "mode": f"march-{ic}", "slabs": s,
-            "wall_s": round(res.wall_time_s, 1),
-            "per_slab_rel_l2": [round(m["rel_l2"], 6) for m in res.per_slab],
-            **{k: float(v) for k, v in res.metrics.items()}}
+    res = hv.time_march(scfg, n_slabs=s, ic=ic, budget_weights=weights,
+                        verbose=False)
+    row = {"arm": name, "mode": f"march-{ic}", "slabs": s,
+           "wall_s": round(res.wall_time_s, 1),
+           "per_slab_rel_l2": [round(m["rel_l2"], 6) for m in res.per_slab],
+           **{k: float(v) for k, v in res.metrics.items()}}
+    if weights is not None:
+        row["budget_weights"] = list(weights)
+    return row
 
 
 ARMS = {
@@ -106,11 +118,27 @@ ARMS = {
         run_march("burgers T=1", _burgers_cfg(2), 2, ic="net"),
         run_march("burgers T=1", _burgers_cfg(2), 2, ic="exact"),
     ],
+    # budget-weighted march (same totals, front-loaded): the uniform-split
+    # arms put the marched error on slab 1, which owns the IC transient —
+    # does re-allocating iterations there close the gap?
+    "advw": lambda: [
+        run_march("advdiff T=1", _advdiff_cfg(1.0, 4), 4, ic="net",
+                  weights=(2.2, 0.8, 0.5, 0.5)),
+        run_march("advdiff T=1", _advdiff_cfg(1.0, 4), 4, ic="exact",
+                  weights=(2.2, 0.8, 0.5, 0.5)),
+    ],
+    # unsteady NS system, full (u, v, p) interface handoff: 2 time
+    # elements / Adam10k + LBFGS10k totals
+    "tg": lambda: [
+        run_single("taylorgreen T=1", _tg_cfg(2)),
+        run_march("taylorgreen T=1", _tg_cfg(2), 2, ic="net"),
+        run_march("taylorgreen T=1", _tg_cfg(2), 2, ic="exact"),
+    ],
 }
 
 
 def main():
-    arms = os.environ.get("ARMS", "adv1,adv2,burg").split(",")
+    arms = os.environ.get("ARMS", "adv1,adv2,burg,advw,tg").split(",")
     for arm in arms:
         for row in ARMS[arm.strip()]():
             print(json.dumps(row), flush=True)

@@ -422,6 +422,11 @@ def build_parser() -> argparse.ArgumentParser:
     mr.add_argument("--fresh-start", action="store_true",
                     help="fresh Xavier init per slab instead of warm-starting "
                     "from the previous slab's trained parameters")
+    mr.add_argument("--budget-weights", type=_grid_arg, dest="budget_weights",
+                    help="per-slab training-budget multipliers (S positive "
+                    "floats, normalized to mean 1 — total budget unchanged); "
+                    "front-load the first slab, which owns the IC transient "
+                    "(measured: benchmarks/timemarch_study.py)")
     mr.add_argument("--preset", choices=["record", "quality", "precision"],
                     default="record")
     mr.add_argument("--t-final", type=float, dest="t_final",
@@ -1453,6 +1458,7 @@ def cmd_march(args) -> int:
         ic=args.ic,
         mesh=mesh,
         edges=args.edges,
+        budget_weights=args.budget_weights,
         verbose=False,
         progress=progress,
     )
@@ -1462,6 +1468,10 @@ def cmd_march(args) -> int:
         "slabs": args.slabs,
         "ic": args.ic,
         "warm_start": not args.fresh_start,
+        "budget_weights": (
+            None if args.budget_weights is None
+            else [float(w) for w in args.budget_weights]
+        ),
         "edges": [float(e) for e in res.edges],
         "wall_time_s": round(res.wall_time_s, 3),
         "per_slab": [

@@ -106,6 +106,7 @@ def time_march(
     ic: str = "net",
     mesh=None,
     edges=None,
+    budget_weights=None,
     verbose: bool = True,
     progress: Optional[Callable[[int, dict], None]] = None,
 ) -> TimeMarchResult:
@@ -126,6 +127,13 @@ def time_march(
         trained parameters instead of a fresh Xavier draw.
     edges: explicit slab boundaries (len n_slabs+1, ascending, spanning
         [t_start, t_final]); default uniform.
+    budget_weights: optional per-slab multipliers (len n_slabs, > 0) on the
+        training budget (Adam/L-BFGS/GN iterations), normalized to mean 1
+        so the march's TOTAL budget is unchanged.  Motivated by the
+        equal-split study (benchmarks/timemarch_study.py): the FIRST slab
+        owns the IC transient and dominates the marched error at a uniform
+        split, so front-loading (e.g. [2, 0.8, 0.6, 0.6]) re-allocates
+        iterations where the physics needs them.
     """
     import hpvpinns_tpu as hv
 
@@ -142,6 +150,14 @@ def time_march(
     )
     if len(edges) != n_slabs + 1 or not np.all(np.diff(edges) > 0):
         raise ValueError("edges must be n_slabs+1 ascending times")
+    weights = None
+    if budget_weights is not None:
+        weights = np.asarray(budget_weights, dtype=np.float64)
+        if len(weights) != n_slabs or np.any(weights <= 0):
+            raise ValueError(
+                f"budget_weights must be {n_slabs} positive multipliers"
+            )
+        weights = weights * (n_slabs / weights.sum())  # mean 1: total fixed
 
     t_begin = time.perf_counter()
     problems: List[Problem] = []
@@ -170,7 +186,17 @@ def time_march(
 
         prob = build(scfg, ic_fn=ic_fn)
         init = prev_params if (warm_start and prev_params is not None) else None
-        res = hv.train(prob, train_cfg, mesh=mesh, params=init, verbose=verbose)
+        tc_k = train_cfg
+        if weights is not None:
+            base = train_cfg if train_cfg is not None else cfg.train
+            w = float(weights[k])
+            tc_k = dataclasses.replace(
+                base,
+                iterations=max(1, int(round(base.iterations * w))),
+                lbfgs_iterations=int(round(base.lbfgs_iterations * w)),
+                gn_iterations=int(round(base.gn_iterations * w)),
+            )
+        res = hv.train(prob, tc_k, mesh=mesh, params=init, verbose=verbose)
         m = hv.evaluate_problem(prob, res.eval_params)
         loss = res.final_aux.get("loss")
         m = {"slab": k, "t0": float(edges[k]), "t1": float(edges[k + 1]),

@@ -235,6 +235,25 @@ def test_time_march_validation():
         hv.time_march(hv.Poisson2DConfig(), n_slabs=2)
 
 
+def test_time_march_budget_weights():
+    """Per-slab budget multipliers re-allocate iterations (mean-1
+    normalized: the march's TOTAL budget is unchanged); bad weight vectors
+    fail loudly.  Motivated by the equal-split study: the first slab owns
+    the IC transient (benchmarks/timemarch_study.py)."""
+    cfg = _tiny_burgers()
+    res = hv.time_march(
+        cfg, n_slabs=2, budget_weights=[3.0, 1.0], verbose=False
+    )
+    iters = [m["iterations"] for m in res.per_slab]
+    assert iters[0] > iters[1]  # front-loaded
+    # [3, 1] normalizes to [1.5, 0.5]: 225 + 75 == the uniform 150 + 150
+    assert abs(sum(iters) - 2 * cfg.train.iterations) <= 4
+    with pytest.raises(ValueError, match="budget_weights"):
+        hv.time_march(cfg, n_slabs=2, budget_weights=[1.0])
+    with pytest.raises(ValueError, match="budget_weights"):
+        hv.time_march(cfg, n_slabs=2, budget_weights=[1.0, -1.0])
+
+
 # --------------------------------------------------------------------- CLI
 
 
