@@ -380,6 +380,61 @@ def precision_records(q):
     ]
 
 
+def hybrid_records(q):
+    """Hybrid precision-pipeline rows (MEASUREMENTS.md "Hybrid precision
+    pipeline"): train each precision preset on the chip as usual, then
+    polish the trained parameters with the host-f64 LM subprocess
+    (training/hybrid.polish_f64, the `--polish-f64` CLI path) and record
+    the chip / f64-eval / f64-polished / f32-castback ladder per family.
+    The castback row ("rel_l2") is what the serving path keeps.  Chip
+    budget as `--precision`, plus several hours of 1-core host polish at
+    full budget — the round-4 campaign numbers these reproduce are in
+    ACCURACY.json under `*_hybrid_polish`."""
+    from hpvpinns_tpu.training.hybrid import polish_f64
+
+    fams = [
+        ("poisson2d", hv.poisson2d_precision, 25),
+        ("kovasznay", hv.kovasznay_precision, 50),
+        ("burgers", hv.burgers_precision, 40),
+        ("taylorgreen", hv.taylorgreen_precision, 25),
+        ("advdiff_fwd", hv.advdiff_forward_precision, 50),
+        ("poisson3d", hv.poisson3d_precision, 30),
+    ]
+    records = []
+    for fam, factory, polish_iters in fams:
+        cfg = factory()
+        t = cfg.train
+        cfg = replace(cfg, train=replace(
+            t, iterations=t.iterations // q,
+            lbfgs_iterations=t.lbfgs_iterations // q,
+            gn_iterations=max(5, t.gn_iterations // q)))
+        prob = hv.build(cfg)
+        t0 = time.perf_counter()
+        res = hv.train(prob, verbose=False)
+        chip_wall = time.perf_counter() - t0
+        chip = hv.evaluate_problem(prob, res.eval_params)
+        pr = polish_f64(cfg, res.eval_params,
+                        iterations=max(5, polish_iters // q),
+                        solve="normal", jac_chunk=128, timeout=10800)
+        cast = hv.evaluate_problem(prob, pr.params)
+        rec = {
+            "config": f"{fam}_hybrid_polish",
+            "dtype": "float32-chip + float64-host-polish",
+            "chip_wall_s": round(chip_wall, 1),
+            "polish_iters": pr.accepted,
+            "polish_wall_s": round(pr.wall_s, 1),
+            "chip_rel_l2": float(chip["rel_l2"]),
+            "f64_eval_rel_l2": float(pr.metrics_start["rel_l2"]),
+            "f64_polished_rel_l2": float(pr.metrics["rel_l2"]),
+            # castback = the number a user keeps after `--polish-f64`
+            "rel_l2": float(cast["rel_l2"]),
+            "max_abs_err": float(cast["max_abs_err"]),
+        }
+        print(json.dumps(rec), flush=True)
+        records.append(rec)
+    return records
+
+
 def merge_into(out_path: str, records):
     """Merge rows into ACCURACY.json by config name (parity rows coexist
     with the f32 TPU rows)."""
@@ -409,6 +464,12 @@ def main():
         help="run ONLY the on-chip Gauss-Newton precision-preset rows "
         "(~20 min) and merge them into ACCURACY.json",
     )
+    ap.add_argument(
+        "--hybrid", action="store_true",
+        help="run ONLY the hybrid chip-train + host-f64-polish rows "
+        "(chip budget as --precision, plus hours of 1-core host polish) "
+        "and merge them into ACCURACY.json",
+    )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
     args = ap.parse_args()
     q = 10 if args.quick else 1
@@ -427,6 +488,12 @@ def main():
         records = precision_records(q)
         merge_into(args.out, records)
         print(f"merged {len(records)} precision rows into {args.out}", file=sys.stderr)
+        return
+
+    if args.hybrid:
+        records = hybrid_records(q)
+        merge_into(args.out, records)
+        print(f"merged {len(records)} hybrid rows into {args.out}", file=sys.stderr)
         return
 
     records = []
