@@ -118,6 +118,14 @@ ARMS = {
         run_march("burgers T=1", _burgers_cfg(2), 2, ic="net"),
         run_march("burgers T=1", _burgers_cfg(2), 2, ic="exact"),
     ],
+    # QUADRUPLED horizon: does the single space-time net finally run out
+    # of capacity at T=4 (16 time elements), and does marching recover it?
+    "adv4": lambda: [
+        run_single("advdiff T=4", _advdiff_cfg(4.0, 16)),
+        run_march("advdiff T=4", _advdiff_cfg(4.0, 16), 4, ic="net"),
+        run_march("advdiff T=4", _advdiff_cfg(4.0, 16), 4, ic="net",
+                  weights=(2.2, 0.8, 0.5, 0.5)),
+    ],
     # budget-weighted march (same totals, front-loaded): the uniform-split
     # arms put the marched error on slab 1, which owns the IC transient —
     # does re-allocating iterations there close the gap?
