@@ -380,7 +380,7 @@ def precision_records(q):
     ]
 
 
-def hybrid_records(q):
+def hybrid_records(q, families=None):
     """Hybrid precision-pipeline rows (MEASUREMENTS.md "Hybrid precision
     pipeline"): train each precision preset on the chip as usual, then
     polish the trained parameters with the host-f64 LM subprocess
@@ -400,6 +400,11 @@ def hybrid_records(q):
         ("advdiff_fwd", hv.advdiff_forward_precision, 50),
         ("poisson3d", hv.poisson3d_precision, 30),
     ]
+    if families:
+        unknown = set(families) - {f for f, _, _ in fams}
+        if unknown:
+            raise SystemExit(f"unknown hybrid families: {sorted(unknown)}")
+        fams = [row for row in fams if row[0] in families]
     records = []
     for fam, factory, polish_iters in fams:
         cfg = factory()
@@ -470,6 +475,11 @@ def main():
         "(chip budget as --precision, plus hours of 1-core host polish) "
         "and merge them into ACCURACY.json",
     )
+    ap.add_argument(
+        "--families", default=None,
+        help="comma-separated family filter for --hybrid (e.g. "
+        "'taylorgreen,poisson3d'); default = all six",
+    )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
     args = ap.parse_args()
     q = 10 if args.quick else 1
@@ -491,7 +501,8 @@ def main():
         return
 
     if args.hybrid:
-        records = hybrid_records(q)
+        fam_filter = (set(args.families.split(",")) if args.families else None)
+        records = hybrid_records(q, families=fam_filter)
         merge_into(args.out, records)
         print(f"merged {len(records)} hybrid rows into {args.out}", file=sys.stderr)
         return
