@@ -28,6 +28,9 @@ from hpvpinns_tpu.config import (
     AdvDiff2DConfig,
     AdvDiffConfig,
     BurgersConfig,
+    Helmholtz2DConfig,
+    helmholtz2d_precision,
+    helmholtz2d_quality,
     KovasznayConfig,
     TaylorGreenConfig,
     burgers_precision,

@@ -123,8 +123,8 @@ def _refined_config(
             return dataclasses.replace(cfg, n_test_per_elem=tuple(int(v) for v in nt))
         grid = bisect_marked(mesh.grid, marked)
         return dataclasses.replace(cfg, grid=grid, n_elements=len(grid) - 1)
-    if isinstance(cfg, (hv.Poisson2DConfig, hv.KovasznayConfig)):
-        # plain 2D tensor meshes (scalar Poisson; the Navier-Stokes system
+    if isinstance(cfg, (hv.Poisson2DConfig, hv.KovasznayConfig, hv.Helmholtz2DConfig)):
+        # plain 2D tensor meshes (scalar Poisson/Helmholtz; the Navier-Stokes system
         # rides the identical element layout — the [E, 3, K, R] residual's
         # equation axis is already summed into eta by element_indicator)
         Ex, Ey = mesh.shape

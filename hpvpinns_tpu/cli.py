@@ -254,6 +254,41 @@ def build_parser() -> argparse.ArgumentParser:
                     help="x-range to sample the collocation points in, e.g. -0.15,0.15")
     _add_common_flags(pb)
 
+    ph = runsub.add_parser(
+        "helmholtz2d",
+        help="2D Helmholtz (Delta u + k^2 u = f) — oscillatory INDEFINITE "
+        "operator, plane-wave benchmark driven entirely by its boundary "
+        "trace (f = 0); optional wavenumber identification (beyond "
+        "reference)",
+    )
+    ph.add_argument("--k", type=float, help="true wavenumber (default 9.0)")
+    ph.add_argument("--wave-angle-deg", type=float, dest="wave_angle_deg",
+                    help="plane-wave direction in degrees (default 30)")
+    ph.add_argument("--wave-phase", type=float, dest="wave_phase")
+    ph.add_argument("--n-elements-x", type=int, dest="n_elements_x")
+    ph.add_argument("--n-elements-y", type=int, dest="n_elements_y")
+    ph.add_argument("--grid-x", type=_grid_arg, dest="grid_x",
+                    help="non-uniform x element boundaries")
+    ph.add_argument("--grid-y", type=_grid_arg, dest="grid_y")
+    ph.add_argument("--n-test-x", type=int, dest="n_test_x")
+    ph.add_argument("--n-test-y", type=int, dest="n_test_y")
+    ph.add_argument("--n-bound", type=int, dest="n_bound")
+    ph.add_argument("--activation", help="'sin' is the matched prior for waves")
+    ph.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc",
+                    help="lifted ansatz: Dirichlet trace exact by construction "
+                    "(Coons interpolant of the exact boundary data + bubble "
+                    "envelope)")
+    ph.add_argument("--inverse", action="store_const", const=True, default=None,
+                    dest="inverse",
+                    help="trainable k^2 identified from interior sensors (the "
+                    "Helmholtz twin of the reference's trainable epsilon, "
+                    "AdvDiff.py:63)")
+    ph.add_argument("--k-sq-init", type=float, dest="k_sq_init")
+    ph.add_argument("--n-sensors", type=int, dest="n_sensors")
+    ph.add_argument("--sensor-noise", type=float, dest="sensor_noise_std")
+    _add_common_flags(ph)
+
     pk = runsub.add_parser(
         "kovasznay",
         help="steady incompressible Navier-Stokes, Kovasznay flow — the "
@@ -365,7 +400,7 @@ def build_parser() -> argparse.ArgumentParser:
     ad = sub.add_parser("adapt", help="adaptive h-refinement (solve-estimate-mark-refine)")
     ad.add_argument(
         "problem",
-        choices=["poisson1d", "poisson2d", "burgers", "advdiff", "advdiff2d",
+        choices=["poisson1d", "poisson2d", "helmholtz2d", "burgers", "advdiff", "advdiff2d",
                  "kovasznay", "taylorgreen"],
     )
     ad.add_argument("--rounds", type=int, default=3)
@@ -464,7 +499,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     idf.add_argument(
         "problem",
-        choices=["advdiff", "advdiff2d", "burgers", "kovasznay", "taylorgreen"],
+        choices=["advdiff", "advdiff2d", "burgers", "helmholtz2d", "kovasznay",
+                 "taylorgreen"],
     )
     idf.add_argument("--method", choices=["reduced", "als"], default="reduced")
     idf.add_argument("--eps-order", type=int, default=None, dest="eps_order",
@@ -499,8 +535,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sw = sub.add_parser("sweep", help="h/p-refinement convergence sweep")
     sw.add_argument("problem", choices=["poisson1d", "poisson2d", "poisson3d",
-                                        "advdiff", "advdiff2d", "burgers",
-                                        "kovasznay", "taylorgreen"])
+                                        "helmholtz2d", "advdiff", "advdiff2d",
+                                        "burgers", "kovasznay", "taylorgreen"])
     sw.add_argument("--axis", choices=["h", "p"], required=True)
     sw.add_argument("--values", required=True, help="comma-separated sweep values")
     sw.add_argument("--iterations", type=int)
@@ -520,6 +556,7 @@ _PRESETS = {
     "advdiff": cfgmod.advdiff_of_record,
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.BurgersConfig,
+    "helmholtz2d": cfgmod.Helmholtz2DConfig,
     "kovasznay": cfgmod.KovasznayConfig,
     "taylorgreen": cfgmod.TaylorGreenConfig,
 }
@@ -531,6 +568,7 @@ _QUALITY_PRESETS = {
     "advdiff": cfgmod.advdiff_quality,
     "advdiff2d": cfgmod.AdvDiff2DConfig,
     "burgers": cfgmod.burgers_quality,
+    "helmholtz2d": cfgmod.helmholtz2d_quality,
     "kovasznay": cfgmod.kovasznay_quality,
     "taylorgreen": cfgmod.taylorgreen_quality,
 }
@@ -545,6 +583,7 @@ _PRECISION_PRESETS = {
     "poisson3d": cfgmod.poisson3d_precision,  # ON-CHIP f32, chunked Jacobian
     "advdiff2d": cfgmod.advdiff2d_precision,  # ON-CHIP f32, FORWARD (joint
     # eps under GN measured negative — MEASUREMENTS.md)
+    "helmholtz2d": cfgmod.helmholtz2d_precision,  # ON-CHIP f32, hard-BC + QR LM
     "kovasznay": cfgmod.kovasznay_precision,  # ON-CHIP f32, the NS system
     "taylorgreen": cfgmod.taylorgreen_precision,  # ON-CHIP f32, UNSTEADY NS
 }
@@ -768,6 +807,48 @@ def cmd_identify(args) -> int:
             "n_sensors": info["n_sensors"],
             "wall_time_s": round(_time.perf_counter() - t0, 2),
         }))
+        return 0
+    if args.problem == "helmholtz2d":
+        if args.method != "reduced":
+            raise SystemExit(
+                "identify helmholtz2d supports --method reduced (wavenumber)"
+            )
+        cfgh = hv.Helmholtz2DConfig(dtype="float64", inverse=True)
+        if args.sensor_noise_std is not None:
+            cfgh = dataclasses.replace(cfgh, sensor_noise_std=args.sensor_noise_std)
+        if getattr(args, "stations", None):
+            cfgh = dataclasses.replace(cfgh, n_sensors=args.stations)
+        _maybe_enable_x64(cfgh.dtype)
+        import time as _time
+
+        from hpvpinns_tpu.inverse import reduced_identify_helmholtz
+
+        probh = hv.build(cfgh)
+        t0 = _time.perf_counter()
+        k_sq_hat, info = reduced_identify_helmholtz(probh)
+        k_sq_t = probh.extras["k_sq_true"]
+        summary_h = {
+            "problem": "helmholtz2d", "method": "reduced",
+            "k_sq": k_sq_hat, "k_sq_true": k_sq_t,
+            "k_sq_rel_err": abs(k_sq_hat - k_sq_t) / k_sq_t,
+            "n_forward_solves": info["n_solves"],
+            "n_sensors": info["n_sensors"],
+        }
+        if getattr(args, "uncertainty", False):
+            from hpvpinns_tpu import uncertainty as uq
+
+            ci = uq.reduced_helmholtz_ci(
+                probh, k_sq_hat, noise_std=args.sensor_noise_std or None
+            )
+            summary_h["uncertainty"] = {
+                "std": ci["std"][0], "ci95": ci["ci95"][0],
+                "sigma": ci["sigma"], "crlb": ci["crlb"],
+            }
+            summary_h["truth_covered"] = bool(
+                ci["ci95"][0][0] <= k_sq_t <= ci["ci95"][0][1]
+            )
+        summary_h["wall_time_s"] = round(_time.perf_counter() - t0, 2)
+        print(json.dumps(summary_h))
         return 0
     if args.problem == "kovasznay":
         if args.method != "reduced":
@@ -1184,6 +1265,21 @@ def cmd_run(args) -> int:
         summary["nu"] = float(res.eval_params["pde"]["nu"])
         summary["nu_true"] = prob.extras["nu_true"]
         summary["nu_rel_err"] = abs(summary["nu"] - summary["nu_true"]) / summary["nu_true"]
+    if "k_sq" in res.final_aux:
+        # Helmholtz trainable squared wavenumber; the closed-form
+        # network-free refinement (linear in k^2) is reported alongside
+        summary["k_sq"] = float(res.eval_params["pde"]["k_sq"])
+        summary["k_sq_true"] = prob.extras["k_sq_true"]
+        summary["k_sq_rel_err"] = (
+            abs(summary["k_sq"] - summary["k_sq_true"]) / summary["k_sq_true"]
+        )
+        from hpvpinns_tpu.problems.helmholtz import closed_form_k_sq
+
+        k2c = closed_form_k_sq(prob, res.eval_params)
+        summary["k_sq_closed_form"] = k2c
+        summary["k_sq_closed_form_rel_err"] = (
+            abs(k2c - summary["k_sq_true"]) / summary["k_sq_true"]
+        )
     if "velocity" in res.final_aux:
         # domain mean covers every velocity_model ("vel_coef" leaf for the
         # polynomial fields — same latent-KeyError class as the epsilon fix);
@@ -1236,6 +1332,7 @@ def cmd_run(args) -> int:
             "advdiff": _gk.vpinn_gap_advdiff,
             "advdiff2d": _gk.vpinn_gap_advdiff2d,
             "burgers": _gk.vpinn_gap_burgers,
+            "helmholtz2d": _gk.vpinn_gap_helmholtz2d,
             "kovasznay": _gk.vpinn_gap_kovasznay,
             "taylorgreen": _gk.vpinn_gap_taylorgreen,
         }

@@ -153,6 +153,63 @@ class Poisson3DConfig:
 
 
 @dataclass(frozen=True)
+class Helmholtz2DConfig:
+    """2D Helmholtz  Delta u + k^2 u = f  on [-1, 1]^2 — the oscillatory,
+    INDEFINITE extension of the Poisson family (no reference analog; the
+    canonical hp stress case — resolving ~k/pi waves per axis is where
+    spectral test spaces earn their keep).
+
+    Benchmark solution (problems/helmholtz.py): the tilted plane wave
+    u = sin(k (x cos th + y sin th) + phase), an EXACT homogeneous solution
+    (f = 0) driven entirely through its boundary trace — so unlike the
+    manufactured families there is no forcing to hide behind.  k defaults
+    to 9.0 (k^2 = 81 sits between the Dirichlet-Laplacian eigenvalues
+    (pi/2)^2 * 32 = 78.96 and * 34 = 83.89, keeping the continuous problem
+    well-posed).  `inverse=True` makes k^2 a trainable pde leaf identified
+    from interior sensors (the Helmholtz twin of AdvDiff.py:63's epsilon;
+    its residual is LINEAR in k^2, so a closed-form network-free estimate
+    ships alongside — problems/helmholtz.py::closed_form_k_sq)."""
+
+    layers: Tuple[int, ...] = (2, 30, 30, 30, 1)
+    activation: str = "tanh"  # "sin" is the matched prior for waves —
+    # measured per-preset (MEASUREMENTS.md)
+    adaptive_slope: bool = False
+    matmul_precision: str = "highest"  # f32-TPU matmul precision ("highest" = 6
+    # bf16 MXU passes; "high" = 3, ~20% faster steps; "default" = 1)
+    var_form: int = 1  # 0 | 1 (Laplacian once integrated by parts; the mass
+    # term k^2 ∫ u phi never needs derivatives)
+    n_elements_x: int = 4
+    n_elements_y: int = 4
+    grid_x: Optional[Tuple[float, ...]] = None  # non-uniform x boundaries
+    # (adaptive refinement; overrides n_elements_x)
+    grid_y: Optional[Tuple[float, ...]] = None
+    n_test_x: int = 10
+    n_test_y: int = 10
+    n_test_x_per_elem: Optional[Tuple[int, ...]] = None  # p-nonuniformity
+    n_test_y_per_elem: Optional[Tuple[int, ...]] = None
+    n_quad: int = 16  # per axis per element (>= ~k/E + p quad points resolve
+    # the oscillation against the test basis)
+    n_bound: int = 80  # boundary points per edge (Poisson-2D.py:313-347 layout)
+    lossb_weight: float = 10.0
+    k: float = 9.0  # true wavenumber (k^2 is the PDE coefficient)
+    wave_angle_deg: float = 30.0  # plane-wave direction (off-axis so the
+    # solution is genuinely 2D, not a tensor product)
+    wave_phase: float = 0.3  # phase offset (breaks the odd symmetry)
+    inverse: bool = False  # k^2 trainable from interior sensors; False
+    # (default) is the forward benchmark
+    k_sq_init: float = 60.0  # trainable start (true k^2 = 81)
+    n_sensors: int = 60  # LHS interior sensor points when inverse
+    sensor_noise_std: float = 0.0  # additive N(0, std) on sensor READINGS only
+    hard_bc: bool = False  # lifted ansatz u = Coons(boundary trace) +
+    # (1-xi^2)(1-eta^2) N: the Dirichlet trace exact by construction
+    domain_x: Tuple[float, float] = (-1.0, 1.0)
+    domain_y: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "float32"
+    deriv_mode: str = "taylor"  # "taylor" (fused one-pass propagation) | "jvp"
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(iterations=10001))
+
+
+@dataclass(frozen=True)
 class AdvDiffConfig:
     """Space-time advection-diffusion u_t + V u_x - eps u_xx = 0 on
     [-1, 1] x [0, T], inverse identification of eps (main/AdvDiff-Identification).
@@ -762,6 +819,31 @@ def poisson2d_precision(hard_bc: bool = True) -> Poisson2DConfig:
     return replace(base, train=replace(base.train, gn_iterations=50))
 
 
+def helmholtz2d_quality() -> Helmholtz2DConfig:
+    """Measured quality point for the oscillatory family (round-4,
+    benchmarks/MEASUREMENTS.md "Helmholtz"): sin-activation net (the
+    matched prior for waves), 4x4 mesh, 10x10 test functions,
+    Adam-10k + L-BFGS-10k."""
+    return Helmholtz2DConfig(
+        activation="sin",
+        train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
+    )
+
+
+def helmholtz2d_precision() -> Helmholtz2DConfig:
+    """GN-grade frontier for the Helmholtz family, ON CHIP (round-4,
+    benchmarks/MEASUREMENTS.md "Helmholtz"): the quality configuration
+    plus a hard-BC Coons-lifted ansatz (the Dirichlet trace — the ONLY
+    data this f = 0 problem has — exact by construction) and an LM phase
+    on the on-device QR kernel."""
+    base = helmholtz2d_quality()
+    return replace(
+        base,
+        hard_bc=True,
+        train=replace(base.train, gn_iterations=50, gn_solve="qr"),
+    )
+
+
 def burgers_precision() -> BurgersConfig:
     """GN-grade nonlinear space-time frontier, ON CHIP (round-3 late
     measurement, benchmarks/MEASUREMENTS.md): the hand-clustered hard-BC
@@ -872,6 +954,9 @@ __all__ = [
     "Poisson1DConfig",
     "Poisson2DConfig",
     "Poisson3DConfig",
+    "Helmholtz2DConfig",
+    "helmholtz2d_quality",
+    "helmholtz2d_precision",
     "AdvDiffConfig",
     "AdvDiff2DConfig",
     "BurgersConfig",

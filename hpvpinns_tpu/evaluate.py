@@ -97,6 +97,19 @@ def strong_residual(problem: Problem, params, X: Optional[np.ndarray] = None) ->
             f_fn(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
         )
         return np.asarray(f_pred - f_true)
+    if problem.name == "helmholtz2d":
+        f_fn = problem.extras["f_rhs"]
+        k_sq = (
+            params["pde"]["k_sq"]
+            if problem.config.inverse
+            else problem.extras["k_sq_true"]
+        )
+        flds = scalar_fields_2d(u_fn, X[:, 0:1], X[:, 1:2])
+        f_pred = flds["uxx"] + flds["uyy"] + k_sq * flds["u"]
+        f_true = jnp.asarray(
+            f_fn(np.asarray(X[:, 0:1]), np.asarray(X[:, 1:2])), dtype=dtype
+        )
+        return np.asarray(f_pred - f_true)
     if problem.name == "advdiff":
         cfg = problem.config
         eps_of = problem.extras.get("eps_of")

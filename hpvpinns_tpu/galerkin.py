@@ -303,6 +303,92 @@ def solve_poisson2d(
     return SpectralElementSolution2D(coef=coef, eval_x=ex, eval_y=ey, lift=lift)
 
 
+def solve_helmholtz2d(
+    mesh,
+    p: int,
+    k_sq: float,
+    f_fn,
+    lift_fn=None,
+    lift_grad_fn=None,
+    n_quad: int | None = None,
+) -> SpectralElementSolution2D:
+    """Direct tensor-product spectral-element solve of the INDEFINITE
+    Helmholtz problem  Delta u + k^2 u = f  (no reference analog; the
+    oscillatory extension of solve_poisson2d).  With u = lift + w, w in H0:
+
+        a(w, v) - k^2 m(w, v) = -∫∫ f v - a(lift, v) + k^2 m(lift, v),
+        a = (A_x ⊗ M_y + M_x ⊗ A_y),  m = M_x ⊗ M_y.
+
+    The system is symmetric indefinite for k^2 above the first Dirichlet
+    eigenvalue — np.linalg.solve (LU) handles it; accuracy degrades only
+    when k^2 approaches a DISCRETE eigenvalue of the pencil (A, m), which
+    converges to a continuous one at spectral rate, so keep the continuous
+    problem comfortably off-resonance (Helmholtz2DConfig's default does)."""
+    ax, ay = mesh.axis_x, mesh.axis_y
+    Q = n_quad or max(2 * p + 2, 10)
+    Ax, Mx, Wx, Wdx, ex = _axis_h0_operators(ax, p, Q)
+    Ay, My, Wy, Wdy, ey = _axis_h0_operators(ay, p, Q)
+
+    xi, _ = gauss_lobatto_jacobi(Q, 0.0, 0.0)
+    Xg = ax.map_points(xi).reshape(-1)
+    Yg = ay.map_points(xi).reshape(-1)
+    XX, YY = np.meshgrid(Xg, Yg, indexing="ij")
+    F = Wx @ (-np.asarray(f_fn(XX, YY), dtype=np.float64)) @ Wy.T
+
+    lift = None
+    if lift_fn is not None:
+        lift = lambda x, y: np.asarray(lift_fn(x, y), dtype=np.float64)
+        if lift_grad_fn is None:
+            h = 1e-6
+
+            def lift_grad_fn(x, y):
+                return (
+                    (lift(x + h, y) - lift(x - h, y)) / (2 * h),
+                    (lift(x, y + h) - lift(x, y - h)) / (2 * h),
+                )
+
+        gx, gy = lift_grad_fn(XX, YY)
+        F = F - (Wdx @ np.asarray(gx, dtype=np.float64) @ Wy.T)
+        F = F - (Wx @ np.asarray(gy, dtype=np.float64) @ Wdy.T)
+        F = F + k_sq * (Wx @ lift(XX, YY) @ Wy.T)
+
+    K = np.kron(Ax, My) + np.kron(Mx, Ay) - k_sq * np.kron(Mx, My)
+    coef = np.linalg.solve(K, F.reshape(-1)).reshape(F.shape)
+    return SpectralElementSolution2D(coef=coef, eval_x=ex, eval_y=ey, lift=lift)
+
+
+def vpinn_gap_helmholtz2d(problem, params, p: int = 24, n_points: int = 101) -> dict:
+    """Helmholtz optimization-gap report (network vs exact vs direct solve)
+    — the oscillatory twin of vpinn_gap_2d.  Dirichlet data enters through
+    the Coons boundary interpolant of the exact solution; p defaults higher
+    than the Poisson gap's because the direct solve must resolve ~k/pi
+    waves per axis."""
+    from hpvpinns_tpu.evaluate import predict, rel_l2
+
+    mesh = problem.extras["mesh"]
+    f_fn = problem.extras["f_rhs"]
+    k_sq = problem.extras["k_sq_true"]
+    u_ex_fn = problem.exact
+    cfg = problem.config
+    u_dir = solve_helmholtz2d(
+        mesh, p, k_sq, f_fn,
+        lift_fn=coons_lift(u_ex_fn, cfg.domain_x, cfg.domain_y),
+    )
+
+    xs = np.linspace(*cfg.domain_x, n_points)
+    ys = np.linspace(*cfg.domain_y, n_points)
+    XG, YG = np.meshgrid(xs, ys)
+    pts = np.stack([XG.reshape(-1), YG.reshape(-1)], axis=-1)
+    u_net = predict(problem, params, pts).reshape(-1)
+    u_g = u_dir(XG, YG).reshape(-1)
+    u_true = np.asarray(u_ex_fn(XG, YG)).reshape(-1)
+    return {
+        "rel_l2_net_vs_exact": rel_l2(u_net, u_true),
+        "rel_l2_galerkin_vs_exact": rel_l2(u_g, u_true),
+        "rel_l2_net_vs_galerkin": rel_l2(u_net, u_g),
+    }
+
+
 def vpinn_gap_2d(problem, params, p: int = 12, n_points: int = 101) -> dict:
     """2D optimization-gap report: network vs exact, direct solve vs exact,
     network vs direct solve — on the problem's own mesh and forcing.

@@ -1321,3 +1321,83 @@ def reduced_identify_taylorgreen(
         "n_sensors": len(ds), "method": "brent-bounded",
         "p": p, "n_steps": n_steps,
     }
+
+
+def reduced_identify_helmholtz(
+    problem,
+    p: int = 14,
+    bounds=(40.0, 130.0),
+    n_scan: int = 61,
+    xatol: float = 1e-10,
+    noise: float = 0.0,
+    seed: int = 0,
+):
+    """WAVENUMBER identification for the Helmholtz family: search k^2 with
+    the exact indefinite spectral solver (galerkin.solve_helmholtz2d) in
+    the loop, minimizing the misfit against interior sensors — the
+    oscillatory twin of reduced_identify (AdvDiff.py:63's problem class,
+    network-free).
+
+    Unlike the diffusion coefficients, the misfit landscape over k^2 has
+    POLES at the discrete Dirichlet eigenvalues of the solver's pencil
+    (the forward map blows up at resonance), so a bare Brent search can
+    lock onto the wrong basin.  The route therefore scans `n_scan` points
+    over `bounds` first (skipping near-singular solves) and Brent-refines
+    inside the bracketing interval of the scan minimum.
+
+    Sensors come from the problem's own inverse-mode data
+    (problem.data["xs"]/"us", problems/helmholtz.py) when present, else
+    are LHS-sampled here (seeded; `noise` adds Gaussian perturbation).
+    Boundary data for the solver is the exact trace via the Coons
+    interpolant — the same information the VPINN's boundary loss uses.
+
+    Returns (k_sq_hat, info).
+    """
+    from hpvpinns_tpu.galerkin import coons_lift, solve_helmholtz2d
+    from hpvpinns_tpu.utils.sampling import lhs_box
+
+    if problem.name != "helmholtz2d":
+        raise ValueError(
+            f"reduced_identify_helmholtz supports helmholtz2d problems, got {problem.name!r}"
+        )
+    cfg = problem.config
+    if "xs" in problem.data:
+        Xs = np.asarray(problem.data["xs"], dtype=np.float64)
+        ds = np.asarray(problem.data["us"], dtype=np.float64).reshape(-1)
+    else:
+        rng = np.random.default_rng(seed)
+        Xs = lhs_box([cfg.domain_x, cfg.domain_y], cfg.n_sensors, rng)
+        ds = np.asarray(problem.exact(Xs[:, 0:1], Xs[:, 1:2])).reshape(-1)
+        if noise > 0.0:
+            ds = ds + rng.normal(0.0, noise, ds.shape)
+
+    mesh = problem.extras["mesh"]
+    f_fn = problem.extras["f_rhs"]
+    lift = coons_lift(problem.exact, cfg.domain_x, cfg.domain_y)
+    n_solves = [0]
+
+    def misfit(k_sq):
+        try:
+            sol = solve_helmholtz2d(mesh, p, float(k_sq), f_fn, lift_fn=lift)
+        except np.linalg.LinAlgError:  # exactly singular: at a resonance
+            return np.inf
+        n_solves[0] += 1
+        u = sol(Xs[:, 0], Xs[:, 1]).reshape(-1)
+        return float(np.sum((u - ds) ** 2))
+
+    grid = np.linspace(bounds[0], bounds[1], n_scan)
+    vals = np.array([misfit(g) for g in grid])
+    i = int(np.argmin(vals))
+    lo = grid[max(i - 1, 0)]
+    hi = grid[min(i + 1, n_scan - 1)]
+
+    from scipy.optimize import minimize_scalar
+
+    res = minimize_scalar(
+        misfit, bounds=(lo, hi), method="bounded", options={"xatol": xatol}
+    )
+    return float(res.x), {
+        "misfit": float(res.fun), "n_solves": n_solves[0],
+        "n_sensors": len(ds), "method": "scan+brent-bounded", "p": p,
+        "scan_bracket": (float(lo), float(hi)),
+    }

@@ -238,6 +238,45 @@ def poisson2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, var_fo
     return U - elems.f_proj
 
 
+def helmholtz2d_residual(u_fn, elems: Elements2D, bx: Basis1D, by: Basis1D, k_sq, var_form: int, fields_fn=None):
+    """Res[e, k, r] for the 2D Helmholtz equation  Delta u + k^2 u = f  on
+    tensor-product elements — the oscillatory/INDEFINITE extension of
+    poisson2d_residual (same Laplacian weak forms, Poisson-2D.py:91-105,
+    plus the zeroth-order mass term; no reference analog).
+
+    var_form 0:  U = jac * C(phi_r, phi_k, u_xx + u_yy + k^2 u)
+    var_form 1:  U = -jac_y * C(phi'_r, phi_k, u_x)
+                     -jac_x * C(phi_r, phi'_k, u_y)
+                     + jac * k^2 * C(phi_r, phi_k, u)
+                 (only the second-order term integrates by parts; the mass
+                 term needs no derivatives, so form 1 still skips every
+                 second-order propagation stream)
+
+    `k_sq` may be a traced scalar — the trainable wavenumber-identification
+    leaf params["pde"]["k_sq"], the Helmholtz twin of the reference's
+    trainable epsilon (AdvDiff.py:63).
+    """
+    with jax.named_scope("vpinn_fields_helmholtz2d"):
+        f2d = fields_fn or (lambda *a, **k: scalar_fields_2d(u_fn, *a, **k))
+        flds = f2d(elems.x, elems.y, firsts_only=(var_form == 1))
+    jac = (elems.jac_x * elems.jac_y)[:, None, None]
+    if var_form == 0:
+        U = jac * contract_2d(
+            bx.wphi, by.wphi, flds["uxx"] + flds["uyy"] + k_sq * flds["u"]
+        )
+    elif var_form == 1:
+        U = (
+            -(
+                elems.jac_y[:, None, None] * contract_2d(bx.wdphi, by.wphi, flds["ux"])
+                + elems.jac_x[:, None, None] * contract_2d(bx.wphi, by.wdphi, flds["uy"])
+            )
+            + k_sq * jac * contract_2d(bx.wphi, by.wphi, flds["u"])
+        )
+    else:
+        raise ValueError(f"Helmholtz-2D var_form must be 0 or 1; got {var_form}")
+    return U - elems.f_proj
+
+
 def advdiff_residual(u_fn, elems: Elements2D, bx: Basis1D, bt: Basis1D, var_form: int, velocity, epsilon, fields_fn=None, epsilon_x=0.0):
     """Res[e, k, r] for u_t + V u_x - eps u_xx = 0 in space-time elements
     (AdvDiff.py:161-180; F = 0, the weak residual itself is minimized :180).

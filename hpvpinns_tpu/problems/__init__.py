@@ -2,6 +2,7 @@ from hpvpinns_tpu.problems import (
     advdiff,
     advdiff2d,
     burgers,
+    helmholtz,
     kovasznay,
     taylorgreen,
     poisson1d,
@@ -17,6 +18,7 @@ _BUILDERS = {
     "advdiff": advdiff.build,
     "advdiff2d": advdiff2d.build,
     "burgers": burgers.build,
+    "helmholtz2d": helmholtz.build,
     "kovasznay": kovasznay.build,
     "taylorgreen": taylorgreen.build,
 }
@@ -28,6 +30,7 @@ def build(config) -> Problem:
         AdvDiff2DConfig,
         AdvDiffConfig,
         BurgersConfig,
+        Helmholtz2DConfig,
         KovasznayConfig,
         TaylorGreenConfig,
         Poisson1DConfig,
@@ -47,6 +50,8 @@ def build(config) -> Problem:
         return advdiff2d.build(config)
     if isinstance(config, BurgersConfig):
         return burgers.build(config)
+    if isinstance(config, Helmholtz2DConfig):
+        return helmholtz.build(config)
     if isinstance(config, KovasznayConfig):
         return kovasznay.build(config)
     if isinstance(config, TaylorGreenConfig):

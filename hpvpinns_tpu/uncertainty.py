@@ -570,3 +570,43 @@ def reduced_ns_unsteady_ci(problem, nu_hat: float, p: int = 10,
     out["ci95"] = [(float(center - 1.96 * std - margin),
                     float(center + 1.96 * std + margin))]
     return out
+
+
+def reduced_helmholtz_ci(problem, k_sq_hat: float, p: int = 14,
+                         rel_step: float = 1e-5,
+                         noise_std: Optional[float] = None):
+    """Gauss-Newton covariance for the Helmholtz wavenumber route
+    (inverse.reduced_identify_helmholtz): sensitivity of the interior
+    sensor predictions to k^2 by central differences of the indefinite
+    spectral solver (2 solves), sigma^2 from the residuals at the optimum
+    — or the CRLB at a declared `noise_std`.  Same dict shape as
+    reduced_scalar_ci."""
+    from hpvpinns_tpu.galerkin import coons_lift, solve_helmholtz2d
+
+    cfg = problem.config
+    Xs = np.asarray(problem.data["xs"], dtype=np.float64)
+    ds = np.asarray(problem.data["us"], dtype=np.float64).reshape(-1)
+    mesh = problem.extras["mesh"]
+    f_fn = problem.extras["f_rhs"]
+    lift = coons_lift(problem.exact, cfg.domain_x, cfg.domain_y)
+
+    def predict(k_sq):
+        sol = solve_helmholtz2d(mesh, p, float(k_sq), f_fn, lift_fn=lift)
+        return sol(Xs[:, 0], Xs[:, 1]).reshape(-1)
+
+    resid = predict(k_sq_hat) - ds
+    h = rel_step * max(abs(k_sq_hat), 1e-8)
+    S = (predict(k_sq_hat + h) - predict(k_sq_hat - h)) / (2 * h)
+    n = len(ds)
+    crlb = noise_std is not None
+    sigma2 = noise_std**2 if crlb else float(resid @ resid) / max(n - 1, 1)
+    var = sigma2 / float(S @ S)
+    std = float(np.sqrt(max(var, 0.0)))
+    return {
+        "params": ["k_sq"],
+        "std": [std],
+        "ci95": [(float(k_sq_hat - 1.96 * std), float(k_sq_hat + 1.96 * std))],
+        "sigma": float(np.sqrt(sigma2)),
+        "n_sensors": n,
+        "crlb": crlb,
+    }

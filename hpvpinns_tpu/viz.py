@@ -419,6 +419,8 @@ def standard_report(
         )
         if field_plot is not None:
             paths.append(field_plot)
+    elif problem.name == "helmholtz2d":
+        paths += plot_2d_solution(problem, params, outdir)
     elif problem.name == "advdiff2d":
         paths += plot_3d_slices(problem, params, outdir)  # fixed-t contours
         if "epsilon" in result.history:
