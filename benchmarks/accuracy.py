@@ -377,6 +377,9 @@ def precision_records(q):
         # form 0 + zero-mean pressure-gauge penalty; stacked rel-L2 2.09e-4
         # measured — `run taylorgreen --preset precision`)
         run("taylorgreen_precision_f32_tpu", scaled(hv.taylorgreen_precision())),
+        # the oscillatory/indefinite frontier (hard-BC Coons lift of the
+        # boundary trace + QR LM — `run helmholtz2d --preset precision`)
+        run("helmholtz2d_precision_f32_tpu", scaled(hv.helmholtz2d_precision())),
     ]
 
 
@@ -655,6 +658,19 @@ def main():
         ),
     )
     records.append(run("burgers_quality_f32_tpu", cfg))
+
+    # 15. Helmholtz k = 9 (oscillatory/indefinite, beyond reference): the
+    # homogeneous plane-wave benchmark driven only by its Dirichlet trace.
+    cfg = hv.helmholtz2d_quality()
+    cfg = replace(
+        cfg,
+        train=replace(
+            cfg.train,
+            iterations=cfg.train.iterations // q,
+            lbfgs_iterations=cfg.train.lbfgs_iterations // q,
+        ),
+    )
+    records.append(run("helmholtz2d_quality_f32_tpu", cfg))
 
     merge_into(args.out, records)
     print(f"wrote {args.out}", file=sys.stderr)

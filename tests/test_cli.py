@@ -186,6 +186,14 @@ def test_precision_presets():
     assert (cfg.n_elements_x, cfg.n_elements_y, cfg.n_elements_t) == (3, 3, 2)
     assert cfg.train.gn_iterations == 250 and cfg.train.gn_solve == "qr"
 
+    # the oscillatory/indefinite family (sin prior + hard-BC trace lift + QR LM)
+    cfg = _config_from_args(parse("run helmholtz2d --preset precision".split()))
+    assert cfg.hard_bc and cfg.activation == "sin"
+    assert cfg.train.gn_iterations == 50 and cfg.train.gn_solve == "qr"
+    cfg = _config_from_args(parse("run helmholtz2d --preset quality".split()))
+    assert not cfg.hard_bc and cfg.activation == "sin"
+    assert cfg.train.iterations == 10000 and cfg.train.lbfgs_iterations == 10000
+
 
 def test_precision_preset_runs_end_to_end(capsys):
     """Tiny-budget structural pass through the Adam->GN precision path."""

@@ -129,6 +129,34 @@ def test_fuzz_burgers(trial):
     assert np.isfinite(res.final_aux["loss"])
 
 
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzz_helmholtz2d(trial):
+    RNG = _rng("helm", trial)
+    cfg = hv.Helmholtz2DConfig(
+        dtype="float64",
+        activation=_any_activation(RNG),
+        var_form=int(RNG.choice([0, 1])),
+        hard_bc=bool(RNG.integers(0, 2)),
+        inverse=bool(RNG.integers(0, 2)),
+        n_elements_x=int(RNG.integers(1, 4)),
+        n_elements_y=int(RNG.integers(1, 4)),
+        n_test_x=int(RNG.integers(2, 6)),
+        n_test_y=int(RNG.integers(2, 6)),
+        n_quad=int(RNG.integers(4, 10)),
+        n_bound=int(RNG.integers(4, 30)),
+        n_sensors=int(RNG.integers(4, 20)),
+        k=float(RNG.uniform(1.0, 9.0)),
+        wave_angle_deg=float(RNG.uniform(0.0, 90.0)),
+        layers=(2, int(RNG.integers(3, 10)), 1),
+        deriv_mode=str(RNG.choice(["taylor", "jvp"])),
+        train=_tc(RNG),
+    )
+    prob = hv.build(cfg)
+    res = hv.train(prob, verbose=False)
+    assert np.isfinite(res.final_aux["loss"])
+    assert np.isfinite(hv.evaluate_problem(prob, res.params)["rel_l2"])
+
+
 def test_matmul_precision_reaches_spec():
     """matmul_precision flows from every problem config into the MLP spec
     (it controls the bf16 MXU pass count on the f32 TPU path)."""
@@ -137,6 +165,7 @@ def test_matmul_precision_reaches_spec():
     for cfg_cls in (
         hv.Poisson1DConfig, hv.Poisson2DConfig, hv.Poisson3DConfig,
         hv.AdvDiffConfig, hv.BurgersConfig, hv.AdvDiff2DConfig,
+        hv.Helmholtz2DConfig,
     ):
         cfg = cfg_cls(matmul_precision="high")
         prob = hv.build(cfg)

@@ -178,6 +178,11 @@ def test_gspmd_burgers_and_advdiff_shard():
         hv.AdvDiff2DConfig(dtype="float64", n_elements_x=3, n_elements_y=2,
                            n_elements_t=1, n_quad=4, n_test_x=3, n_test_y=3,
                            n_test_t=3, layers=(3, 6, 1), velocity_trainable=True),
+        # the oscillatory/indefinite family, inverse mode: the trainable-k_sq
+        # pde leaf and the sensor misfit ride the same element-axis layout
+        hv.Helmholtz2DConfig(dtype="float64", n_elements_x=3, n_elements_y=2,
+                             n_quad=5, n_test_x=3, n_test_y=3, layers=(2, 6, 1),
+                             inverse=True, n_sensors=6),
     ):
         prob = hv.build(cfg)
         params = prob.init_params(jax.random.key(1))
