@@ -823,7 +823,9 @@ def helmholtz2d_quality() -> Helmholtz2DConfig:
     """Measured quality point for the oscillatory family (round-4,
     benchmarks/MEASUREMENTS.md "Helmholtz"): sin-activation net (the
     matched prior for waves), 4x4 mesh, 10x10 test functions,
-    Adam-10k + L-BFGS-10k."""
+    Adam-10k + L-BFGS-10k.  Measured single-chip f32: rel-L2 **4.21e-4**
+    (max err 3.95e-3) at k = 9 — ~3 wavelengths per axis resolved below
+    the 1e-3 north-star bar from boundary data alone."""
     return Helmholtz2DConfig(
         activation="sin",
         train=TrainConfig(iterations=10000, lbfgs_iterations=10000, check_every=1000),
@@ -835,7 +837,10 @@ def helmholtz2d_precision() -> Helmholtz2DConfig:
     benchmarks/MEASUREMENTS.md "Helmholtz"): the quality configuration
     plus a hard-BC Coons-lifted ansatz (the Dirichlet trace — the ONLY
     data this f = 0 problem has — exact by construction) and an LM phase
-    on the on-device QR kernel."""
+    on the on-device QR kernel.  Measured single-chip f32: rel-L2
+    **3.41e-4**, max err 6.94e-4 (the lift's decisive win: 5.7x below
+    soft-BC on the boundary-dominated max error), loss 33x below quality
+    — the residual gap is representation-limited, not optimizer-limited."""
     base = helmholtz2d_quality()
     return replace(
         base,
