@@ -402,6 +402,7 @@ def hybrid_records(q, families=None):
         ("taylorgreen", hv.taylorgreen_precision, 25),
         ("advdiff_fwd", hv.advdiff_forward_precision, 50),
         ("poisson3d", hv.poisson3d_precision, 30),
+        ("helmholtz2d", hv.helmholtz2d_precision, 30),
     ]
     if families:
         unknown = set(families) - {f for f, _, _ in fams}
@@ -481,7 +482,7 @@ def main():
     ap.add_argument(
         "--families", default=None,
         help="comma-separated family filter for --hybrid (e.g. "
-        "'taylorgreen,poisson3d'); default = all six",
+        "'taylorgreen,poisson3d'); default = all seven",
     )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
     args = ap.parse_args()
