@@ -393,24 +393,33 @@ def hybrid_records(q, families=None):
     budget as `--precision`, plus several hours of 1-core host polish at
     full budget — the round-4 campaign numbers these reproduce are in
     ACCURACY.json under `*_hybrid_polish`."""
+    import subprocess
+
     from hpvpinns_tpu.training.hybrid import polish_f64
 
+    # (family, preset, polish iters, polish solve kernel, kernel kwargs).
+    # "normal" is gauss_newton's own f64 auto rule and matches the measured
+    # round-4 rows; poisson3d ships the matrix-free CG kernel instead for the
+    # same reason its chip preset does (config.poisson3d_precision: the dense
+    # Jacobian build is the 17-min/OOM-class wall, CG reproduces the dense
+    # record at 10.8x less GN wall — MEASUREMENTS.md "matrix-free LM").
     fams = [
-        ("poisson2d", hv.poisson2d_precision, 25),
-        ("kovasznay", hv.kovasznay_precision, 50),
-        ("burgers", hv.burgers_precision, 40),
-        ("taylorgreen", hv.taylorgreen_precision, 25),
-        ("advdiff_fwd", hv.advdiff_forward_precision, 50),
-        ("poisson3d", hv.poisson3d_precision, 30),
-        ("helmholtz2d", hv.helmholtz2d_precision, 30),
+        ("poisson2d", hv.poisson2d_precision, 25, "normal", {}),
+        ("kovasznay", hv.kovasznay_precision, 50, "normal", {}),
+        ("burgers", hv.burgers_precision, 40, "normal", {}),
+        ("taylorgreen", hv.taylorgreen_precision, 25, "normal", {}),
+        ("advdiff_fwd", hv.advdiff_forward_precision, 50, "normal", {}),
+        ("poisson3d", hv.poisson3d_precision, 30, "cg",
+         {"cg_tol": 1e-4, "cg_maxiter": 2000}),
+        ("helmholtz2d", hv.helmholtz2d_precision, 30, "normal", {}),
     ]
     if families:
-        unknown = set(families) - {f for f, _, _ in fams}
+        unknown = set(families) - {f for f, *_ in fams}
         if unknown:
             raise SystemExit(f"unknown hybrid families: {sorted(unknown)}")
         fams = [row for row in fams if row[0] in families]
     records = []
-    for fam, factory, polish_iters in fams:
+    for fam, factory, polish_iters, solve, solve_kw in fams:
         cfg = factory()
         t = cfg.train
         cfg = replace(cfg, train=replace(
@@ -422,14 +431,24 @@ def hybrid_records(q, families=None):
         res = hv.train(prob, verbose=False)
         chip_wall = time.perf_counter() - t0
         chip = hv.evaluate_problem(prob, res.eval_params)
-        pr = polish_f64(cfg, res.eval_params,
-                        iterations=max(5, polish_iters // q),
-                        solve="normal", jac_chunk=128, timeout=10800)
+        try:
+            pr = polish_f64(cfg, res.eval_params,
+                            iterations=max(5, polish_iters // q),
+                            solve=solve, jac_chunk=128, timeout=10800,
+                            **solve_kw)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            # One family's polish blowing its 3 h budget must not lose the
+            # remaining families' rows; record the failure and move on.
+            print(json.dumps({"config": f"{fam}_hybrid_polish",
+                              "error": str(e)[:500]}), file=sys.stderr,
+                  flush=True)
+            continue
         cast = hv.evaluate_problem(prob, pr.params)
         rec = {
             "config": f"{fam}_hybrid_polish",
             "dtype": "float32-chip + float64-host-polish",
             "chip_wall_s": round(chip_wall, 1),
+            "polish_solve": solve,
             "polish_iters": pr.accepted,
             "polish_wall_s": round(pr.wall_s, 1),
             "chip_rel_l2": float(chip["rel_l2"]),

@@ -48,12 +48,19 @@ def _tiny_config():
 
 def _loss_and_gradnorm_on_mesh():
     """Shared child/parent computation: loss + grad 2-norm of the tiny
-    problem laid out over the element mesh spanning ALL global devices."""
+    problem laid out over the element mesh spanning ALL global devices,
+    plus a 2-accepted-step Gauss-Newton/LM phase on the matrix-free CG
+    kernel over the SAME global mesh — the precision optimizer's matvec
+    psum and the LM accept/reject control flow crossing the process
+    boundary (the single-process virtual-mesh GN parity leg in
+    __graft_entry__.dryrun_multichip, promoted to a real 2-process
+    cluster)."""
     import jax
     import jax.numpy as jnp
 
     import hpvpinns_tpu as hv
     from hpvpinns_tpu.parallel.sharding import element_mesh, replicate, shard_problem
+    from hpvpinns_tpu.training.gauss_newton import gauss_newton
 
     prob = hv.build(_tiny_config())
     mesh = element_mesh()  # global devices, both processes
@@ -67,7 +74,16 @@ def _loss_and_gradnorm_on_mesh():
         return loss, jnp.sqrt(sq)
 
     loss, gnorm = loss_and_gradnorm(params, data)
-    return float(loss), float(gnorm), len(jax.devices()), jax.process_count()
+    gn = gauss_newton(prob, prob.init_params(jax.random.key(3)),
+                      iterations=2, solve="cg", mesh=mesh, verbose=False)
+    return {
+        "loss": float(loss),
+        "grad_norm": float(gnorm),
+        "gn_loss": float(gn.final_aux["loss"]),
+        "gn_accepted": int(gn.accepted),
+        "n_global_devices": len(jax.devices()),
+        "process_count": jax.process_count(),
+    }
 
 
 def _child_main(argv):
@@ -83,9 +99,7 @@ def _child_main(argv):
         num_processes=int(num_processes),
         process_id=int(process_id),
     )
-    loss, gnorm, n_global, n_proc = _loss_and_gradnorm_on_mesh()
-    result = {"loss": loss, "grad_norm": gnorm, "n_global_devices": n_global,
-              "process_count": n_proc, **topo}
+    result = {**_loss_and_gradnorm_on_mesh(), **topo}
     with open(out_path, "w") as f:
         json.dump(result, f)
     # Clean shutdown so the coordinator does not log dropped-peer warnings.
@@ -141,17 +155,23 @@ def run_multiprocess_check(timeout_s: float = 300.0) -> dict:
         with open(out_path) as f:
             children.append(json.load(f))
 
-    ref_loss, ref_gnorm, n_devices, _ = _loss_and_gradnorm_on_mesh()
+    ref = _loss_and_gradnorm_on_mesh()
     return {
         "children": children,
-        "reference": {"loss": ref_loss, "grad_norm": ref_gnorm,
-                      "n_devices": n_devices},
+        "reference": {**ref, "n_devices": ref["n_global_devices"]},
         "logs": logs,
     }
 
 
-def assert_multiprocess_matches(result: dict, rtol: float = 1e-6):
-    """The 2-process cluster must compute the single-process numbers."""
+def assert_multiprocess_matches(result: dict, rtol: float = 1e-6,
+                                gn_rtol: float = 1e-4):
+    """The 2-process cluster must compute the single-process numbers.
+
+    `gn_rtol` matches the single-process sharded-vs-unsharded GN parity
+    tolerance (__graft_entry__ / tests/test_sharding.py): the CG matvec's
+    cross-process psum may reduce in a different order than the
+    single-process all-reduce, so the accepted-step losses agree to f32
+    reduction noise rather than bit-exactly."""
     import numpy as np
 
     ref = result["reference"]
@@ -164,6 +184,10 @@ def assert_multiprocess_matches(result: dict, rtol: float = 1e-6):
         assert child["n_global_devices"] == _N_PROC * _DEVICES_PER_PROC, child
         np.testing.assert_allclose(child["loss"], ref["loss"], rtol=rtol)
         np.testing.assert_allclose(child["grad_norm"], ref["grad_norm"], rtol=rtol)
+        assert child["gn_accepted"] == ref["gn_accepted"] == 2, (
+            child["gn_accepted"], ref["gn_accepted"])
+        np.testing.assert_allclose(child["gn_loss"], ref["gn_loss"],
+                                   rtol=gn_rtol)
 
 
 if __name__ == "__main__":

@@ -103,9 +103,16 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
     many rows/columns, so only one block of intermediates is live at a time
     (a whole-Jacobian vmap OOMed the 16G chip on poisson3d quality —
     measured, 17.4G requested).  None = whole-Jacobian vmap (fastest) when
-    min(M, P) <= 2048, else blocks of 256."""
+    min(M, P) <= 2048, else blocks of 256.
 
-    def r_of(theta):
+    Every jitted kernel takes ``data`` as an explicit ARGUMENT rather than
+    closing over it: a closed-over jax.Array constant is forbidden inside
+    jit when it spans non-addressable devices, i.e. whenever the element
+    mesh crosses a process boundary (the 2-process DCN-analog leg in
+    parallel/multihost_check.py).  ``data`` is still taken at build time
+    only to shape the chunked-Jacobian basis."""
+
+    def r_of(theta, data):
         return resvec(unravel(theta), data)
 
     # Forward-mode when the parameter count is the smaller dimension,
@@ -117,7 +124,9 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         jac_chunk = n_pass if n_pass <= 2048 else 256
 
     if jac_chunk >= n_pass:
-        jac = jax.jacfwd(r_of) if fwd else jax.jacrev(r_of)
+        def jac(theta, data):
+            f = jax.jacfwd if fwd else jax.jacrev
+            return f(lambda th: r_of(th, data))(theta)
     else:
         # pad the pass count to a multiple of the chunk so lax.map sees a
         # rectangular [n_blocks, chunk, n_pass] basis; padded rows are zero
@@ -129,27 +138,28 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         ).reshape(-1, jac_chunk, n_pass)
 
         if fwd:
-            def jac(theta):
+            def jac(theta, data):
+                f = lambda th: r_of(th, data)  # noqa: E731
                 def block(seeds):  # [C, P] tangents -> [C, M] rows of J^T
                     return jax.vmap(
-                        lambda v: jax.jvp(r_of, (theta,), (v,))[1]
+                        lambda v: jax.jvp(f, (theta,), (v,))[1]
                     )(seeds)
                 cols = jax.lax.map(block, basis).reshape(-1, n_res)[:n_pass]
                 return cols.T  # [M, P]
         else:
-            def jac(theta):
-                _, vjp = jax.vjp(r_of, theta)
+            def jac(theta, data):
+                _, vjp = jax.vjp(lambda th: r_of(th, data), theta)
                 def block(seeds):  # [C, M] cotangents -> [C, P] rows of J
                     return jax.vmap(lambda v: vjp(v)[0])(seeds)
                 return jax.lax.map(block, basis).reshape(-1, n_params)[:n_pass]
 
     @jax.jit
-    def r_and_J(theta):
-        return r_of(theta), jac(theta)
+    def r_and_J(theta, data):
+        return r_of(theta, data), jac(theta, data)
 
     @jax.jit
-    def loss_of(theta):
-        r = r_of(theta)
+    def loss_of(theta, data):
+        r = r_of(theta, data)
         return jnp.sum(r * r)
 
     dual = n_res < n_params  # underdetermined: min-norm GN step via JJ^T
@@ -236,7 +246,7 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
     max_cg = cg_maxiter if cg_maxiter is not None else min(n_params, 2000)
 
     @jax.jit
-    def lm_step_cg(theta, lam):
+    def lm_step_cg(theta, lam, data):
         """MATRIX-FREE damped step: CG on (J^T J + lam I) delta = -J^T r with
         J applied only through jvp/vjp products — the [M, P] Jacobian is
         never materialized.  This is the kernel that scales: peak memory is
@@ -269,8 +279,9 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         the standard cure when CG's iteration count is dominated by
         badly-scaled parameter blocks (biases vs weights).
         """
-        r, jvp_lin = jax.linearize(r_of, theta)
-        _, vjp = jax.vjp(r_of, theta)
+        f = lambda th: r_of(th, data)  # noqa: E731
+        r, jvp_lin = jax.linearize(f, theta)
+        _, vjp = jax.vjp(f, theta)
         g = vjp(r)[0]  # J^T r
 
         def matvec(v):
@@ -319,7 +330,7 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         return delta, pred_decrease, grad_inf, k
 
     @jax.jit
-    def lm_step_lsqr(theta, lam):
+    def lm_step_lsqr(theta, lam, data):
         """MATRIX-FREE damped step via LSQR (Paige & Saunders 1982, the
         damped variant): Golub-Kahan bidiagonalization of J itself applied
         through jvp/vjp products, solving min ||J d + r||^2 + lam ||d||^2
@@ -333,8 +344,9 @@ def _build_kernels(resvec, unravel, data, n_params: int, n_res: int,
         running estimate of ||A_aug^T r_aug|| (= phibar * alpha * |c|)
         against eta * ||J^T r||, eta = min(cg_tol, ||J^T r||).
         """
-        r, jvp_lin = jax.linearize(r_of, theta)
-        _, vjp = jax.vjp(r_of, theta)
+        f = lambda th: r_of(th, data)  # noqa: E731
+        r, jvp_lin = jax.linearize(f, theta)
+        _, vjp = jax.vjp(f, theta)
         g = vjp(r)[0]  # J^T r (for grad_inf and the forcing scale)
         damp = jnp.sqrt(lam)
 
@@ -485,7 +497,7 @@ def gauss_newton(
         )
     lm_step = lm_steps[solve]
 
-    aux_of = jax.jit(lambda th: problem.loss_fn(unravel(th), data)[1])
+    aux_of = jax.jit(lambda th, d: problem.loss_fn(unravel(th), d)[1])
 
     lam, nu = float(damping_init), 2.0
     records = []
@@ -496,9 +508,9 @@ def gauss_newton(
     matrix_free = solve in ("cg", "lsqr")
     if matrix_free:
         r = J = None
-        loss = float(loss_of(theta))
+        loss = float(loss_of(theta, data))
     else:
-        r, J = r_and_J(theta)
+        r, J = r_and_J(theta, data)
         loss = float(jnp.sum(r * r))
     cg_iters = None
     it = 0
@@ -506,7 +518,7 @@ def gauss_newton(
         it += 1
         lam_arr = jnp.asarray(lam, dtype=theta.dtype)
         if matrix_free:
-            delta, pred_dec, grad_inf, cg_k = lm_step(theta, lam_arr)
+            delta, pred_dec, grad_inf, cg_k = lm_step(theta, lam_arr, data)
             cg_iters = int(cg_k)
         else:
             delta, pred_dec, grad_inf = lm_step(r, J, lam_arr)
@@ -520,7 +532,7 @@ def gauss_newton(
             stopped = "gtol"
             break
         theta_try = theta + delta
-        loss_try = float(loss_of(theta_try))
+        loss_try = float(loss_of(theta_try, data))
         pred = float(pred_dec)
         rho = (loss - loss_try) / pred if pred > 0 else -1.0
         if rho > 0 and np.isfinite(loss_try):  # accept
@@ -529,7 +541,7 @@ def gauss_newton(
             lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
             nu = 2.0
             accepted += 1
-            aux_host = {k: float(v) for k, v in aux_of(theta).items()}
+            aux_host = {k: float(v) for k, v in aux_of(theta, data).items()}
             rec = {"iteration": accepted, "damping": lam, **aux_host}
             if cg_iters is not None:
                 rec["cg_iters"] = float(cg_iters)
@@ -543,7 +555,7 @@ def gauss_newton(
                 stopped = "ftol"
                 break
             if not matrix_free:
-                r, J = r_and_J(theta)
+                r, J = r_and_J(theta, data)
         else:  # reject: inflate damping, reuse (r, J)
             lam, nu = lam * nu, 2.0 * nu
             if lam > damping_max:
@@ -551,7 +563,7 @@ def gauss_newton(
                 break
 
     params = unravel(theta)
-    aux_host = {k: float(v) for k, v in aux_of(theta).items()}
+    aux_host = {k: float(v) for k, v in aux_of(theta, data).items()}
     keys = sorted({k for rec in records for k in rec})
     history = {k: np.asarray([rec.get(k, np.nan) for rec in records]) for k in keys}
     return GNResult(
