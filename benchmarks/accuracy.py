@@ -200,7 +200,56 @@ def parity_records(q: int):
     records.append(reduced_2d_record())
     records.append(reduced_field_sparse_record())
     records.append(burgers_viscosity_record())
+    records.append(reduced_helmholtz_record())
     return records
+
+
+def reduced_helmholtz_record():
+    """Network-free WAVENUMBER identification for the oscillatory family
+    (inverse.reduced_identify_helmholtz: scan + Brent over k^2 with the
+    exact indefinite spectral solver in the loop) — clean and 1%-noise
+    legs plus the GN/CRLB interval, the same route the `identify
+    helmholtz2d` CLI runs.  Regenerates the `helmholtz2d_reduced_f64cpu`
+    row that round 4 merged by hand (ADVICE round-4 item)."""
+    from hpvpinns_tpu import uncertainty as uq
+    from hpvpinns_tpu.inverse import reduced_identify_helmholtz
+
+    cfg = hv.Helmholtz2DConfig(dtype="float64", inverse=True)
+    prob = hv.build(cfg)
+    k_sq_t = prob.extras["k_sq_true"]
+    t0 = time.perf_counter()
+    k_hat, info = reduced_identify_helmholtz(prob)
+    wall_clean = time.perf_counter() - t0
+
+    cfg_n = replace(cfg, sensor_noise_std=1e-2)
+    prob_n = hv.build(cfg_n)
+    t0 = time.perf_counter()
+    k_hat_n, info_n = reduced_identify_helmholtz(prob_n)
+    wall_noise = time.perf_counter() - t0
+    ci = uq.reduced_helmholtz_ci(prob_n, k_hat_n, noise_std=1e-2)
+
+    return {
+        "config": "helmholtz2d_reduced_f64cpu",
+        "dtype": "float64",
+        "k_sq_true": float(k_sq_t),
+        "clean": {
+            "k_sq_hat": k_hat,
+            "rel_err": abs(k_hat - k_sq_t) / k_sq_t,
+            "n_solves": info["n_solves"],
+            "n_sensors": info["n_sensors"],
+            "wall_s": round(wall_clean, 2),
+            "p": info["p"],
+            "method": info["method"],
+        },
+        "noise_1pct": {
+            "k_sq_hat": k_hat_n,
+            "rel_err": abs(k_hat_n - k_sq_t) / k_sq_t,
+            "n_solves": info_n["n_solves"],
+            "wall_s": round(wall_noise, 2),
+        },
+        "noise_1pct_ci95": list(ci["ci95"][0]),
+        "noise_1pct_crlb_std": ci["std"][0],
+    }
 
 
 def reduced_field_sparse_record():

@@ -72,6 +72,28 @@ def _burgers_cfg(n_et: int) -> "hv.BurgersConfig":
     )
 
 
+def _burgers_hb_cfg(n_et: int) -> "hv.BurgersConfig":
+    """The RECOMMENDED burgers config — the hard-BC quality preset (8.6e-3
+    single-solve) — marchable since round 5: each slab's lift interpolates
+    the PREDICTED interface state (problems/burgers.py::make_interface_lift
+    via timemarch._hard_bc_slab_kwargs), so the march arms compare against
+    the measured-best ansatz instead of the weak soft-BC family."""
+    base = hv.config.burgers_quality()
+    return dataclasses.replace(
+        base, n_elements_t=n_et,
+        train=dataclasses.replace(base.train, gn_iterations=40, gn_solve="qr"),
+    )
+
+
+def _tg_hb_cfg(n_et: int) -> "hv.TaylorGreenConfig":
+    """Hard-BC NS system march: the quality point with the space-time Coons
+    lift; slabs interpolate the predicted (u, v) interface face
+    (problems/taylorgreen.py::coons_lift_spacetime_jnp g_ic_fn hook)."""
+    base = hv.config.taylorgreen_quality()
+    return dataclasses.replace(base, hard_bc=True, n_elements_t=n_et,
+                               p_zero_mean_weight=10.0)
+
+
 def run_single(name, cfg):
     prob = hv.build(cfg)
     t0 = time.perf_counter()
@@ -141,6 +163,22 @@ ARMS = {
         run_single("taylorgreen T=1", _tg_cfg(2)),
         run_march("taylorgreen T=1", _tg_cfg(2), 2, ic="net"),
         run_march("taylorgreen T=1", _tg_cfg(2), 2, ic="exact"),
+    ],
+    # HARD-BC marching (round 5): the round-4 burgers march arms were
+    # soft-BC only and landed 15-40x above the hard-BC single solve; the
+    # interface-state lift lets the measured-best ansatz march.  Equal
+    # totals vs the hard-BC single arm (the recommended config).
+    "burg_hb": lambda: [
+        run_single("burgers T=1 hard-BC", _burgers_hb_cfg(2)),
+        run_march("burgers T=1 hard-BC", _burgers_hb_cfg(2), 2, ic="net"),
+        run_march("burgers T=1 hard-BC", _burgers_hb_cfg(2), 2, ic="exact"),
+    ],
+    # hard-BC NS system march: does the round-4 "marching WINS on the NS
+    # system" verdict survive the stronger (lifted) single arm?
+    "tg_hb": lambda: [
+        run_single("taylorgreen T=1 hard-BC", _tg_hb_cfg(2)),
+        run_march("taylorgreen T=1 hard-BC", _tg_hb_cfg(2), 2, ic="net"),
+        run_march("taylorgreen T=1 hard-BC", _tg_hb_cfg(2), 2, ic="exact"),
     ],
 }
 

@@ -462,6 +462,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "floats, normalized to mean 1 — total budget unchanged); "
                     "front-load the first slab, which owns the IC transient "
                     "(measured: benchmarks/timemarch_study.py)")
+    mr.add_argument("--hard-bc", action="store_const", const=True, default=None,
+                    dest="hard_bc",
+                    help="lifted ansatz per slab: walls exact by construction "
+                    "and each slab's lift interpolates the PREDICTED "
+                    "interface state (burgers/taylorgreen; "
+                    "training/timemarch.py::_hard_bc_slab_kwargs)")
     mr.add_argument("--preset", choices=["record", "quality", "precision"],
                     default="record")
     mr.add_argument("--t-final", type=float, dest="t_final",

@@ -72,14 +72,67 @@ def default_lift(X):
     return -jnp.sin(jnp.pi * X[:, 0:1])
 
 
+def u_exact_jnp(x, t, nu, n_hermite: int = 96):
+    """jnp-traceable twin of :func:`u_exact` (same Cole-Hopf / Gauss-Hermite
+    form, same max-offset stabilization) for use INSIDE an ansatz — e.g. the
+    exact-restart hard-BC slab lift in time marching, which the derivative
+    engines differentiate through via nested JVPs.  `t` must be > 0 (a slab
+    start time); the t = 0 limit is `default_lift`."""
+    z, w = np.polynomial.hermite.hermgauss(n_hermite)
+    z = jnp.asarray(z, dtype=x.dtype)
+    w = jnp.asarray(w, dtype=x.dtype)
+    eta = x - 2.0 * jnp.sqrt(nu * t) * z[None, :]
+    log_f = -jnp.cos(jnp.pi * eta) / (2.0 * jnp.pi * nu)
+    log_f = log_f - jax.lax.stop_gradient(log_f.max(axis=1, keepdims=True))
+    f = jnp.exp(log_f)
+    num = jnp.sum(w[None, :] * jnp.sin(jnp.pi * eta) * f, axis=1, keepdims=True)
+    den = jnp.sum(w[None, :] * f, axis=1, keepdims=True)
+    return -num / den
+
+
+def make_interface_lift(u0_fn, domain_x):
+    """Hard-BC lift for a time slab [t0, t1] from its start-face state.
+
+    ``u0_fn(x) -> [n, 1]`` (jnp-traceable) is the slab's initial condition —
+    a previous slab's trained ansatz evaluated at the interface time in a
+    time march, or :func:`u_exact_jnp` at t0 for the exact-restart control.
+    The lift is constant in t,
+
+        g(x, t) = u0(x) - [(1-s) u0(a) + s u0(b)],   s = (x-a)/(b-a),
+
+    i.e. u0 minus its linear wall interpolant: EXACTLY zero on both walls
+    (the benchmark's homogeneous Dirichlet data) for all t, and equal to u0
+    on the start face up to u0's own wall residue — which is identically
+    zero when the previous slab was itself hard-BC, so hard-BC slabs CHAIN
+    with an exact handoff.  Pair with make_default_envelope(scfg), whose
+    time factor vanishes at the slab's own t_start.  No reference analog
+    (single-domain training only, AdvDiff.py:35-53)."""
+    a, b = domain_x
+
+    def lift(X):
+        x = X[:, 0:1]
+        u0 = u0_fn(x)
+        edge = jnp.full((1, 1), a, dtype=X.dtype)
+        ua = u0_fn(edge)
+        ub = u0_fn(jnp.full((1, 1), b, dtype=X.dtype))
+        s = (x - a) / (b - a)
+        return u0 - ((1.0 - s) * ua + s * ub)
+
+    return lift
+
+
 def make_default_envelope(cfg: BurgersConfig, rate: float = 4.0):
-    """(x-a)(b-x)/((b-a)/2)^2 * (1 - exp(-rate t/T)) — the saturating time
-    factor measured best for space-time hard-BC ansatzes (MEASUREMENTS.md)."""
+    """(x-a)(b-x)/((b-a)/2)^2 * (1 - exp(-rate (t-t0)/(T-t0))) — the
+    saturating time factor measured best for space-time hard-BC ansatzes
+    (MEASUREMENTS.md); anchored at cfg.t_start so a slab's envelope
+    vanishes on ITS OWN initial face (t_start = 0 reproduces the original
+    single-domain factor exactly)."""
     a, b = cfg.domain_x
     scale = ((b - a) / 2.0) ** 2
+    t0, span = cfg.t_start, cfg.t_final - cfg.t_start
 
     def envelope(X):
-        tfac = 1.0 - jnp.exp(-rate * X[:, 1:2] / cfg.t_final)
+        tfac = 1.0 - jnp.exp(-rate * (X[:, 1:2] - t0) / span)
         return (X[:, 0:1] - a) * (b - X[:, 0:1]) / scale * tfac
 
     return envelope
@@ -122,13 +175,16 @@ def build(
 ) -> Problem:
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
-    if (cfg.hard_bc or lift_fn is not None) and (
-        ic_fn is not None or cfg.t_start != 0.0
+    if (
+        (cfg.hard_bc or envelope_fn is not None)
+        and lift_fn is None
+        and (ic_fn is not None or cfg.t_start != 0.0)
     ):
         raise ValueError(
-            "hard_bc's lifted ansatz interpolates the analytic -sin(pi x) IC "
-            "at t = 0; time-slab runs (t_start > 0 or a handed-off ic_fn) "
-            "need soft BC"
+            "hard_bc's DEFAULT lift interpolates the analytic -sin(pi x) IC "
+            "at t = 0; a time-slab run (t_start > 0 or a handed-off ic_fn) "
+            "needs an explicit lift_fn built from the slab's own start face "
+            "(make_interface_lift — training/timemarch.py constructs it)"
         )
     if cfg.grid_x is not None or cfg.grid_t is not None:
         from hpvpinns_tpu.geometry.mesh import Interval1D

@@ -75,24 +75,32 @@ def exact_uv_jnp(re: float):
     return u, v
 
 
-def coons_lift_spacetime_jnp(g_fn, domain_x, domain_y, t_final):
+def coons_lift_spacetime_jnp(g_fn, domain_x, domain_y, t_final,
+                             t_start: float = 0.0, g_ic_fn=None):
     """Space-time transfinite interpolant for the 5 DATA faces of the box
-    [a,b] x [c,d] x [0,T]: the four side walls (all t) and the t = 0 face.
+    [a,b] x [c,d] x [t0,T]: the four side walls (all t) and the t = t0 face.
     g_fn(x, y, t) -> scalar is used ONLY on those faces and matched there
     exactly:
 
         L(x,y,t) = C_xy[g(.,.,t)](x,y)
-                 + (1 - t/T) * (g(x,y,0) - C_xy[g(.,.,0)](x,y))
+                 + (1 - tau) * (g0(x,y) - C_xy[g0](x,y)),
+        tau = (t - t0)/(T - t0)
 
     where C_xy is the 2D Coons interpolant at frozen t (the traceable twin
-    of the per-step lifts in galerkin.solve_ns_unsteady).  The correction
-    term vanishes on the side walls (both of its factors match g there),
-    so wall exactness survives; at t = 0 it restores the full initial
-    face.  The t = T face carries no data — an IVP's outflow in time."""
+    of the per-step lifts in galerkin.solve_ns_unsteady) and g0 is the
+    initial face: ``g_ic_fn(x, y)`` when given — a previous slab's trained
+    ansatz at the interface time in a hard-BC time march
+    (training/timemarch.py) — else g_fn at t0.  The correction term
+    vanishes on the side walls for ANY g0 (a transfinite interpolant
+    matches its generator on the boundary), so wall exactness survives;
+    at t = t0 it restores the full initial face.  The t = T face carries
+    no data — an IVP's outflow in time.  t_start = 0, g_ic_fn = None
+    reproduces the original single-domain lift exactly."""
     a, b = domain_x
     c, d = domain_y
 
-    def coons_at(x, y, t):
+    def _coons(h_fn, x, y):
+        # C_xy[h]: exact on all four walls for any h(x, y).
         s = (x - a) / (b - a)
         r = (y - c) / (d - c)
         fa = jnp.full_like(x, a)
@@ -100,20 +108,27 @@ def coons_lift_spacetime_jnp(g_fn, domain_x, domain_y, t_final):
         fc = jnp.full_like(y, c)
         fd = jnp.full_like(y, d)
         return (
-            (1 - s) * g_fn(fa, y, t)
-            + s * g_fn(fb, y, t)
-            + (1 - r) * g_fn(x, fc, t)
-            + r * g_fn(x, fd, t)
-            - (1 - s) * (1 - r) * g_fn(fa, fc, t)
-            - s * (1 - r) * g_fn(fb, fc, t)
-            - (1 - s) * r * g_fn(fa, fd, t)
-            - s * r * g_fn(fb, fd, t)
+            (1 - s) * h_fn(fa, y)
+            + s * h_fn(fb, y)
+            + (1 - r) * h_fn(x, fc)
+            + r * h_fn(x, fd)
+            - (1 - s) * (1 - r) * h_fn(fa, fc)
+            - s * (1 - r) * h_fn(fb, fc)
+            - (1 - s) * r * h_fn(fa, fd)
+            - s * r * h_fn(fb, fd)
         )
 
+    span = t_final - t_start
+
     def lift(x, y, t):
-        t0 = jnp.zeros_like(t)
-        return coons_at(x, y, t) + (1.0 - t / t_final) * (
-            g_fn(x, y, t0) - coons_at(x, y, t0)
+        if g_ic_fn is not None:
+            g0 = g_ic_fn
+        else:
+            def g0(xx, yy):
+                return g_fn(xx, yy, jnp.full_like(xx, t_start))
+        tau = (t - t_start) / span
+        return _coons(lambda xx, yy: g_fn(xx, yy, t), x, y) + (1.0 - tau) * (
+            g0(x, y) - _coons(g0, x, y)
         )
 
     return lift
@@ -170,15 +185,26 @@ def build(
     cfg: TaylorGreenConfig,
     rng: np.random.Generator | None = None,
     ic_fn=None,
+    ic_lift_fns=None,
 ) -> Problem:
+    """``ic_lift_fns`` (hard-BC time marching): a pair of jnp-traceable
+    (x, y) -> [n, 1] maps for the u and v INITIAL-face states that the
+    Coons space-time lift interpolates instead of the analytic vortex at
+    t_start — a previous slab's trained ansatz at the interface time
+    (training/timemarch.py builds them).  The side walls stay analytic
+    (they carry exact data at every slab), so hard-BC slabs chain with an
+    exact velocity handoff.  Requires cfg.hard_bc."""
     dtype = jnp.dtype(cfg.dtype)
     rng = rng or np.random.default_rng(cfg.train.seed)
-    if cfg.hard_bc and (ic_fn is not None or cfg.t_start != 0.0):
+    if cfg.hard_bc and ic_fn is not None and ic_lift_fns is None:
         raise ValueError(
             "hard_bc's space-time lift interpolates the analytic vortex on "
-            "the t = 0 face; time-slab runs (t_start > 0 or a handed-off "
-            "ic_fn) need soft BC"
+            "the t = t_start face; a handed-off ic_fn needs the matching "
+            "traceable ic_lift_fns pair so the lift carries the SAME "
+            "predicted state (training/timemarch.py constructs both)"
         )
+    if ic_lift_fns is not None and not cfg.hard_bc:
+        raise ValueError("ic_lift_fns is a hard-BC lift hook; set hard_bc=True")
     if cfg.inverse and ic_fn is not None:
         raise ValueError(
             "ic_fn marches the FORWARD problem (an inverse run's sensors "
@@ -314,12 +340,19 @@ def build(
         from hpvpinns_tpu.problems.base import make_composite_apply
 
         ue_fn, ve_fn = exact_uv_jnp(cfg.re)
-        lift_u = coons_lift_spacetime_jnp(ue_fn, cfg.domain_x, cfg.domain_y, cfg.t_final)
-        lift_v = coons_lift_spacetime_jnp(ve_fn, cfg.domain_x, cfg.domain_y, cfg.t_final)
+        u_ic, v_ic = ic_lift_fns if ic_lift_fns is not None else (None, None)
+        lift_u = coons_lift_spacetime_jnp(
+            ue_fn, cfg.domain_x, cfg.domain_y, cfg.t_final,
+            t_start=cfg.t_start, g_ic_fn=u_ic,
+        )
+        lift_v = coons_lift_spacetime_jnp(
+            ve_fn, cfg.domain_x, cfg.domain_y, cfg.t_final,
+            t_start=cfg.t_start, g_ic_fn=v_ic,
+        )
         (xa_, xb_), (ya_, yb_) = cfg.domain_x, cfg.domain_y
         sx = ((xb_ - xa_) / 2.0) ** 2
         sy = ((yb_ - ya_) / 2.0) ** 2
-        T_ = cfg.t_final
+        T0_, T_ = cfg.t_start, cfg.t_final
 
         def _lift(X):
             x, y, t = X[:, 0:1], X[:, 1:2], X[:, 2:3]
@@ -329,11 +362,13 @@ def build(
 
         def _envelope(X):
             # velocity envelope vanishing on the 5 DATA faces (side walls
-            # + t = 0), normalized to 1 at the domain center at t = T; the
-            # pressure output is unenveloped (soft wall-p data = gauge)
+            # + t = t_start), normalized to 1 at the domain center at
+            # t = T; the pressure output is unenveloped (soft wall-p data
+            # = gauge).  (t - t0)/(T - t0) anchors a time SLAB's envelope
+            # at its own initial face (t_start = 0: the original factor).
             x, y, t = X[:, 0:1], X[:, 1:2], X[:, 2:3]
             bub = ((x - xa_) * (xb_ - x) / sx) * ((y - ya_) * (yb_ - y) / sy)
-            bub = bub * (t / T_)
+            bub = bub * ((t - T0_) / (T_ - T0_))
             return jnp.concatenate([bub, bub, jnp.ones_like(bub)], axis=-1)
 
         _composite = make_composite_apply(spec, _lift, _envelope)

@@ -13,7 +13,12 @@ AdvDiff.py:35-53); this composes the framework's existing machinery:
 per-slab configs are ordinary `replace(cfg, t_start=a, t_final=b)`
 problems built with `ic_fn=` (problems/burgers.py, problems/advdiff.py,
 problems/taylorgreen.py — the unsteady NS system marches too, with the
-full (u, v, p) state handed across each interface),
+full (u, v, p) state handed across each interface).  Hard-BC configs
+march too (burgers + taylorgreen): each slab's lift interpolates the
+PREDICTED interface state instead of the analytic t = 0 face
+(_hard_bc_slab_kwargs), so the measured-best lifted ansatz composes with
+marching — exact walls on every slab, exact handoff between hard-BC
+slabs.
 trained by the ordinary trainer (optionally warm-started from the previous
 slab's parameters — the solution evolves smoothly, so the previous slab is
 a better init than Xavier), and evaluated against the global exact
@@ -90,12 +95,80 @@ def _slab_builder(cfg):
                 "inverse run live on the GLOBAL horizon; identify the "
                 "coefficient first, then march the forward solve)"
             )
+        if isinstance(cfg, AdvDiffConfig) and getattr(cfg, "hard_bc", False):
+            raise ValueError(
+                "hard-BC slab marching is implemented for burgers and "
+                "taylorgreen (the families with measured march arms); "
+                "advdiff marches soft-BC"
+            )
         return advdiff.build if isinstance(cfg, AdvDiffConfig) else taylorgreen.build
     raise TypeError(
         f"time_march supports the slab-capable unsteady families "
         f"(BurgersConfig, AdvDiffConfig, TaylorGreenConfig); "
         f"got {type(cfg).__name__}"
     )
+
+
+def _hard_bc_slab_kwargs(cfg, scfg, k, ic, prev_prob, prev_params):
+    """Per-slab build kwargs that keep a hard-BC ansatz EXACT on the slab's
+    own data faces when marching (VERDICT round-4 ask: the round-4 march
+    arms were soft-BC only because the default lifts interpolate the
+    analytic t = 0 face; these lifts interpolate the PREDICTED interface
+    state instead, so the measured-best hard-BC ansatz composes with
+    marching).
+
+    burgers: a constant-in-t lift from the slab's start-face state
+    (problems/burgers.py::make_interface_lift) — the previous slab's
+    trained ansatz at the interface time for ic='net', the traceable
+    Cole-Hopf solution for ic='exact'/slab 0 of a shifted horizon.
+    taylorgreen: the generalized space-time Coons lift with the predicted
+    (u, v) initial face (problems/taylorgreen.py::coons_lift_spacetime_jnp
+    g_ic_fn hook); the side walls stay analytic (they carry exact data on
+    every slab), so the velocity handoff is exact by construction.
+
+    NOTE each 'net' lift closes over the previous slab's FULL ansatz, so
+    slab k's lift evaluates a chain of k networks per point — linear
+    per-slab cost growth, fine at the measured 3-6 slab counts."""
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.config import BurgersConfig, TaylorGreenConfig
+
+    if not getattr(cfg, "hard_bc", False):
+        return {}
+    if isinstance(cfg, BurgersConfig):
+        from hpvpinns_tpu.problems.burgers import (
+            make_interface_lift,
+            u_exact_jnp,
+        )
+
+        if k == 0 and scfg.t_start == 0.0:
+            return {}  # the default lift IS the analytic IC
+        t_if = scfg.t_start
+        if k > 0 and ic == "net":
+            def u0_fn(x, _prob=prev_prob, _params=prev_params, _t=t_if):
+                X = jnp.concatenate([x, jnp.full_like(x, _t)], axis=-1)
+                return _prob.apply(_params, X)
+        else:
+            def u0_fn(x, _nu=cfg.nu, _t=t_if):
+                return u_exact_jnp(x, jnp.asarray(_t, dtype=x.dtype), _nu)
+        return {"lift_fn": make_interface_lift(u0_fn, cfg.domain_x)}
+    if isinstance(cfg, TaylorGreenConfig):
+        if k == 0 or ic == "exact":
+            return {}  # the generalized Coons lift is analytic at t_start
+        t_if = scfg.t_start
+
+        def _component(i):
+            def g_ic(x, y, _prob=prev_prob, _params=prev_params,
+                     _t=t_if, _i=i):
+                X = jnp.concatenate(
+                    [x, y, jnp.full_like(x, _t)], axis=-1
+                )
+                return _prob.apply(_params, X)[:, _i : _i + 1]
+
+            return g_ic
+
+        return {"ic_lift_fns": (_component(0), _component(1))}
+    return {}
 
 
 def time_march(
@@ -184,7 +257,10 @@ def time_march(
                 X = np.hstack([x, np.full((len(x), 1), _t)])
                 return np.asarray(predict(_prob, _params, X)).reshape(len(x), -1)
 
-        prob = build(scfg, ic_fn=ic_fn)
+        prob = build(
+            scfg, ic_fn=ic_fn,
+            **_hard_bc_slab_kwargs(cfg, scfg, k, ic, prev_prob, prev_params),
+        )
         init = prev_params if (warm_start and prev_params is not None) else None
         tc_k = train_cfg
         if weights is not None:
