@@ -103,32 +103,52 @@ def measure_steps_per_sec(steps: int = 200, warmup: int = 20, trials: int = 5) -
     return result
 
 
-# Nominal peak of the benched chip (TPU v5 lite: ~197 TFLOP/s bf16 MXU);
-# override with HPVPINN_PEAK_FLOPS for other hardware.
+# Nominal peak of the benched chip (TPU v5 lite: ~197 TFLOP/s bf16 MXU,
+# ~819 GB/s HBM); override with HPVPINN_PEAK_FLOPS / HPVPINN_HBM_BYTES_PER_S
+# for other hardware.
 _PEAK_FLOPS = float(os.environ.get("HPVPINN_PEAK_FLOPS", 197e12))
+_HBM_BYTES_PER_S = float(os.environ.get("HPVPINN_HBM_BYTES_PER_S", 819e9))
 
 
 def _mfu_fields(chunk, chunk_len: int, steps_per_sec: float, args) -> dict:
-    """FLOPs-accounted utilization: XLA's own cost analysis of the compiled
-    step graph (no hand counting), divided by the chip's nominal peak.
-    The MFU of this workload is intrinsically tiny — the measured floor
-    decomposition (benchmarks/MEASUREMENTS.md) shows the step is
-    launch/HBM-bound at these array sizes, not MXU-bound."""
+    """FLOPs- and bytes-accounted utilization: XLA's own cost analysis of
+    the compiled step graph (no hand counting), divided by the chip's
+    nominal peaks.  The MFU of this workload is intrinsically tiny — the
+    measured floor decomposition (benchmarks/MEASUREMENTS.md) shows the
+    step is launch/HBM-bound at these array sizes, not MXU-bound; the
+    roofline fields quantify WHICH bound: `roofline_bound` is the larger of
+    the two per-step lower bounds (flops/peak vs bytes/bandwidth), and
+    `roofline_attainment` is how much of that bound the measured step
+    achieves (1.0 = at the roofline; the remainder is launch/sync
+    overhead the roofline cannot see)."""
     try:
         compiled = chunk.lower(*args).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
         flops_per_step = float(cost["flops"]) / chunk_len
+        bytes_per_step = float(cost.get("bytes accessed", 0.0)) / chunk_len
     except Exception:
         return {}
     flops_per_sec = flops_per_step * steps_per_sec
-    return {
+    out = {
         "flops_per_step_xla": flops_per_step,
         "flops_per_sec": flops_per_sec,
         "mfu_vs_peak": flops_per_sec / _PEAK_FLOPS,
         "peak_flops_assumed": _PEAK_FLOPS,
     }
+    if bytes_per_step > 0:
+        t_mxu = flops_per_step / _PEAK_FLOPS
+        t_hbm = bytes_per_step / _HBM_BYTES_PER_S
+        bound = "hbm" if t_hbm >= t_mxu else "mxu"
+        out.update({
+            "bytes_per_step_xla": bytes_per_step,
+            "arithmetic_intensity": flops_per_step / bytes_per_step,
+            "roofline_bound": bound,
+            "roofline_step_s": max(t_hbm, t_mxu),
+            "roofline_attainment": max(t_hbm, t_mxu) * steps_per_sec,
+        })
+    return out
 
 
 def measure_ensemble_scaling(seed_counts=(1, 4, 8), steps: int = 100, trials: int = 3) -> list:
@@ -179,7 +199,8 @@ def measure_ensemble_scaling(seed_counts=(1, 4, 8), steps: int = 100, trials: in
 
 
 def measure_wide_point(width: int = 256, seeds: int = 4, depth: int = 3,
-                       steps: int = 50, trials: int = 3) -> dict:
+                       steps: int = 50, trials: int = 3,
+                       n_elem_axis: int = 8, n_quad: int = 16) -> dict:
     """The HIGH-UTILIZATION operating line: width x seed-ensemble COMPOSED.
 
     The reference-matched bench config is launch/HBM-bound at ~0.065% MFU
@@ -201,7 +222,8 @@ def measure_wide_point(width: int = 256, seeds: int = 4, depth: int = 3,
     )
     from hpvpinns_tpu.training.trainer import _is_compile_crash, make_optimizer
 
-    cfg = hv.poisson2d_scaled(n_elem_axis=8, n_quad=16, n_test=10)
+    cfg = hv.poisson2d_scaled(n_elem_axis=n_elem_axis, n_quad=n_quad,
+                              n_test=10)
     cfg = dataclasses.replace(cfg, layers=(2,) + (width,) * depth + (1,))
     prob = hv.build(cfg)
 

@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import hpvpinns_tpu as hv
 from hpvpinns_tpu.config import replace
 
@@ -31,7 +33,12 @@ def run(name, cfg, extra=(), build_fn=None):
         "dtype": cfg.dtype,
         "iterations": res.iterations_run,
         "wall_s": round(wall, 2),
+        # steps_per_sec is the trainer's WINDOWED rate (pure step time);
+        # wall_s includes compile + relay stalls + the GN phase, so
+        # iterations/wall_s can sit far below it under load — both are
+        # recorded so every row reconciles (round-4 ADVICE item).
         "steps_per_sec": round(res.steps_per_sec, 1),
+        "steps_per_sec_wall": round(res.iterations_run / max(wall, 1e-9), 1),
         "final_loss": res.final_aux.get("loss"),
         **hv.evaluate_problem(prob, res.params),
     }
@@ -186,7 +193,12 @@ def parity_records(q: int):
         "dtype": "float64",
         "iterations": res.iterations_run,
         "wall_s": round(wall, 2),
+        # steps_per_sec is the trainer's WINDOWED rate (pure step time);
+        # wall_s includes compile + relay stalls + the GN phase, so
+        # iterations/wall_s can sit far below it under load — both are
+        # recorded so every row reconciles (round-4 ADVICE item).
         "steps_per_sec": round(res.steps_per_sec, 1),
+        "steps_per_sec_wall": round(res.iterations_run / max(wall, 1e-9), 1),
         "final_loss": res.final_aux.get("loss"),
         **hv.evaluate_problem(prob, res.params),
         "eps_field_rel_l2_joint": float(np.linalg.norm(ej - et) / np.linalg.norm(et)),
