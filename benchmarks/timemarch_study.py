@@ -94,14 +94,23 @@ def _tg_hb_cfg(n_et: int) -> "hv.TaylorGreenConfig":
                                p_zero_mean_weight=10.0)
 
 
+def _emit(row):
+    """Print the row the moment it exists: a later arm crashing (or the
+    process being killed) must not lose completed measurements — the
+    round-5 burg_hb first run lost its single+net rows exactly this way."""
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def run_single(name, cfg):
     prob = hv.build(cfg)
     t0 = time.perf_counter()
     res = hv.train(prob, verbose=False)
     wall = time.perf_counter() - t0
     m = hv.evaluate_problem(prob, res.eval_params)
-    return {"arm": name, "mode": "single", "slabs": 1,
-            "wall_s": round(wall, 1), **{k: float(v) for k, v in m.items()}}
+    return _emit({"arm": name, "mode": "single", "slabs": 1,
+                  "wall_s": round(wall, 1),
+                  **{k: float(v) for k, v in m.items()}})
 
 
 def run_march(name, cfg, s, ic="net", weights=None):
@@ -118,7 +127,7 @@ def run_march(name, cfg, s, ic="net", weights=None):
            **{k: float(v) for k, v in res.metrics.items()}}
     if weights is not None:
         row["budget_weights"] = list(weights)
-    return row
+    return _emit(row)
 
 
 ARMS = {
@@ -186,8 +195,7 @@ ARMS = {
 def main():
     arms = os.environ.get("ARMS", "adv1,adv2,burg,advw,tg").split(",")
     for arm in arms:
-        for row in ARMS[arm.strip()]():
-            print(json.dumps(row), flush=True)
+        ARMS[arm.strip()]()  # rows stream from _emit as each run completes
 
 
 if __name__ == "__main__":

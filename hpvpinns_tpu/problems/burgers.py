@@ -59,10 +59,15 @@ def u_exact(x, t, nu, n_hermite: int = 128):
     # log of the transformed IC (constant factor cancels in the ratio):
     # phi0(eta) = exp((1 - cos(pi eta)) / (2 pi nu)) ∝ exp(-cos(pi eta)/(2 pi nu))
     log_f = -np.cos(np.pi * eta) / (2.0 * np.pi * nu)
-    log_f = log_f - log_f.max(axis=1, keepdims=True)  # stabilize the ratio
-    f = np.exp(log_f)
-    num = np.sum(w[None, :] * np.sin(np.pi * eta) * f, axis=1)
-    den = np.sum(w[None, :] * f, axis=1)
+    # Fold log(w) INTO the stabilized exponent: the offset max then belongs
+    # to the term that actually dominates the sums, so den's largest term is
+    # exactly 1 and the ratio cannot 0/0 even when the bare-log_f max sits
+    # at a far Hermite tail node whose weight underflows (measured: f32 NaN
+    # band |x| <= 0.02 at t = 0.5 for nu = 0.01/pi — the viscous shock).
+    e = np.log(w)[None, :] + log_f
+    f = np.exp(e - e.max(axis=1, keepdims=True))
+    num = np.sum(np.sin(np.pi * eta) * f, axis=1)
+    den = np.sum(f, axis=1)
     u = (-num / den).reshape(x.shape)
     return np.where(t == 0, u_initial(x), u)
 
@@ -79,14 +84,22 @@ def u_exact_jnp(x, t, nu, n_hermite: int = 96):
     engines differentiate through via nested JVPs.  `t` must be > 0 (a slab
     start time); the t = 0 limit is `default_lift`."""
     z, w = np.polynomial.hermite.hermgauss(n_hermite)
+    # log(w) in f64 HOST math before the cast: at n = 96 the tail weights
+    # underflow float32 (w ~ exp(-z_max^2) ~ 1e-70), but their logs (~-160)
+    # are perfectly representable.
+    lw = jnp.asarray(np.log(w), dtype=x.dtype)
     z = jnp.asarray(z, dtype=x.dtype)
-    w = jnp.asarray(w, dtype=x.dtype)
     eta = x - 2.0 * jnp.sqrt(nu * t) * z[None, :]
     log_f = -jnp.cos(jnp.pi * eta) / (2.0 * jnp.pi * nu)
-    log_f = log_f - jax.lax.stop_gradient(log_f.max(axis=1, keepdims=True))
-    f = jnp.exp(log_f)
-    num = jnp.sum(w[None, :] * jnp.sin(jnp.pi * eta) * f, axis=1, keepdims=True)
-    den = jnp.sum(w[None, :] * f, axis=1, keepdims=True)
+    # Stabilize with log(w) folded in (same reasoning as u_exact: den's max
+    # term is then exactly 1, so the ratio cannot 0/0 in float32 at the
+    # viscous shock where the bare-log_f max lands on an underflowing tail
+    # node — the measured NaN band |x| <= 0.02 at t = 0.5).
+    e = lw[None, :] + log_f
+    e = e - jax.lax.stop_gradient(e.max(axis=1, keepdims=True))
+    f = jnp.exp(e)
+    num = jnp.sum(jnp.sin(jnp.pi * eta) * f, axis=1, keepdims=True)
+    den = jnp.sum(f, axis=1, keepdims=True)
     return -num / den
 
 
