@@ -23,7 +23,12 @@ import hpvpinns_tpu as hv
 from hpvpinns_tpu.config import replace
 
 
+_ONLY = None  # --only substring filter; run() returns None for skipped rows
+
+
 def run(name, cfg, extra=(), build_fn=None):
+    if _ONLY and not any(s in name for s in _ONLY):
+        return None
     prob = (build_fn or hv.build)(cfg)
     t0 = time.perf_counter()
     res = hv.train(prob, verbose=False)
@@ -468,7 +473,14 @@ def hybrid_records(q, families=None):
         ("poisson2d", hv.poisson2d_precision, 25, "normal", {}),
         ("kovasznay", hv.kovasznay_precision, 50, "normal", {}),
         ("burgers", hv.burgers_precision, 40, "normal", {}),
-        ("taylorgreen", hv.taylorgreen_precision, 25, "normal", {}),
+        # taylorgreen ships the matrix-free CG kernel for the same reason
+        # poisson3d does: the dense f64 J build (11.7k x 5.4k through the
+        # space-time NS assembly) blew the 3 h polish timeout TWICE in
+        # round 5; cg at 400 inner iters measured ~80 s per accepted step
+        # (2-step probe, /tmp leftover params: loss -> 4.7e-9, rel-L2 flat
+        # at 2.0e-4 — the objective-limited signature).
+        ("taylorgreen", hv.taylorgreen_precision, 15, "cg",
+         {"cg_tol": 1e-4, "cg_maxiter": 400}),
         ("advdiff_fwd", hv.advdiff_forward_precision, 50, "normal", {}),
         ("poisson3d", hv.poisson3d_precision, 30, "cg",
          {"cg_tol": 1e-4, "cg_maxiter": 2000}),
@@ -533,6 +545,8 @@ def merge_into(out_path: str, records):
             existing = json.load(f)
     by_name = {r["config"]: r for r in existing}
     for r in records:
+        if r is None:  # row skipped by the --only filter
+            continue
         by_name[r["config"]] = r
     merged = list(by_name.values())
     with open(out_path, "w") as f:
@@ -564,8 +578,18 @@ def main():
         help="comma-separated family filter for --hybrid (e.g. "
         "'taylorgreen,poisson3d'); default = all seven",
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated substring filter on row names for the "
+        "default and --precision tiers (e.g. 'helmholtz2d_quality'): "
+        "non-matching rows are skipped, so a single re-measured row stays "
+        "regenerable without re-running the whole tier",
+    )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "ACCURACY.json"))
     args = ap.parse_args()
+    if args.only:
+        global _ONLY
+        _ONLY = tuple(s.strip() for s in args.only.split(",") if s.strip())
     q = 10 if args.quick else 1
 
     from hpvpinns_tpu.cli import _enable_compile_cache

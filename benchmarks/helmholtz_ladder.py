@@ -63,8 +63,16 @@ def _run(name, cfg, extra=()):
 
 
 def _quality(hard):
+    """The ROUND-4 quality budgets (Adam-10k + L-BFGS-10k, no GN) under
+    either BC treatment — pinned explicitly because the shipped quality
+    preset was re-tuned to hard-BC 5k+5k+GN-10 from this study's own
+    measurements (66.6 s / 1.23e-3 candidate C, /tmp probe merged into
+    MEASUREMENTS.md); this harness keeps reproducing the pre-retune arms."""
     cfg = hv.helmholtz2d_quality()
-    return dataclasses.replace(cfg, hard_bc=hard)
+    return dataclasses.replace(
+        cfg, hard_bc=hard,
+        train=dataclasses.replace(cfg.train, iterations=10000,
+                                  lbfgs_iterations=10000, gn_iterations=0))
 
 
 def _precision(k=9.0, elems=4):
@@ -91,11 +99,15 @@ def arm_khp():
 def arm_ident():
     from hpvpinns_tpu.problems.helmholtz import closed_form_k_sq
 
-    base = hv.helmholtz2d_quality()
+    # soft-BC + round-4 budgets pinned (the measured 1.6e-6 row ran this
+    # way; hard-BC identification is a documented negative on AdvDiff and
+    # the retuned quality preset is now hard-BC)
+    base = dataclasses.replace(hv.helmholtz2d_quality(), hard_bc=False)
     cfg = dataclasses.replace(
         base, inverse=True,
-        train=dataclasses.replace(base.train, gn_iterations=30,
-                                  gn_solve="qr"),
+        train=dataclasses.replace(base.train, iterations=10000,
+                                  lbfgs_iterations=10000,
+                                  gn_iterations=30, gn_solve="qr"),
     )
     prob = hv.build(cfg)
     t0 = time.perf_counter()
