@@ -46,6 +46,12 @@ def main():
                     choices=("normal", "qr", "cg", "lsqr"))
     ap.add_argument("--quick", action="store_true",
                     help="1/10 budgets (smoke)")
+    ap.add_argument("--warm-q", type=int, default=1,
+                    help="divide ONLY the Adam/L-BFGS warm budgets by this "
+                    "(the 1-core f64 wall is dominated by the 20k warm "
+                    "steps; the GN phase is what the control attributes — "
+                    "keep it full and shrink the warm phase, like the "
+                    "round-3 partial poisson2d control)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "ACCURACY.json"))
     args = ap.parse_args()
@@ -57,8 +63,8 @@ def main():
         dtype="float64",
         train=replace(
             base.train,
-            iterations=base.train.iterations // q,
-            lbfgs_iterations=base.train.lbfgs_iterations // q,
+            iterations=base.train.iterations // (q * args.warm_q),
+            lbfgs_iterations=base.train.lbfgs_iterations // (q * args.warm_q),
             gn_iterations=0,  # GN run explicitly below for phase timing
         ),
     )
@@ -84,6 +90,7 @@ def main():
         "config": "taylorgreen_precision_f64cpu",
         "dtype": "float64",
         "device": "cpu",
+        "warm_q": args.warm_q,
         "gn_solve": args.gn_solve,
         "gn_accepted": int(gn.accepted),
         "gn_stopped": gn.stopped,
