@@ -158,3 +158,28 @@ def test_reduced_identify_burgers_viscosity():
     p1 = hv.build(hv.Poisson1DConfig(dtype="float64"))
     with pytest.raises(ValueError, match="burgers"):
         reduced_identify_burgers(p1)
+
+
+def test_exact_solution_f32_shock_no_nan():
+    """Regression (round 5): the Gauss-Hermite ratio must fold log(w) into
+    the stabilized exponent — with only log_f offset, the max can land on a
+    tail node whose weight underflows float32, den sums to exactly 0, and
+    the viscous-shock band |x| <= 0.02 at t = 0.5 (nu = 0.01/pi) returns
+    0/0.  This NaN killed the hard-BC march exact-restart arm on chip."""
+    nu = 0.01 / np.pi
+    x32 = jnp.linspace(-1.0, 1.0, 2001, dtype=jnp.float32).reshape(-1, 1)
+    for t in (0.25, 0.5, 0.75, 1.0):
+        u = burgers.u_exact_jnp(x32, jnp.float32(t), nu)
+        assert not bool(jnp.isnan(u).any()), f"NaN at t={t}"
+        # f64 numpy oracle agreement through the shock
+        u64 = burgers.u_exact(np.asarray(x32, np.float64), t, nu)
+        np.testing.assert_allclose(np.asarray(u).ravel(), u64.ravel(),
+                                   atol=5e-5)
+    # the derivative engines differentiate THROUGH the lift: grad and
+    # second derivative must be finite at the shock too
+    f = lambda xx: burgers.u_exact_jnp(
+        xx.reshape(-1, 1), jnp.float32(0.5), nu).sum()
+    pts = jnp.asarray([0.0, 0.01, -0.01], dtype=jnp.float32)
+    g = jax.grad(f)(pts)
+    h = jax.jacfwd(jax.grad(f))(pts)
+    assert not bool(jnp.isnan(g).any()) and not bool(jnp.isnan(h).any())
