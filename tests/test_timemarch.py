@@ -305,6 +305,45 @@ def test_time_march_hard_bc_burgers():
     # converged Gauss-Hermite evaluations of the same Cole-Hopf ratio)
 
 
+def test_tg_predicted_face_lift_exactness():
+    """Non-slow twin of test_time_march_hard_bc_taylorgreen: the SAME
+    lift/handoff properties checked directly on built (untrained) slabs —
+    the exactness is a property of the generalized Coons lift, not of the
+    optimizer, so no training is needed to enforce it."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpvpinns_tpu.problems import taylorgreen
+    from hpvpinns_tpu.training.timemarch import _hard_bc_slab_kwargs
+
+    cfg = _tiny_tg(hard_bc=True)
+    s0 = dataclasses.replace(cfg, t_start=0.0, t_final=0.5, n_elements_t=1)
+    s1 = dataclasses.replace(cfg, t_start=0.5, t_final=1.0, n_elements_t=1)
+    p0 = taylorgreen.build(s0)
+    params0 = p0.init_params(jax.random.key(3))  # untrained: arbitrary net
+    kw = _hard_bc_slab_kwargs(cfg, s1, 1, "net", p0, params0)
+    assert set(kw) == {"ic_lift_fns"}
+    p1 = taylorgreen.build(s1, **kw)
+    params1 = p1.init_params(jax.random.key(9))  # different arbitrary net
+    # (u, v) handoff exact at the interface for ANY slab-1 parameters
+    rng = np.random.default_rng(7)
+    Xi = np.stack([rng.uniform(0, np.pi, 13), rng.uniform(0, np.pi, 13),
+                   np.full(13, 0.5)], -1)
+    w0 = np.asarray(p0.apply(params0, jnp.asarray(Xi)))
+    w1 = np.asarray(p1.apply(params1, jnp.asarray(Xi)))
+    np.testing.assert_allclose(w1[:, :2], w0[:, :2], atol=1e-13)
+    # side walls analytic-exact at a slab-1 time
+    y = np.linspace(0.0, np.pi, 9)
+    X = np.stack([np.zeros(9), y, np.full(9, 0.75)], -1)
+    ue, ve, _ = taylorgreen.exact_fields(X[:, 0], X[:, 1], X[:, 2], cfg.re)
+    w = np.asarray(p1.apply(params1, jnp.asarray(X)))
+    np.testing.assert_allclose(w[:, 0], ue, atol=1e-12)
+    np.testing.assert_allclose(w[:, 1], ve, atol=1e-12)
+
+
+@pytest.mark.slow  # ~2 min: 2 trained slabs, slab 1's jit graph chains
+# slab 0's full Coons ansatz; the non-slow lift/handoff coverage is
+# test_tg_predicted_face_lift_exactness (no training, same properties)
 def test_time_march_hard_bc_taylorgreen():
     """Hard-BC slab marching (NS system): side walls analytic-exact on
     every slab, predicted (u, v) initial face interpolated exactly by the
