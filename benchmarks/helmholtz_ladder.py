@@ -77,7 +77,13 @@ def _quality(hard):
 
 def _precision(k=9.0, elems=4):
     cfg = hv.helmholtz2d_precision()
-    return dataclasses.replace(cfg, k=k, n_elements_x=elems, n_elements_y=elems)
+    train = cfg.train
+    if elems > 4:
+        # whole-J vmap OOMs past the preset mesh (E=8: 1981 simultaneous
+        # passes -> 22.5 G HBM measured); chunk the dense QR build
+        train = dataclasses.replace(train, gn_jac_chunk=256)
+    return dataclasses.replace(cfg, k=k, n_elements_x=elems,
+                               n_elements_y=elems, train=train)
 
 
 def arm_lad9():

@@ -41,6 +41,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--gn-cg-maxiter", type=int, dest="gn_cg_maxiter",
                    help="matrix-free LM kernels: iteration cap "
                    "(default min(n_params, 2000))")
+    p.add_argument("--gn-jac-chunk", type=int, dest="gn_jac_chunk",
+                   help="dense LM kernels: vmapped passes per Jacobian "
+                   "block; set ~256 on large meshes where the whole-J "
+                   "vmap OOMs (config.TrainConfig.gn_jac_chunk)")
     p.add_argument("--polish-f64", type=int, dest="polish_f64", metavar="N",
                    help="after training, run N accepted float64 LM steps on "
                    "the HOST (subprocess, training/hybrid.py): recovers the "
@@ -596,7 +600,7 @@ _PRECISION_PRESETS = {
 
 _TRAIN_KEYS = (
     "iterations", "lbfgs_iterations", "gn_iterations", "gn_solve",
-    "gn_cg_tol", "gn_cg_maxiter",
+    "gn_cg_tol", "gn_cg_maxiter", "gn_jac_chunk",
     "learning_rate", "threshold", "seed", "checkpoint_dir", "checkpoint_every",
 )
 

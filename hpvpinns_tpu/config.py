@@ -40,6 +40,11 @@ class TrainConfig:
     gn_cg_tol: float = 1e-3  # matrix-free kernels: relative forcing tolerance
     gn_cg_maxiter: Optional[int] = None  # matrix-free iteration cap
     # (None = min(n_params, 2000) — the measured poisson3d-equalizing cap)
+    gn_jac_chunk: Optional[int] = None  # dense kernels: vmapped passes per
+    # Jacobian-build block.  None = gauss_newton's auto rule (whole-J vmap
+    # when min(M, P) <= 2048) — which OOMs on LARGE MESHES where each pass
+    # drags the full per-element assembly (measured: helmholtz E=8, 1981
+    # simultaneous passes -> 22.5 G HBM on a 16 G chip); set ~256 there.
     threshold: Optional[float] = None  # early stop when loss < threshold
     check_every: int = 10  # host-side loss poll cadence (reference: 10)
     log_every: int = 100  # console print cadence (reference: 100)

@@ -320,6 +320,7 @@ def train(
             solve=cfg.gn_solve,
             cg_tol=cfg.gn_cg_tol,
             cg_maxiter=cfg.gn_cg_maxiter,
+            jac_chunk=cfg.gn_jac_chunk,
             verbose=verbose,
             log_every=max(1, cfg.log_every // 10),
         )
