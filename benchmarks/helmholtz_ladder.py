@@ -97,9 +97,32 @@ def arm_kfix():
         _run(f"precision-fixed k{int(k)}", _precision(k=k))
 
 
+def _quality_k(k, elems):
+    """The retuned quality recipe (hard-BC 5k+5k + 10-step LM) with the LM
+    on the matrix-free LSQR kernel: the dense QR path's chunked-J build
+    SIGILLs this XLA build at E >= 8 (the known scan-of-steps compiler
+    crash, on a code path the trainer's fallback does not wrap), and the
+    whole-J vmap OOMs (22.5 G measured at E=8) — lsqr is the documented
+    f32-stable matrix-free twin and compiles everywhere."""
+    cfg = hv.helmholtz2d_quality()
+    return dataclasses.replace(
+        cfg, k=k, n_elements_x=elems, n_elements_y=elems,
+        train=dataclasses.replace(cfg.train, gn_solve="lsqr",
+                                  gn_cg_maxiter=800))
+
+
+def arm_kfixq():
+    """Pollution at fixed hp, quality recipe (the cheap same-recipe twin of
+    kfix — k = 9 at E = 4 is the shipped preset itself)."""
+    for k in (9.0, 18.0, 27.0, 36.0):
+        _run(f"quality-fixed k{int(k)}", _quality_k(k, 4))
+
+
 def arm_khp():
+    """The hp answer: E grown to hold waves-per-element constant
+    (E = 4k/9 per axis), recipe otherwise fixed."""
     for k, e in ((18.0, 8), (27.0, 12), (36.0, 16)):
-        _run(f"precision-hp k{int(k)} E{e}", _precision(k=k, elems=e))
+        _run(f"quality-hp k{int(k)} E{e}", _quality_k(k, e))
 
 
 def arm_ident():
@@ -133,7 +156,8 @@ def arm_ident():
     }), flush=True)
 
 
-ARMS = {"lad9": arm_lad9, "kfix": arm_kfix, "khp": arm_khp, "ident": arm_ident}
+ARMS = {"lad9": arm_lad9, "kfix": arm_kfix, "kfixq": arm_kfixq,
+        "khp": arm_khp, "ident": arm_ident}
 
 
 def main():
