@@ -190,8 +190,14 @@ def test_precision_presets():
     cfg = _config_from_args(parse("run helmholtz2d --preset precision".split()))
     assert cfg.hard_bc and cfg.activation == "sin"
     assert cfg.train.gn_iterations == 50 and cfg.train.gn_solve == "qr"
+    # round-5 retune: quality = the time-to-accuracy knee of the SAME
+    # lifted ansatz precision deepens (1.23e-3 @ 67 s vs 3.41e-4 @ 169 s)
     cfg = _config_from_args(parse("run helmholtz2d --preset quality".split()))
-    assert not cfg.hard_bc and cfg.activation == "sin"
+    assert cfg.hard_bc and cfg.activation == "sin"
+    assert cfg.train.iterations == 5000 and cfg.train.lbfgs_iterations == 5000
+    assert cfg.train.gn_iterations == 10 and cfg.train.gn_solve == "qr"
+    # precision keeps its own full warm budgets (not derived from quality)
+    cfg = _config_from_args(parse("run helmholtz2d --preset precision".split()))
     assert cfg.train.iterations == 10000 and cfg.train.lbfgs_iterations == 10000
 
 
